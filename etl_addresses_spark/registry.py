@@ -1,0 +1,37 @@
+"""Central registry: query name -> (spark callable, oracle SQL | None).
+
+This is what __spark_entry__.py exposes to the driver.  Every operator
+from SURVEY.md §2 lands here with a DuckDB oracle wherever the
+semantics are ANSI-SQL-expressible; genuinely non-SQL ops register
+oracle=None (driver then records a rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_addresses_spark.plans import flagship
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Entry:
+    query: QueryFn
+    oracle: str | None
+
+
+REGISTRY: dict[str, Entry] = {
+    "spatiotemporal_join": Entry(flagship.spatiotemporal_join, flagship.ORACLE_SQL),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: e.query for name, e in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: e.oracle for name, e in REGISTRY.items() if e.oracle is not None}

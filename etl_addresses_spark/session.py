@@ -1,0 +1,35 @@
+"""SparkSession factory.
+
+Local-mode defaults sized for the test harness (local[32], single JVM)
+but every knob here is the one you would set on a real cluster too:
+AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+UTC session timezone (oracle comparison against DuckDB's UTC-naive
+timestamps), Arrow enabled for the Pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "etl_addresses_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle_partitions = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle_partitions)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        # ~128 MB parquet split targets; on a real cluster this keeps
+        # task counts proportional to input bytes at 100 TB.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    return builder.getOrCreate()

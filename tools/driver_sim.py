@@ -1,0 +1,56 @@
+"""Simulate the driver: smoke entry() at sf0.001, then run every
+queries() entry at sf0.01 against its oracle_sql() in DuckDB."""
+import hashlib, sys
+sys.path.insert(0, "/root/repo")
+import duckdb
+import __spark_entry__ as mod
+from etl_addresses_spark.session import get_spark
+
+spark = get_spark("driver-sim")
+spark.sparkContext.setLogLevel("ERROR")
+
+df = mod.entry(spark)
+n = df.count()
+print(f"SMOKE entry(): rows={n} schema={[f.name for f in df.schema.fields]}")
+assert n >= 0
+
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def value_hash(rows):
+    h = hashlib.sha256()
+    for r in sorted(repr(tuple(r)) for r in rows):
+        h.update(r.encode())
+    return h.hexdigest()[:16]
+
+import math
+def norm(v):
+    if v is None: return None
+    if isinstance(v, float):
+        if math.isnan(v): return None
+        v = round(v, 9)
+        return int(v) if v.is_integer() else v
+    return v
+
+qs, os_ = mod.queries(), mod.oracle_sql()
+ok = True
+for name, fn in qs.items():
+    sdf = fn(spark, SF)
+    spark_rows = [tuple(norm(v) for v in row) for row in sdf.collect()]
+    if name in os_:
+        drows = [tuple(norm(v) for v in row) for row in con.execute(os_[name]).fetchall()]
+        scols, dcols = sorted(sdf.columns), sorted([d[0] for d in con.execute(os_[name]).description])
+        # driver sorts columns by name before hashing
+        sidx = [sdf.columns.index(c) for c in scols]
+        didx = [[d[0] for d in con.execute(os_[name]).description].index(c) for c in dcols]
+        sh = value_hash([tuple(r[i] for i in sidx) for r in spark_rows])
+        dh = value_hash([tuple(r[i] for i in didx) for r in drows])
+        status = "MATCH" if (len(spark_rows)==len(drows) and scols==dcols and sh==dh) else "MISMATCH"
+        if status != "MATCH": ok = False
+        print(f"{name}: spark={len(spark_rows)} duck={len(drows)} cols_eq={scols==dcols} hash {sh} vs {dh} -> {status}")
+    else:
+        print(f"{name}: rows-only check, rows={len(spark_rows)}")
+print("RESULT:", "ALL MATCH" if ok else "MISMATCH")
+sys.exit(0 if ok else 1)
