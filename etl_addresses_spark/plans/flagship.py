@@ -37,7 +37,10 @@ _HN_SINCE = DUCKDB_EARLIEST_MS.format(c="validSince")
 _HN_UNTIL = DUCKDB_LATEST_MS.format(c="validUntil")
 _DIST = duckdb_crosstrack_m("s.y1", "s.x1", "s.y2", "s.x2", "h.pt_lat", "h.pt_lon")
 
-ORACLE_SQL = f"""
+# All CTEs up to and including `inferred` — reused by the transform-step
+# oracles (plans/transform.py) so every downstream record type is checked
+# against the same join result.
+INFERRED_CTES = f"""
 WITH {DUCKDB_FIXTURE_CTES.strip()},
 seg AS (
   SELECT
@@ -80,24 +83,28 @@ best AS (
     WHERE distance < {MAX_DISTANCE_M}
   )
   WHERE rn = 1
+),
+inferred AS (
+  SELECT
+    CASE WHEN b.streetId IS NOT NULL THEN h.hn_internal_id END AS id,
+    CASE WHEN b.streetId IS NOT NULL THEN h.number || ' ' || b.streetName END AS name,
+    h.houseNumberId AS houseNumberId,
+    b.streetId AS streetId,
+    CASE WHEN b.streetId IS NOT NULL THEN h.validSince END AS validSince,
+    CASE WHEN b.streetId IS NOT NULL THEN h.validUntil END AS validUntil,
+    b.streetName AS streetName,
+    b.lineLength AS lineLength,
+    CASE WHEN b.streetId IS NULL
+         THEN 'Can''t find street within {MAX_DISTANCE_M} meters and 15 years'
+    END AS error,
+    h.sheetId AS sheetId,
+    h.layerId AS layerId,
+    h.mapId AS mapId,
+    h.number AS number,
+    h.borough AS borough
+  FROM hn h
+  LEFT JOIN best b USING (houseNumberId)
 )
-SELECT
-  CASE WHEN b.streetId IS NOT NULL THEN h.hn_internal_id END AS id,
-  CASE WHEN b.streetId IS NOT NULL THEN h.number || ' ' || b.streetName END AS name,
-  h.houseNumberId AS houseNumberId,
-  b.streetId AS streetId,
-  CASE WHEN b.streetId IS NOT NULL THEN h.validSince END AS validSince,
-  CASE WHEN b.streetId IS NOT NULL THEN h.validUntil END AS validUntil,
-  b.streetName AS streetName,
-  b.lineLength AS lineLength,
-  CASE WHEN b.streetId IS NULL
-       THEN 'Can''t find street within {MAX_DISTANCE_M} meters and 15 years'
-  END AS error,
-  h.sheetId AS sheetId,
-  h.layerId AS layerId,
-  h.mapId AS mapId,
-  h.number AS number,
-  h.borough AS borough
-FROM hn h
-LEFT JOIN best b USING (houseNumberId)
 """
+
+ORACLE_SQL = INFERRED_CTES + "\nSELECT * FROM inferred"

@@ -13,7 +13,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_addresses_spark.plans import flagship
+from etl_addresses_spark.plans import flagship, transform
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -26,6 +26,11 @@ class Entry:
 
 REGISTRY: dict[str, Entry] = {
     "spatiotemporal_join": Entry(flagship.spatiotemporal_join, flagship.ORACLE_SQL),
+    "transform_objects": Entry(transform.transform_objects, transform.OBJECTS_ORACLE),
+    "transform_relations": Entry(
+        transform.transform_relations, transform.RELATIONS_ORACLE
+    ),
+    "transform_logs": Entry(transform.transform_logs, transform.LOGS_ORACLE),
 }
 
 
