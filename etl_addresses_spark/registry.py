@@ -13,7 +13,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_addresses_spark.plans import flagship, transform
+from etl_addresses_spark.plans import flagship, relational, transform
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -31,6 +31,10 @@ REGISTRY: dict[str, Entry] = {
         transform.transform_relations, transform.RELATIONS_ORACLE
     ),
     "transform_logs": Entry(transform.transform_logs, transform.LOGS_ORACLE),
+    **{
+        name: Entry(fn, sql)
+        for name, (fn, sql) in relational.QUERIES.items()
+    },
 }
 
 

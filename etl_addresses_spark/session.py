@@ -31,5 +31,8 @@ def get_spark(app_name: str = "etl_addresses_spark") -> SparkSession:
         # ~128 MB parquet split targets; on a real cluster this keeps
         # task counts proportional to input bytes at 100 TB.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as raw nanos and normalize in the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()
