@@ -1,0 +1,257 @@
+"""Document deduplication operators (training-data-pipeline surface).
+
+The driver's testdata has no duplicate texts, so a deterministic
+dup-injected corpus is derived first (exact copies + near-dup copies
+with an appended suffix) — the derivation is plain SQL, so every
+dedup operator stays oracle-checkable end-to-end.
+
+Operators:
+* exact dedup         — hash-groupBy on text (md5), min-id representative
+* n-gram Jaccard      — EXACT word-3-shingle Jaccard pairs via inverted
+                        shingle index self-join (the scalable pattern:
+                        explode -> equi-join on shingle -> count agg; no
+                        cross join ever materializes)
+* MinHash + LSH       — 64-perm MinHash signatures (xxhash64 built-in),
+                        16 bands x 4 rows, bucket self-join for candidate
+                        pairs, exact-Jaccard verification of candidates
+                        (banding is the 100 TB path: candidates per
+                        bucket, never all-pairs)
+* SimHash             — 64-bit sign-sum fingerprint over token hashes
+
+At 100 TB: every step is explode + hash-shuffle + agg on bounded keys;
+shingle/bucket skew is handled by AQE skew-join splitting.  MinHash/
+SimHash use Spark's JVM xxhash64 (no portable SQL equivalent), so those
+two register rows-only; the exact-Jaccard and exact-dedup operators are
+fully oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_addresses_spark.sources.tables import load_table
+
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.5
+MINHASH_PERMS = 64
+LSH_BANDS = 16  # 16 bands x 4 rows
+LSH_ROWS = MINHASH_PERMS // LSH_BANDS
+
+
+def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + injected duplicates (deterministic, SQL-mirrored):
+    every doc_id % 3 == 0 gains a near-dup copy (suffix appended) at
+    id+10000000; every doc_id % 4 == 0 gains an exact copy at
+    id+20000000."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" near dup copy")).alias("text"),
+        )
+    )
+    exact = (
+        d.filter(F.col("doc_id") % 4 == 0)
+        .select((F.col("doc_id") + 20000000).alias("doc_id"), F.col("text"))
+    )
+    return d.unionByName(near).unionByName(exact)
+
+
+CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text || ' near dup copy' AS text
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+)
+"""
+
+
+# --- exact dedup ---------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (min doc_id) per distinct text.
+    Pure hash aggregation — map-side combine, shuffles only
+    (text_hash, min_id, count) partials at scale."""
+    c = corpus_df(spark, sf_dir)
+    return (
+        c.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = (
+    "WITH " + CORPUS_CTE.strip() + """
+SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies
+FROM corpus GROUP BY md5(text)
+"""
+)
+
+
+# --- shingles + exact n-gram Jaccard -------------------------------------
+
+
+def _shingles(c: DataFrame) -> DataFrame:
+    """Distinct word-3-shingles per doc (explode; docs with < 3 words
+    produce none)."""
+    w = F.split(F.col("text"), " ")
+    sh = F.when(
+        F.size(w) >= SHINGLE_N,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - SHINGLE_N),
+            lambda i: F.concat_ws(
+                " ", w.getItem(i), w.getItem(i + 1), w.getItem(i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        c.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All doc pairs with word-3-shingle Jaccard >= 0.5, computed
+    exactly via the inverted-index self-join (pairs only materialize
+    for docs sharing at least one shingle)."""
+    sh = _shingles(corpus_df(spark, sf_dir)).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return jac.select("doc_a", "doc_b", "common", "sz_a", "sz_b", "jaccard")
+
+
+NGRAM_JACCARD_SQL = (
+    "WITH " + CORPUS_CTE.strip() + """,
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common, sa.sz AS sz_a, sb.sz AS sz_b,
+       CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+"""
+)
+
+
+# --- MinHash + LSH (rows-only: depends on JVM xxhash64) ------------------
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-permutation MinHash signature per doc: min over shingles of
+    xxhash64(perm_seed, shingle).  One explode + one groupBy with 64
+    min() aggregates — single shuffle, map-side combinable."""
+    sh = _shingles(corpus_df(spark, sf_dir))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+        for i in range(MINHASH_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs -> exact-Jaccard verification.
+
+    Banding: signature split into 16 bands of 4 rows; docs sharing any
+    band hash become candidates (self-join per bucket — at scale the
+    buckets are small and the join is a plain shuffle hash join).
+    Candidates are then verified with exact shingle Jaccard, so output
+    precision is 1.0; banding bounds recall (16 bands/4 rows catches
+    jaccard >= ~0.5 with high probability)."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh{bi * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                ).alias("bucket"),
+            )
+            for bi in range(LSH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(spark, sf_dir)
+    return cand.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc: for each bit b, sum +1/-1 over distinct
+    tokens according to bit b of xxhash64(token); bit set iff sum > 0.
+    One explode + one groupBy with 64 conditional-sum aggregates."""
+    c = corpus_df(spark, sf_dir)
+    tokens = c.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+    )
+    h = F.xxhash64(F.col("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = tokens.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return sums.select("doc_id", fp.alias("simhash"))

@@ -1,0 +1,316 @@
+"""Embedding similarity search over array<float> columns.
+
+Three tiers:
+
+* `cosine_topk`        — brute-force exact top-k for a deterministic
+                         query subset.  Dot products and squared norms
+                         are accumulated in DECIMAL over pairwise
+                         double products (order-independent, so DuckDB
+                         reproduces them bit-for-bit -> fully
+                         oracle-checked).
+* `cosine_topk_fast`   — same result via JVM higher-order functions
+                         (zip_with + aggregate in pure double): the
+                         throughput path; no explode, no extra shuffle.
+* `embedding_near_dup` — blocked near-duplicate pairs (cosine >= 0.3)
+                         — blocking (here: label equality on a sampled
+                         subset) is the standard scale pattern: pairs
+                         only materialize inside blocks.
+* `ann_ivf_topk`       — IVF-style approximate search: deterministic
+                         pseudo-centroids, vectors assigned to nearest
+                         centroid, queries probe the 2 nearest
+                         centroid lists.  The 100 TB path: candidate
+                         set per query is a small fraction of the
+                         corpus.  Approximate -> rows-only check;
+                         recall vs exact top-k asserted in pytest.
+
+At scale the broadcast side is always the small query/centroid set and
+the corpus side streams; no all-pairs shuffle exists in any tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F, Window as W
+
+from etl_addresses_spark.sources.tables import load_table
+
+TOPK_K = 10
+QUERY_MOD = 50  # queries = vec_id % 50 == 0
+NEAR_DUP_MOD = 5  # near-dup universe = vec_id % 5 == 0
+NEAR_DUP_THRESHOLD = 0.3
+DOT_DECIMAL = "decimal(30,15)"
+
+
+def _pair_dot_decimal(emb_a: F.Column, emb_b: F.Column) -> F.Column:
+    """Exact decimal dot product of two float vectors: per-element
+    double products (float->double exact) cast to decimal and summed
+    with aggregate — the fold is sequential so both engines compute
+    the identical decimal, independent of parallelism."""
+    prods = F.zip_with(
+        emb_a,
+        emb_b,
+        lambda x, y: (x.cast("double") * y.cast("double")).cast(DOT_DECIMAL),
+    )
+    return F.aggregate(
+        prods,
+        F.lit(0).cast(DOT_DECIMAL),
+        lambda acc, v: (acc + v).cast(DOT_DECIMAL),
+    )
+
+
+def _norms(e: DataFrame) -> DataFrame:
+    return e.select(
+        "vec_id",
+        F.sqrt(_pair_dot_decimal(F.col("embedding"), F.col("embedding")).cast("double")).alias(
+            "norm"
+        ),
+    )
+
+
+# DuckDB rendering of the same decimal dot product for lists a/b.
+def _duckdb_dot(a: str, b: str) -> str:
+    return (
+        f"(SELECT sum(CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+        f" AS DECIMAL(30,15))) FROM UNNEST(generate_series(1, len({a}))) AS u(i))"
+    )
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for query vectors
+    (vec_id % 50 == 0), decimal-exact scoring."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norms = _norms(e)
+    corpus = (
+        e.join(norms, "vec_id")
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("cand_emb"),
+            F.col("norm").alias("cand_norm"),
+        )
+    )
+    queries = (
+        e.join(norms, "vec_id")
+        .filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    pairs = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col("cand_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        (
+            _pair_dot_decimal(F.col("q_emb"), F.col("cand_emb")).cast("double")
+            / (F.col("q_norm") * F.col("cand_norm"))
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK_K)
+        .select("query_id", "rank", "cand_id", "cosine")
+    )
+
+
+COSINE_TOPK_SQL = f"""
+WITH norms AS (
+  SELECT vec_id, sqrt(CAST({_duckdb_dot('embedding', 'embedding')} AS DOUBLE)) AS norm,
+         embedding
+  FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+  FROM norms WHERE vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+    CAST({_duckdb_dot('q.q_emb', 'c.embedding')} AS DOUBLE) / (q.q_norm * c.norm) AS cosine
+  FROM norms c CROSS JOIN queries q
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, rank, cand_id, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {TOPK_K}
+"""
+
+
+def cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput variant: pure-double zip_with/aggregate dot product
+    (whole-stage codegen, no decimal).  Result set equals cosine_topk
+    except where double rounding reorders near-ties."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"), F.col("cand_emb"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cand_emb"),
+        norm(F.col("embedding")).alias("cand_norm"),
+    )
+    queries = (
+        e.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            norm(F.col("embedding")).alias("q_norm"),
+        )
+    )
+    pairs = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col("cand_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        (dot / (F.col("q_norm") * F.col("cand_norm"))).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK_K)
+        .select("query_id", "rank", "cand_id", "cosine")
+    )
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked near-duplicate detection: within (sampled, label-equal)
+    blocks, emit pairs with cosine >= 0.3.  Demonstrates the
+    embedding-cosine near-dup pattern with block-local pair
+    generation."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % NEAR_DUP_MOD == 0
+    )
+    norms = _norms(e)
+    side = e.join(norms, "vec_id").select("vec_id", "label", "embedding", "norm")
+    a = side.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = side.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    pairs = a.join(
+        b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b"))
+    )
+    scored = pairs.select(
+        "vec_a",
+        "vec_b",
+        F.col("label_a").alias("label"),
+        (
+            _pair_dot_decimal(F.col("emb_a"), F.col("emb_b")).cast("double")
+            / (F.col("norm_a") * F.col("norm_b"))
+        ).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= NEAR_DUP_THRESHOLD)
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH sub AS (
+  SELECT vec_id, label, embedding,
+    sqrt(CAST({_duckdb_dot('embedding', 'embedding')} AS DOUBLE)) AS norm
+  FROM embeddings WHERE vec_id % {NEAR_DUP_MOD} = 0
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+  CAST({_duckdb_dot('a.embedding', 'b.embedding')} AS DOUBLE) / (a.norm * b.norm) AS cosine
+FROM sub a JOIN sub b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE CAST({_duckdb_dot('a.embedding', 'b.embedding')} AS DOUBLE) / (a.norm * b.norm)
+      >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: vectors with vec_id % 100 == 0 serve as
+    deterministic pseudo-centroids; every vector is assigned to its
+    nearest centroid (broadcast centroid list), and each query probes
+    the nprobe=2 nearest centroid lists only.  Rows-only check
+    (approximate by construction); recall asserted in pytest."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(dot(c, c))
+    cents = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+        norm(F.col("embedding")).alias("cent_norm"),
+    )
+    vecs = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("vnorm"))
+    # assignment: nearest centroid per vector (broadcast centroids)
+    assign_scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "vnorm",
+        "cent_id",
+        (
+            dot(F.col("embedding"), F.col("cent_emb"))
+            / (F.col("vnorm") * F.col("cent_norm"))
+        ).alias("c_cos"),
+    )
+    wa = W.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cent_id"))
+    assigned = (
+        assign_scored.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "embedding", "vnorm", F.col("cent_id").alias("list_id"))
+    )
+    # queries probe their 2 nearest centroids
+    queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("vnorm").alias("q_norm"),
+    )
+    probe_scored = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "q_emb",
+        "q_norm",
+        "cent_id",
+        (
+            dot(F.col("q_emb"), F.col("cent_emb"))
+            / (F.col("q_norm") * F.col("cent_norm"))
+        ).alias("c_cos"),
+    )
+    wp = W.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("cent_id"))
+    probes = (
+        probe_scored.withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= 2)
+        .select("query_id", "q_emb", "q_norm", F.col("cent_id").alias("list_id"))
+    )
+    cand = assigned.join(probes, "list_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        (
+            dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("vnorm"))
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK_K)
+        .select("query_id", "rank", "cand_id", "cosine")
+    )

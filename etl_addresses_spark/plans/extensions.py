@@ -1,0 +1,31 @@
+"""Registry glue for the training-data-pipeline extension operators."""
+
+from __future__ import annotations
+
+from etl_addresses_spark.operators import dedup, multimodal, similarity, textops
+
+# name -> (query fn, oracle SQL or None for rows-only checks)
+EXTENSION_QUERIES = {
+    "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
+    "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
+    # MinHash/SimHash depend on JVM xxhash64 — no portable SQL oracle.
+    "minhash_lsh_pairs": (dedup.minhash_lsh_pairs, None),
+    "simhash_fingerprints": (dedup.simhash_fingerprints, None),
+    "text_stats": (textops.text_stats, textops.TEXT_STATS_SQL),
+    "text_quality": (textops.text_quality, textops.TEXT_QUALITY_SQL),
+    "text_langid": (textops.text_langid, textops.TEXT_LANGID_SQL),
+    "text_fingerprint": (textops.text_fingerprint, textops.TEXT_FINGERPRINT_SQL),
+    "cosine_topk": (similarity.cosine_topk, similarity.COSINE_TOPK_SQL),
+    # double-precision throughput variant / approximate IVF: rows-only.
+    "cosine_topk_fast": (similarity.cosine_topk_fast, None),
+    "embedding_near_dup": (
+        similarity.embedding_near_dup,
+        similarity.EMBEDDING_NEAR_DUP_SQL,
+    ),
+    "ann_ivf_topk": (similarity.ann_ivf_topk, None),
+    "multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
+    "multimodal_decode": (
+        multimodal.multimodal_decode,
+        multimodal.MULTIMODAL_DECODE_SQL,
+    ),
+}

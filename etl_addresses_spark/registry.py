@@ -13,7 +13,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_addresses_spark.plans import flagship, relational, transform
+from etl_addresses_spark.plans import extensions, flagship, relational, transform
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -34,6 +34,10 @@ REGISTRY: dict[str, Entry] = {
     **{
         name: Entry(fn, sql)
         for name, (fn, sql) in relational.QUERIES.items()
+    },
+    **{
+        name: Entry(fn, sql)
+        for name, (fn, sql) in extensions.EXTENSION_QUERIES.items()
     },
 }
 

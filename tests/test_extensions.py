@@ -1,0 +1,89 @@
+from __future__ import annotations
+
+import pytest
+from conftest import SF_ORACLE, assert_frames_match
+
+from etl_addresses_spark.operators import dedup, similarity
+from etl_addresses_spark.plans.extensions import EXTENSION_QUERIES
+
+ORACLE_CHECKED = sorted(
+    name for name, (_, sql) in EXTENSION_QUERIES.items() if sql is not None
+)
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_extension_oracle(name, spark, ddb):
+    fn, sql = EXTENSION_QUERIES[name]
+    assert_frames_match(fn(spark, SF_ORACLE), ddb.sql(sql))
+
+
+def test_dedup_exact_finds_injected_copies(spark):
+    out = dedup.dedup_exact(spark, SF_ORACLE)
+    # every doc_id % 4 == 0 got an exact copy -> groups of size 2
+    assert out.filter("n_copies >= 2").count() > 0
+    # representatives are always the original (small) ids
+    assert out.filter("n_copies >= 2 AND rep_doc_id >= 10000000").count() == 0
+
+
+def test_minhash_lsh_subset_and_recall(spark):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(spark, SF_ORACLE).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(spark, SF_ORACLE).collect()
+    }
+    assert lsh <= exact, "verified LSH pairs must be a subset of exact pairs"
+    assert exact, "fixtures should contain near-dup pairs"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_simhash_properties(spark):
+    fp = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(spark, SF_ORACLE).collect()}
+
+    def hamming(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    exact_pairs = [(d, d + 20000000) for d in fp if d < 10000000 and d % 4 == 0]
+    assert exact_pairs
+    for a, b in exact_pairs:
+        assert fp[a] == fp[b], "identical text must give identical simhash"
+    near_pairs = [
+        (d, d + 10000000)
+        for d in fp
+        if d < 10000000 and d % 3 == 0 and d + 10000000 in fp
+    ]
+    assert near_pairs
+    avg_near = sum(hamming(fp[a], fp[b]) for a, b in near_pairs) / len(near_pairs)
+    assert avg_near <= 16, f"near-dups should have small hamming distance: {avg_near}"
+
+
+def test_ivf_recall_vs_exact(spark):
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in similarity.cosine_topk(spark, SF_ORACLE).collect()
+    }
+    approx = {
+        (r.query_id, r.cand_id)
+        for r in similarity.ann_ivf_topk(spark, SF_ORACLE).collect()
+    }
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    # nprobe=2 of ~5 centroid lists on random vectors: modest recall is
+    # expected; the point is the candidate set is a fraction of the corpus.
+    assert recall >= 0.3, f"IVF recall suspiciously low: {recall}"
+
+
+def test_fast_topk_close_to_exact(spark):
+    exact = {
+        (r.query_id, r.rank): r.cand_id
+        for r in similarity.cosine_topk(spark, SF_ORACLE).collect()
+    }
+    fast = {
+        (r.query_id, r.rank): r.cand_id
+        for r in similarity.cosine_topk_fast(spark, SF_ORACLE).collect()
+    }
+    agree = sum(1 for k, v in exact.items() if fast.get(k) == v)
+    assert agree / len(exact) >= 0.95
