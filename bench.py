@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect).  A warmup scan amortizes JVM/codegen startup so the
+numbers reflect steady-state query time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_addresses_spark.registry import REGISTRY  # noqa: E402
+from etl_addresses_spark.session import get_spark  # noqa: E402
+from etl_addresses_spark.sources.tables import TABLES, load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "spatiotemporal_join",
+    "transform_objects",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "join_topk_order_revenue",
+    "join_region_volume",
+    "join_outer_order_counts",
+    "window_running_total",
+    "events_sessionize",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "text_quality",
+    "text_langid",
+    "cosine_topk_fast",
+    "ann_ivf_topk",
+    "multimodal_decode",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch every table + trigger codegen paths once
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].query
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf_token = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
+    try:
+        sf = float(sf_token)
+    except ValueError:
+        sf = sf_token
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

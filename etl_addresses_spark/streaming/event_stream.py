@@ -1,0 +1,131 @@
+"""Structured Streaming surface over the events table.
+
+The reference has no event-time streaming (SURVEY.md §2.9 — its
+Highland streams are bounded-file iterators), so this module is pure
+extension surface: watermarked tumbling-window aggregation, session
+windows, and a custom stateful operator via applyInPandasWithState.
+
+Tests drive these with the file source over the driver's events
+parquet + a memory sink and `processAllAvailable()` (synchronous batch
+drain), and assert stream/batch equivalence where the semantics
+overlap.  On a real cluster the source becomes Kafka and the sink a
+transactional table — the query shapes are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Parquet stores TIMESTAMP(NANOS); with spark.sql.legacy.parquet.nanosAsLong
+# (session.py) the file-source schema must declare the raw long.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(events: DataFrame) -> DataFrame:
+    """Watermarked tumbling 5-minute windows per event type.  The
+    watermark bounds state: late rows beyond 10 minutes are dropped and
+    closed windows are evicted — the knob that keeps state finite on an
+    unbounded 100 TB/day stream."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame) -> DataFrame:
+    """Native session windows (30-minute gap) per user — the streaming
+    twin of the batch `events_sessionize` query."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("sess"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count + value
+    total across micro-batches via applyInPandasWithState (the
+    arbitrary-state API a reference-style custom accumulator maps to)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Drain all available input synchronously into a memory sink and
+    return the result as a batch DataFrame (test/smoke harness).
+
+    `complete` for windowed aggregations (append would withhold windows
+    the watermark hasn't passed yet); `update` for stateful operators."""
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
