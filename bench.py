@@ -50,9 +50,17 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: touch every table + trigger codegen paths once
+    # Warmup: touch every table at the target SF, then run each headline
+    # query once at the smallest SF so JIT/codegen/AQE paths are hot —
+    # timings below then reflect steady-state throughput, not JVM warmup.
     for t in TABLES:
         load_table(spark, SF_DIR, t).count()
+    warmup_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warmup_dir) and warmup_dir != SF_DIR:
+        for name in HEADLINE:
+            REGISTRY[name].query(spark, warmup_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -45,11 +45,17 @@ def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     id+10000000; every doc_id % 4 == 0 gains an exact copy at
     id+20000000."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # The appended marker word varies per doc (doc_id % 97): a constant
+    # suffix would put one white-hot shingle in EVERY near-dup copy and
+    # the inverted-index self-join would build a dense clique of
+    # candidate pairs around it (measured ~10M pairs at sf0.1).
     near = (
         d.filter(F.col("doc_id") % 3 == 0)
         .select(
             (F.col("doc_id") + 10000000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" near dup copy")).alias("text"),
+            F.concat(
+                F.col("text"), F.lit(" nd"), (F.col("doc_id") % 97).cast("string")
+            ).alias("text"),
         )
     )
     exact = (
@@ -63,7 +69,8 @@ CORPUS_CTE = """
 corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000000 AS doc_id, text || ' near dup copy' AS text
+  SELECT doc_id + 10000000 AS doc_id,
+         text || ' nd' || CAST(doc_id % 97 AS VARCHAR) AS text
   FROM documents WHERE doc_id % 3 = 0
   UNION ALL
   SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
@@ -101,8 +108,14 @@ FROM corpus GROUP BY md5(text)
 
 def _shingles(c: DataFrame) -> DataFrame:
     """Distinct word-3-shingles per doc (explode; docs with < 3 words
-    produce none)."""
-    w = F.split(F.col("text"), " ")
+    produce none).
+
+    The split-words array is materialized in its own projection first:
+    inlining `split(text)` into the per-element lambda would re-split
+    the whole text for every element access (O(words^2) per doc —
+    measured 4x slowdown on long docs)."""
+    words = c.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    w = F.col("w")
     sh = F.when(
         F.size(w) >= SHINGLE_N,
         F.transform(
@@ -112,10 +125,7 @@ def _shingles(c: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        c.select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    return words.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,16 +185,40 @@ WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
 # --- MinHash + LSH (rows-only: depends on JVM xxhash64) ------------------
 
 
+def _minhash_long(sh: DataFrame) -> DataFrame:
+    """(doc_id, seed, minh) long-format MinHash: explode the 64 seeds and
+    aggregate with a SINGLE min() — wide N-aggregate variants blow past
+    whole-stage-codegen method limits and fall back to interpreted
+    evaluation (measured ~3x slower); this shape stays codegen'd and
+    map-side combinable.
+
+    The pre-repartition by doc_id makes the partial aggregation
+    collapse the 64x-exploded rows to exactly 64 per doc per partition
+    before the shuffle — without it every partition carries partials
+    for nearly every doc and the combine saves nothing (measured 17M
+    shuffled rows vs <1M)."""
+    return (
+        sh.repartition("doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(MINHASH_PERMS - 1))).alias("seed"),
+            F.col("shingle"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.xxhash64(F.col("seed"), F.col("shingle"))).alias("minh"))
+    )
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-permutation MinHash signature per doc: min over shingles of
-    xxhash64(perm_seed, shingle).  One explode + one groupBy with 64
-    min() aggregates — single shuffle, map-side combinable."""
-    sh = _shingles(corpus_df(spark, sf_dir))
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
-        for i in range(MINHASH_PERMS)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    """64-permutation MinHash signature per doc as a seed-ordered array:
+    min over shingles of xxhash64(perm_seed, shingle)."""
+    long = _minhash_long(_shingles(corpus_df(spark, sf_dir)))
+    return long.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("seed", "minh"))),
+            lambda s: s.getField("minh"),
+        ).alias("signature")
+    )
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,20 +230,21 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates are then verified with exact shingle Jaccard, so output
     precision is 1.0; banding bounds recall (16 bands/4 rows catches
     jaccard >= ~0.5 with high probability)."""
-    sig = minhash_signatures(spark, sf_dir)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"mh{bi * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-                ).alias("bucket"),
-            )
-            for bi in range(LSH_BANDS)
-        ]
-    )
-    banded = sig.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # one cached shingle set feeds both the signature build and the
+    # candidate verification below
+    sh = _shingles(corpus_df(spark, sf_dir)).cache()
+    long = _minhash_long(sh)
+    # band id = seed div 4; bucket = hash of the band's 4 minima in
+    # seed order (sort_array over (seed, minh) structs is deterministic).
+    banded = (
+        long.groupBy(
+            "doc_id", (F.col("seed") - (F.col("seed") % LSH_ROWS)).alias("band")
+        )
+        .agg(
+            F.xxhash64(
+                F.sort_array(F.collect_list(F.struct("seed", "minh")))
+            ).alias("bucket")
+        )
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -225,33 +260,60 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    exact = ngram_jaccard_pairs(spark, sf_dir)
-    return cand.join(exact, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
+    # Verify ONLY the candidate pairs (never the all-pairs set): join
+    # each pair with both docs' shingle sets to count the intersection —
+    # cost is |candidates| * avg shingles, independent of corpus².
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc: for each bit b, sum +1/-1 over distinct
     tokens according to bit b of xxhash64(token); bit set iff sum > 0.
-    One explode + one groupBy with 64 conditional-sum aggregates."""
+
+    Long-format shape (explode bit index, single sum() aggregate, then
+    bit_or() to assemble the fingerprint) — same codegen-limit
+    rationale as _minhash_long."""
     c = corpus_df(spark, sf_dir)
     tokens = c.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
     )
-    h = F.xxhash64(F.col("tok"))
-    aggs = [
+    bits = tokens.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        F.xxhash64(F.col("tok")).alias("h"),
+    )
+    sums = bits.groupBy("doc_id", "b").agg(
         F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    sums = tokens.groupBy("doc_id").agg(*aggs)
-    fp = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
-        fp = term if fp is None else fp.bitwiseXOR(term)
-    return sums.select("doc_id", fp.alias("simhash"))
+            F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
+        ).alias("s")
+    )
+    return sums.groupBy("doc_id").agg(
+        F.bit_or(
+            F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << b"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )

@@ -164,6 +164,13 @@ def infer_addresses(
         (F.col("seg_since_ms") <= F.col("addr_since_ms"))
         & (F.col("seg_until_ms") >= F.col("addr_until_ms"))
     )
+    # Pushdown barrier: without it Catalyst folds the distance filter
+    # into the join condition ahead of the cheap bbox conjuncts, and the
+    # trig evaluates for every cell-co-resident pair instead of only
+    # bbox+temporal survivors (Catalyst doesn't cost-order conjuncts).
+    # A nondeterministic column blocks predicate pushdown through the
+    # projection; it is dropped immediately after.
+    cand = cand.withColumn("_pushdown_barrier", F.monotonically_increasing_id())
     cand = cand.withColumn(
         "distance",
         crosstrack_m_rounded(
@@ -174,7 +181,7 @@ def infer_addresses(
             F.col("pt_lat"),
             F.col("pt_lon"),
         ),
-    ).filter(F.col("distance") < MAX_DISTANCE_M)
+    ).filter(F.col("distance") < MAX_DISTANCE_M).drop("_pushdown_barrier")
 
     # Argmin with deterministic tie-break: lexicographic min of
     # (distance, streetId, seg_index, payload...) — map-side combinable.
