@@ -13,7 +13,13 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_addresses_spark.plans import extensions, flagship, relational, transform
+from etl_addresses_spark.plans import (
+    extensions,
+    flagship,
+    relational,
+    relational2,
+    transform,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -38,6 +44,10 @@ REGISTRY: dict[str, Entry] = {
     **{
         name: Entry(fn, sql)
         for name, (fn, sql) in extensions.EXTENSION_QUERIES.items()
+    },
+    **{
+        name: Entry(fn, sql)
+        for name, (fn, sql) in relational2.QUERIES2.items()
     },
 }
 
