@@ -97,7 +97,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select(
         "doc_id",
         "source",
-        F.length("payload").alias("n_bytes"),
+        F.length("payload").cast("long").alias("n_bytes"),
         F.md5("payload").alias("content_hash"),
         (F.length("payload") >= 256).alias("decode_worthy"),
     )

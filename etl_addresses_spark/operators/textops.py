@@ -33,9 +33,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens()
     return d.select(
         "doc_id",
-        F.length("text").alias("n_chars_actual"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         (F.length("text").cast("double") / F.size(toks)).alias("avg_token_span"),
         (
             F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
@@ -120,9 +120,9 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        s_en.alias("score_en"),
-        s_es.alias("score_es"),
-        s_de.alias("score_de"),
+        s_en.cast("long").alias("score_en"),
+        s_es.cast("long").alias("score_es"),
+        s_de.cast("long").alias("score_de"),
         pred.alias("lang_pred"),
     )
 

@@ -141,7 +141,11 @@ def join_topk_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
         .agg(_dec_sum(revenue, "decimal(18,4)").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
@@ -149,12 +153,12 @@ def join_topk_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JOIN_TOPK_ORDER_REVENUE_SQL = """
-SELECT o_orderkey, o_orderdate, o_orderpriority,
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
-GROUP BY o_orderkey, o_orderdate, o_orderpriority
+GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
 ORDER BY revenue DESC, o_orderkey ASC
 LIMIT 10
 """
@@ -259,7 +263,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("c_acctbal"), F.asc("c_custkey")
     )
     return (
-        c.withColumn("rnk", F.row_number().over(w))
+        c.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("c_mktsegment", "rnk", "c_custkey", "c_name", "c_acctbal")
     )
@@ -415,16 +419,16 @@ def scalar_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.upper(F.col("o_orderpriority")).alias("prio_upper"),
         F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
-        F.length(F.col("o_orderstatus")).alias("status_len"),
+        F.length(F.col("o_orderstatus")).cast("long").alias("status_len"),
         F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias(
             "status_prio"
         ),
         F.replace(
             F.col("o_orderpriority"), F.lit("-"), F.lit("_")
         ).alias("prio_snake"),
-        F.year(F.col("o_orderdate")).alias("o_year"),
-        F.month(F.col("o_orderdate")).alias("o_month"),
-        F.dayofmonth(F.col("o_orderdate")).alias("o_day"),
+        F.year(F.col("o_orderdate")).cast("long").alias("o_year"),
+        F.month(F.col("o_orderdate")).cast("long").alias("o_month"),
+        F.dayofmonth(F.col("o_orderdate")).cast("long").alias("o_day"),
         (F.col("o_orderkey") % 7).alias("key_mod"),
         F.abs(F.col("o_orderkey") - 1000).alias("key_absdiff"),
         F.round(F.col("o_totalprice"), 0).cast("double").alias("price_rounded"),
@@ -507,8 +511,8 @@ tagged AS (
 ),
 sess AS (
   SELECT user_id, event_id, ts,
-    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM tagged
 )
 SELECT user_id, session_seq, count(*) AS n_events,

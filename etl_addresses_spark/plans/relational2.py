@@ -84,11 +84,11 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.col("w")
     return toks.select(
         "doc_id",
-        F.size(w).alias("n"),
-        F.size(F.filter(w, lambda t: F.length(t) > 5)).alias("n_long"),
+        F.size(w).cast("long").alias("n"),
+        F.size(F.filter(w, lambda t: F.length(t) > 5)).cast("long").alias("n_long"),
         F.concat_ws("|", F.slice(F.array_sort(w), 1, 3)).alias("first3_sorted"),
         F.array_contains(w, "spark").alias("has_spark"),
-        F.size(F.array_distinct(F.transform(w, F.upper))).alias("n_upper_distinct"),
+        F.size(F.array_distinct(F.transform(w, F.upper))).cast("long").alias("n_upper_distinct"),
     )
 
 
@@ -180,7 +180,7 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     w = W.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("tok"))
     return (
-        counts.withColumn("rnk", F.row_number().over(w))
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "rnk", "tok", "cnt")
     )
