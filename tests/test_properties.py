@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) for the scalar function layer.
+
+Examples are generated in batches and evaluated through one Spark job
+per property (per-example Spark jobs would be prohibitively slow), with
+plain-Python reference implementations as the oracle.
+"""
+
+from __future__ import annotations
+
+import calendar
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from etl_addresses_spark.functions.dates import fuzzy_earliest_ms, fuzzy_latest_ms
+from etl_addresses_spark.functions.ids import full_id, internal_id
+
+YEARS = st.integers(min_value=1700, max_value=2100)
+MONTHS = st.integers(min_value=1, max_value=12)
+
+
+@st.composite
+def fuzzy_dates(draw):
+    y = draw(YEARS)
+    kind = draw(st.integers(0, 2))
+    if kind == 0:
+        return f"{y:04d}"
+    m = draw(MONTHS)
+    if kind == 1:
+        return f"{y:04d}-{m:02d}"
+    d = draw(st.integers(1, calendar.monthrange(y, m)[1]))
+    return f"{y:04d}-{m:02d}-{d:02d}"
+
+
+def _py_earliest_ms(s: str) -> int:
+    if len(s) == 4:
+        d = dt.date(int(s), 1, 1)
+    elif len(s) == 7:
+        d = dt.date(int(s[:4]), int(s[5:7]), 1)
+    else:
+        d = dt.date.fromisoformat(s)
+    epoch = dt.date(1970, 1, 1)
+    return (d - epoch).days * 86400000
+
+
+def _py_latest_ms(s: str) -> int:
+    if len(s) == 4:
+        d = dt.date(int(s), 12, 31)
+    elif len(s) == 7:
+        y, m = int(s[:4]), int(s[5:7])
+        d = dt.date(y, m, calendar.monthrange(y, m)[1])
+    else:
+        d = dt.date.fromisoformat(s)
+    epoch = dt.date(1970, 1, 1)
+    return (d - epoch).days * 86400000
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(fuzzy_dates(), min_size=1, max_size=50))
+def test_fuzzy_date_ms_matches_python_reference(spark, dates):
+    df = spark.createDataFrame([(d,) for d in dates], ["d"])
+    rows = df.select(
+        "d",
+        fuzzy_earliest_ms(F.col("d")).alias("lo"),
+        fuzzy_latest_ms(F.col("d")).alias("hi"),
+    ).collect()
+    for r in rows:
+        assert r.lo == _py_earliest_ms(r.d), r.d
+        assert r.hi == _py_latest_ms(r.d), r.d
+        assert r.lo <= r.hi
+
+
+IDS = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd")), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(IDS, min_size=1, max_size=50), IDS)
+def test_id_qualify_roundtrip(spark, ids, dataset):
+    df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    rows = df.select(
+        "id",
+        full_id(dataset, F.col("id")).alias("full"),
+        internal_id(full_id(dataset, F.col("id"))).alias("back"),
+    ).collect()
+    for r in rows:
+        # qualify is idempotent-prefixing; internal_id inverts it
+        assert r.full == f"{dataset}/{r.id}"
+        assert r.back == r.id
