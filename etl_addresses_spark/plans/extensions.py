@@ -28,4 +28,9 @@ EXTENSION_QUERIES = {
         multimodal.multimodal_decode,
         multimodal.MULTIMODAL_DECODE_SQL,
     ),
+    "ann_quantized_topk": (similarity.quantized_topk, similarity.QUANTIZED_TOPK_SQL),
+    "docs_with_embeddings": (
+        similarity.docs_with_embeddings,
+        similarity.DOCS_WITH_EMBEDDINGS_SQL,
+    ),
 }

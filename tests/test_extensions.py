@@ -87,3 +87,17 @@ def test_fast_topk_close_to_exact(spark):
     }
     agree = sum(1 for k, v in exact.items() if fast.get(k) == v)
     assert agree / len(exact) >= 0.95
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in similarity.cosine_topk(spark, SF_ORACLE).collect()
+    }
+    quant = {
+        (r.query_id, r.cand_id)
+        for r in similarity.quantized_topk(spark, SF_ORACLE).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    # int8 quantization should barely perturb the ranking
+    assert recall >= 0.9, f"quantized recall too low: {recall}"

@@ -30,8 +30,13 @@ def test_flagship_distance_not_before_bbox(spark):
     # after the bbox comparisons inside the join condition string
     df = flagship.spatiotemporal_join(spark, SF_SMALL, strategy="grid")
     plan = _plan(df)
-    join_line = next(l for l in plan.splitlines() if "BroadcastHashJoin" in l)
-    assert "ASIN" in join_line
+    # several joins may broadcast; the candidate join is the one whose
+    # condition carries the trig
+    join_line = next(
+        l
+        for l in plan.splitlines()
+        if "BroadcastHashJoin" in l and "ASIN" in l
+    )
     assert join_line.index("least") < join_line.index("ASIN")
 
 
