@@ -42,6 +42,8 @@ HEADLINE = [
     "text_langid",
     "cosine_topk_fast",
     "ann_ivf_topk",
+    "ann_quantized_topk",
+    "asof_join_events",
     "multimodal_decode",
 ]
 

@@ -227,6 +227,30 @@ def infer_addresses(
     )
 
 
+def infer_addresses_observed(
+    house_numbers: DataFrame,
+    streets: DataFrame,
+    strategy: str = "grid",
+):
+    """infer_addresses plus an Observation — the A1 progress counter
+    (addresses.js:49-59) done the Spark way: metrics collected by the
+    executors during the job, no side-effect logging in the data path.
+
+    Returns (inferred_df, observation); after an action,
+    `observation.get` holds processed/matched/unmatched counts."""
+    from pyspark.sql import Observation
+
+    obs = Observation("infer_addresses")
+    inferred = infer_addresses(house_numbers, streets, strategy=strategy)
+    observed = inferred.observe(
+        obs,
+        F.count(F.lit(1)).alias("processed"),
+        F.count("streetId").alias("matched"),
+        F.count("error").alias("unmatched"),
+    )
+    return observed, obs
+
+
 def inferred_flat(inferred: DataFrame) -> DataFrame:
     """Flat projection of the inferred output for the DuckDB oracle
     (nested structs/geometry unfolded into scalar columns)."""

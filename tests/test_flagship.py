@@ -24,3 +24,17 @@ def test_flagship_has_matches_and_errors(spark):
     assert matched > 0, "fixtures should produce matched addresses"
     assert errors > 0, "fixtures should exercise the no-match error branch"
     assert matched + errors == total
+
+
+def test_observed_infer_metrics(spark):
+    from etl_addresses_spark.operators.spatial_join import infer_addresses_observed
+    from etl_addresses_spark.sources.fixtures import house_numbers_df, streets_df
+
+    df, obs = infer_addresses_observed(
+        house_numbers_df(spark, SF_ORACLE), streets_df(spark, SF_ORACLE)
+    )
+    total = df.count()  # action populates the observation
+    m = obs.get
+    assert m["processed"] == total
+    assert m["matched"] + m["unmatched"] == total
+    assert m["matched"] > 0 and m["unmatched"] > 0

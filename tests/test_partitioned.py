@@ -1,0 +1,23 @@
+from __future__ import annotations
+
+from conftest import SF_SMALL
+
+from etl_addresses_spark.sources.partitioned import read_partition, write_partitioned
+from etl_addresses_spark.sources.tables import load_table
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    out = str(tmp_path / "events_by_type")
+    events = load_table(spark, SF_SMALL, "events")
+    write_partitioned(events, out, "event_type")
+    pruned = read_partition(spark, out, "event_type", "purchase")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:200]
+    want = events.filter("event_type = 'purchase'").count()
+    assert pruned.count() == want
+    # directory layout: one subdir per partition value
+    import os
+
+    subdirs = [d for d in os.listdir(out) if d.startswith("event_type=")]
+    assert "event_type=purchase" in subdirs and len(subdirs) == 5
