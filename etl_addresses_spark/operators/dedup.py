@@ -317,3 +317,120 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the near-dup pair
+    graph (exact + near duplicates), labeling every member with the
+    minimum doc_id of its component.
+
+    Iterative min-label propagation: each round joins labels across
+    edges and keeps the minimum; converges in O(diameter) rounds
+    (checked via an aggregate, driver only reads one count per round —
+    no data collect).  At 100 TB you bound rounds (dup clusters are
+    shallow) or switch to the large-star/small-star formulation; the
+    loop shape here is the same.  The DuckDB oracle walks the same
+    closure with WITH RECURSIVE."""
+    pairs = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .unionByName(
+            # exact-dup pairs (identical text) are edges too
+            dedup_exact_pairs(spark, sf_dir)
+        )
+        .distinct()
+        .cache()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    nodes = edges.select(F.col("doc_a").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(20):  # diameter bound; dup clusters are tiny
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy(F.col("doc_a").alias("node2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges between identical-text docs (each non-representative copy
+    linked to the group's min doc_id)."""
+    c = corpus_df(spark, sf_dir)
+    withrep = c.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+    reps = withrep.groupBy("text_hash").agg(F.min("doc_id").alias("rep"))
+    return (
+        withrep.join(reps, "text_hash")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+
+
+# Recursive-CTE transitive closure over the same pair graph; min
+# reachable id per node == the component label the iterative Spark
+# loop converges to.  Viable in DuckDB because dup clusters are tiny;
+# the Spark side is the one that scales.
+DEDUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE " + CORPUS_CTE.strip().removeprefix("corpus AS").strip().join(
+        ["corpus AS ", ""]
+    )
+    + """,
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+),
+withrep AS (SELECT doc_id, md5(text) AS h FROM corpus),
+reps AS (SELECT h, min(doc_id) AS rep FROM withrep GROUP BY h),
+epairs AS (
+  SELECT rep AS doc_a, doc_id AS doc_b FROM withrep
+  JOIN reps USING (h) WHERE doc_id <> rep
+),
+pairs AS (SELECT doc_a, doc_b FROM jpairs UNION SELECT doc_a, doc_b FROM epairs),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+nodes AS (SELECT DISTINCT doc_a AS node FROM edges),
+closure(a, b) AS (
+  SELECT node AS a, node AS b FROM nodes
+  UNION
+  SELECT c.a, e.doc_b AS b FROM closure c JOIN edges e ON e.doc_a = c.b
+)
+SELECT a AS doc_id, min(b) AS cluster_id FROM closure GROUP BY a
+"""
+)

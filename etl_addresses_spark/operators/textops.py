@@ -169,3 +169,60 @@ SELECT doc_id,
   md5(text) AS exact_hash
 FROM documents
 """
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per doc by tf*idf with a LINEAR idf (n_docs/df,
+    no log): log() differs by ULPs between libm implementations, which
+    would break bit-parity with the oracle; linear idf keeps the score
+    a ratio of exact integers (one double division, identical
+    everywhere) while preserving the ranking semantics."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "tok", "tf", "df", "tfidf")
+    )
+
+
+TEXT_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+dfreq AS (
+  SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tok)
+  GROUP BY tok
+),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tok, tf, df,
+         CAST(tf * n_docs AS DOUBLE) / df AS tfidf
+  FROM tf JOIN dfreq USING (tok), nd
+)
+SELECT doc_id, rnk, tok, tf, df, tfidf FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rnk
+  FROM scored)
+WHERE rnk <= 3
+"""

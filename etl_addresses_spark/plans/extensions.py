@@ -15,6 +15,7 @@ EXTENSION_QUERIES = {
     "text_quality": (textops.text_quality, textops.TEXT_QUALITY_SQL),
     "text_langid": (textops.text_langid, textops.TEXT_LANGID_SQL),
     "text_fingerprint": (textops.text_fingerprint, textops.TEXT_FINGERPRINT_SQL),
+    "text_tfidf_top_terms": (textops.text_tfidf_top_terms, textops.TEXT_TFIDF_SQL),
     "cosine_topk": (similarity.cosine_topk, similarity.COSINE_TOPK_SQL),
     # double-precision throughput variant / approximate IVF: rows-only.
     "cosine_topk_fast": (similarity.cosine_topk_fast, None),
@@ -33,4 +34,5 @@ EXTENSION_QUERIES = {
         similarity.docs_with_embeddings,
         similarity.DOCS_WITH_EMBEDDINGS_SQL,
     ),
+    "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
 }
