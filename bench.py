@@ -64,12 +64,17 @@ def main() -> None:
                 "overwrite"
             ).save()
 
+    # best-of-2: steady-state time, robust to one-off GC/compilation
+    # pauses (observed ±2x swings on single cold runs)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].query
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf_token = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:
