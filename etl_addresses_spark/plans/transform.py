@@ -77,3 +77,33 @@ SELECT error, houseNumberId, streetId, streetName, lineLength,
        sheetId, number
 FROM inferred
 """
+
+
+def relation_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the emitted relation edges: out/in degree
+    per node (objects+relations form a property graph; degree profiling
+    is the first sanity query any graph consumer runs)."""
+    rels = relations_df(_inferred(spark, sf_dir))
+    ends = rels.select(
+        F.col("from_id").alias("node"), F.lit(1).alias("is_out")
+    ).unionByName(rels.select(F.col("to_id").alias("node"), F.lit(0).alias("is_out")))
+    return ends.groupBy("node").agg(
+        F.sum("is_out").alias("out_degree"),
+        F.sum(1 - F.col("is_out")).alias("in_degree"),
+    )
+
+
+DEGREES_ORACLE = INFERRED_CTES + """
+, rels AS (
+  SELECT houseNumberId AS from_id, streetId AS to_id FROM inferred WHERE streetId IS NOT NULL
+  UNION ALL
+  SELECT id AS from_id, houseNumberId AS to_id FROM inferred WHERE streetId IS NOT NULL
+),
+ends AS (
+  SELECT from_id AS node, 1 AS is_out FROM rels
+  UNION ALL
+  SELECT to_id AS node, 0 AS is_out FROM rels
+)
+SELECT node, CAST(sum(is_out) AS BIGINT) AS out_degree, CAST(sum(1 - is_out) AS BIGINT) AS in_degree
+FROM ends GROUP BY node
+"""

@@ -37,6 +37,7 @@ REGISTRY: dict[str, Entry] = {
         transform.transform_relations, transform.RELATIONS_ORACLE
     ),
     "transform_logs": Entry(transform.transform_logs, transform.LOGS_ORACLE),
+    "relation_degrees": Entry(transform.relation_degrees, transform.DEGREES_ORACLE),
     **{
         name: Entry(fn, sql)
         for name, (fn, sql) in relational.QUERIES.items()

@@ -129,3 +129,63 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> Da
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def purchases_with_recent_views(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join: purchases matched to same-user views
+    within the preceding 30 minutes.  Both sides carry watermarks so
+    the join state is bounded: a view can be dropped once it is older
+    than the maximum lookback relative to the purchase watermark —
+    the knob that makes an unbounded two-stream join feasible."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_event_id"),
+        )
+        .withWatermark("view_ts", "40 minutes")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_event_id"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+    )
+    return purchases.join(views, cond, "inner").select(
+        "purchase_event_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "view_event_id",
+        "view_ts",
+    )
+
+
+def run_with_checkpoint(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Run append-mode into a parquet file sink with a checkpoint
+    location (offset tracking + state store + exactly-once file
+    commits) — the restartable production sink contract.  A restart
+    against the same checkpoint reprocesses nothing."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.read.parquet(out_dir)

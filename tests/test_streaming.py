@@ -57,3 +57,43 @@ def test_stateful_user_totals(spark):
         .collect()
     }
     assert got == batch
+
+
+def test_stream_stream_join_matches_batch(spark):
+    stream = event_stream.read_events_stream(spark, SF_ORACLE)
+    out = event_stream.run_to_memory(
+        event_stream.purchases_with_recent_views(stream), "ss_join", mode="append"
+    )
+    e = load_table(spark, SF_ORACLE, "events")
+    views = e.filter("event_type = 'view'").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    purchases = e.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_event_id"),
+    )
+    batch = purchases.join(
+        views,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    assert out.count() == batch.count()
+    assert out.count() > 0
+
+
+def test_checkpoint_restart_no_duplicates(spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    stream = event_stream.read_events_stream(spark, SF_ORACLE)
+    counts = event_stream.windowed_counts(stream)
+    first = event_stream.run_with_checkpoint(counts, out, ckpt).count()
+    # restart against the same checkpoint: no new input -> no new rows
+    stream2 = event_stream.read_events_stream(spark, SF_ORACLE)
+    counts2 = event_stream.windowed_counts(stream2)
+    second = event_stream.run_with_checkpoint(counts2, out, ckpt).count()
+    assert first > 0
+    assert second == first, "restart must not duplicate checkpointed output"

@@ -80,3 +80,10 @@ def test_write_outputs_ndjson(spark, tmp_path):
     with open(os.path.join(out, "relations", rel_file)) as fh:
         first = json.loads(fh.readline())
     assert set(first) == {"from", "to", "type"}
+
+
+def test_relation_degrees_oracle(spark, ddb):
+    assert_frames_match(
+        transform.relation_degrees(spark, SF_ORACLE),
+        ddb.sql(transform.DEGREES_ORACLE),
+    )
