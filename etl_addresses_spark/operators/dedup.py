@@ -129,10 +129,14 @@ def _shingles(c: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs_for(corpus_df(spark, sf_dir))
+
+
+def ngram_jaccard_pairs_for(corpus: DataFrame) -> DataFrame:
     """All doc pairs with word-3-shingle Jaccard >= 0.5, computed
     exactly via the inverted-index self-join (pairs only materialize
     for docs sharing at least one shingle)."""
-    sh = _shingles(corpus_df(spark, sf_dir)).cache()
+    sh = _shingles(corpus).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -222,6 +226,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs_for(corpus_df(spark, sf_dir))
+
+
+def minhash_lsh_pairs_for(corpus: DataFrame) -> DataFrame:
     """LSH candidate pairs -> exact-Jaccard verification.
 
     Banding: signature split into 16 bands of 4 rows; docs sharing any
@@ -232,7 +240,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard >= ~0.5 with high probability)."""
     # one cached shingle set feeds both the signature build and the
     # candidate verification below
-    sh = _shingles(corpus_df(spark, sf_dir)).cache()
+    sh = _shingles(corpus).cache()
     long = _minhash_long(sh)
     # band id = seed div 4; bucket = hash of the band's 4 minima in
     # seed order (sort_array over (seed, minh) structs is deterministic).
