@@ -141,10 +141,13 @@ WHERE rank <= {TOPK_K}
 
 
 def cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk_fast_for(load_table(spark, sf_dir, "embeddings"))
+
+
+def cosine_topk_fast_for(e: DataFrame) -> DataFrame:
     """Throughput variant: pure-double zip_with/aggregate dot product
     (whole-stage codegen, no decimal).  Result set equals cosine_topk
     except where double rounding reorders near-ties."""
-    e = load_table(spark, sf_dir, "embeddings")
     dot = F.aggregate(
         F.zip_with(
             F.col("q_emb"), F.col("cand_emb"), lambda x, y: x.cast("double") * y.cast("double")
@@ -240,19 +243,22 @@ WHERE CAST({_duckdb_dot('a.embedding', 'b.embedding')} AS DOUBLE) / (a.norm * b.
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_ivf_topk_for(load_table(spark, sf_dir, "embeddings"))
+
+
+def ann_ivf_topk_for(e: DataFrame, centroid_mod: int = 100) -> DataFrame:
     """IVF-style ANN: vectors with vec_id % 100 == 0 serve as
     deterministic pseudo-centroids; every vector is assigned to its
     nearest centroid (broadcast centroid list), and each query probes
     the nprobe=2 nearest centroid lists only.  Rows-only check
     (approximate by construction); recall asserted in pytest."""
-    e = load_table(spark, sf_dir, "embeddings")
     dot = lambda a, b: F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
     norm = lambda c: F.sqrt(dot(c, c))
-    cents = e.filter(F.col("vec_id") % 100 == 0).select(
+    cents = e.filter(F.col("vec_id") % centroid_mod == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cent_emb"),
         norm(F.col("embedding")).alias("cent_norm"),
