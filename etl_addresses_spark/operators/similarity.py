@@ -4,10 +4,9 @@ Three tiers:
 
 * `cosine_topk`        — brute-force exact top-k for a deterministic
                          query subset.  Dot products and squared norms
-                         are accumulated in DECIMAL over pairwise
-                         double products (order-independent, so DuckDB
-                         reproduces them bit-for-bit -> fully
-                         oracle-checked).
+                         are sequential double folds over pairwise
+                         products, mirrored bit-for-bit by DuckDB's
+                         list_reduce -> fully oracle-checked.
 * `cosine_topk_fast`   — same result via JVM higher-order functions
                          (zip_with + aggregate in pure double): the
                          throughput path; no explode, no extra shuffle.
@@ -38,46 +37,46 @@ TOPK_K = 10
 QUERY_MOD = 50  # queries = vec_id % 50 == 0
 NEAR_DUP_MOD = 5  # near-dup universe = vec_id % 5 == 0
 NEAR_DUP_THRESHOLD = 0.3
-DOT_DECIMAL = "decimal(30,15)"
 
 
-def _pair_dot_decimal(emb_a: F.Column, emb_b: F.Column) -> F.Column:
-    """Exact decimal dot product of two float vectors: per-element
-    double products (float->double exact) cast to decimal and summed
-    with aggregate — the fold is sequential so both engines compute
-    the identical decimal, independent of parallelism."""
+def _pair_dot_seq(emb_a: F.Column, emb_b: F.Column) -> F.Column:
+    """Bit-reproducible dot product of two float vectors: per-element
+    double products (float->double exact) summed with a SEQUENTIAL
+    left fold.  DuckDB's list_reduce folds in the same order, so both
+    engines produce the identical double.  (A decimal accumulation was
+    tried first, but DuckDB's DECIMAL->DOUBLE cast is not correctly
+    rounded and diverges from the JVM's by 1 ulp.)"""
     prods = F.zip_with(
         emb_a,
         emb_b,
-        lambda x, y: (x.cast("double") * y.cast("double")).cast(DOT_DECIMAL),
+        lambda x, y: x.cast("double") * y.cast("double"),
     )
-    return F.aggregate(
-        prods,
-        F.lit(0).cast(DOT_DECIMAL),
-        lambda acc, v: (acc + v).cast(DOT_DECIMAL),
-    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
 def _norms(e: DataFrame) -> DataFrame:
     return e.select(
         "vec_id",
-        F.sqrt(_pair_dot_decimal(F.col("embedding"), F.col("embedding")).cast("double")).alias(
+        F.sqrt(_pair_dot_seq(F.col("embedding"), F.col("embedding"))).alias(
             "norm"
         ),
     )
 
 
-# DuckDB rendering of the same decimal dot product for lists a/b.
+# DuckDB rendering of the same sequential-fold dot product for lists
+# a/b: list_reduce folds left-to-right exactly like Spark's aggregate
+# (the extra leading +0.0 in Spark's fold is an IEEE no-op).
 def _duckdb_dot(a: str, b: str) -> str:
     return (
-        f"(SELECT sum(CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
-        f" AS DECIMAL(30,15))) FROM UNNEST(generate_series(1, len({a}))) AS u(i))"
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        f"(x, y) -> x + y)"
     )
 
 
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-10 for query vectors
-    (vec_id % 50 == 0), decimal-exact scoring."""
+    (vec_id % 50 == 0), bit-reproducible sequential-fold scoring."""
     e = load_table(spark, sf_dir, "embeddings")
     norms = _norms(e)
     corpus = (
@@ -104,7 +103,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "cand_id",
         (
-            _pair_dot_decimal(F.col("q_emb"), F.col("cand_emb")).cast("double")
+            _pair_dot_seq(F.col("q_emb"), F.col("cand_emb"))
             / (F.col("q_norm") * F.col("cand_norm"))
         ).alias("cosine"),
     )
@@ -221,7 +220,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_b",
         F.col("label_a").alias("label"),
         (
-            _pair_dot_decimal(F.col("emb_a"), F.col("emb_b")).cast("double")
+            _pair_dot_seq(F.col("emb_a"), F.col("emb_b"))
             / (F.col("norm_a") * F.col("norm_b"))
         ).alias("cosine"),
     )

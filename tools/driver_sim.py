@@ -25,13 +25,16 @@ def value_hash(rows):
         h.update(r.encode())
     return h.hexdigest()[:16]
 
-import math
+import math, os
+STRICT = os.environ.get("STRICT", "0") == "1"
 def norm(v):
     if v is None: return None
     if isinstance(v, float):
         if math.isnan(v): return None
-        v = round(v, 9)
-        return int(v) if v.is_integer() else v
+        if not STRICT:
+            v = round(v, 9)
+            return int(v) if v.is_integer() else v
+        return v
     return v
 
 qs, os_ = mod.queries(), mod.oracle_sql()
