@@ -1,0 +1,201 @@
+"""Third batch: MERGE/SCD2 emulation, window frame variants, and a
+string-similarity (edit-distance) join.  Same determinism rules as
+plans/relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_addresses_spark.sources.tables import load_table
+
+
+def _change_batch(c: DataFrame) -> DataFrame:
+    """Deterministic CDC batch derived from customer: every key % 7 == 0
+    gets an updated balance; keys shifted by +1000000 are inserts."""
+    updates = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.col("c_name"),
+        F.col("c_nationkey"),
+        (F.col("c_acctbal") + F.lit(500.0)).alias("c_acctbal"),
+        F.col("c_mktsegment"),
+    )
+    inserts = c.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
+        F.col("c_nationkey"),
+        F.col("c_acctbal"),
+        F.col("c_mktsegment"),
+    )
+    return updates.unionByName(inserts)
+
+
+_CHANGES_SQL = """
+changes AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 500.0e0 AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000 AS c_custkey, 'NEW ' || c_name AS c_name,
+         c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 11 = 0
+)
+"""
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation without a table format: snapshot rows not
+    touched by the batch (anti-join) + the batch itself (updates win).
+    This is the upsert shape used before Delta/Iceberg are available;
+    with them it becomes a single MERGE on the same keys."""
+    c = load_table(spark, sf_dir, "customer")
+    changes = _change_batch(c)
+    untouched = c.join(changes, "c_custkey", "left_anti")
+    return untouched.unionByName(changes).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+MERGE_UPSERT_SQL = (
+    "WITH " + _CHANGES_SQL.strip() + """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM changes WHERE changes.c_custkey = customer.c_custkey)
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM changes
+"""
+)
+
+
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2: applying the change batch produces history rows —
+    updated keys keep their old version with is_current=false and gain
+    a new current version; inserts and untouched rows are current."""
+    c = load_table(spark, sf_dir, "customer")
+    changes = _change_batch(c)
+    updated_keys = changes.join(c, "c_custkey", "left_semi")
+    old_versions = c.join(updated_keys, "c_custkey", "left_semi").select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit(1).alias("version"),
+        F.lit(False).alias("is_current"),
+    )
+    new_versions = changes.join(
+        c.select("c_custkey"), "c_custkey", "left_semi"
+    ).select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit(2).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    untouched = c.join(changes, "c_custkey", "left_anti").select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit(1).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    inserts = changes.join(c, "c_custkey", "left_anti").select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit(1).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return old_versions.unionByName(new_versions).unionByName(
+        untouched
+    ).unionByName(inserts)
+
+
+SCD2_HISTORY_SQL = (
+    "WITH " + _CHANGES_SQL.strip() + """
+SELECT c_custkey, c_acctbal, 1 AS version, false AS is_current FROM customer
+WHERE EXISTS (SELECT 1 FROM changes WHERE changes.c_custkey = customer.c_custkey)
+UNION ALL
+SELECT ch.c_custkey, ch.c_acctbal, 2 AS version, true AS is_current FROM changes ch
+WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = ch.c_custkey)
+UNION ALL
+SELECT c_custkey, c_acctbal, 1 AS version, true AS is_current FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM changes WHERE changes.c_custkey = customer.c_custkey)
+UNION ALL
+SELECT ch.c_custkey, ch.c_acctbal, 1 AS version, true AS is_current FROM changes ch
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = ch.c_custkey)
+"""
+)
+
+
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame + ranking variants: dense_rank, ntile, first/last
+    value over explicit row frames, and a centered moving average."""
+    o = load_table(spark, sf_dir, "orders")
+    order_w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = order_w.rowsBetween(-1, 1)
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(order_w).cast("long").alias("drank"),
+        F.ntile(4).over(order_w).cast("long").alias("quartile"),
+        F.first("o_orderkey").over(order_w).alias("first_order"),
+        (
+            F.sum(price_dec).over(frame).cast("double")
+            / F.count(F.lit(1)).over(frame)
+        ).alias("moving_avg3"),
+    )
+
+
+WINDOW_FRAMES_SQL = """
+SELECT o_custkey, o_orderkey,
+  dense_rank() OVER w AS drank,
+  ntile(4) OVER w AS quartile,
+  first_value(o_orderkey) OVER w AS first_order,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER frame AS DOUBLE)
+    / count(*) OVER frame AS moving_avg3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+  frame AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+"""
+
+
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join: each supplier matched to its
+    lexically closest customer name (levenshtein argmin, deterministic
+    tie-break).  The all-pairs shape is fine for a small dim x dim
+    pair; at scale this becomes a blocked/prefix-filtered join."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey"), F.col("s_name")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_name")
+    )
+    pairs = s.crossJoin(c).select(
+        "s_suppkey",
+        "s_name",
+        "c_custkey",
+        "c_name",
+        F.levenshtein("s_name", "c_name").cast("long").alias("dist"),
+    )
+    w = W.partitionBy("s_suppkey").orderBy(F.asc("dist"), F.asc("c_custkey"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("s_suppkey", "s_name", "c_custkey", "c_name", "dist")
+    )
+
+
+FUZZY_NAME_MATCH_SQL = """
+SELECT s_suppkey, s_name, c_custkey, c_name, dist FROM (
+  SELECT s_suppkey, s_name, c_custkey, c_name,
+    levenshtein(s_name, c_name) AS dist,
+    row_number() OVER (PARTITION BY s_suppkey
+                       ORDER BY levenshtein(s_name, c_name) ASC, c_custkey ASC) AS rn
+  FROM supplier CROSS JOIN customer)
+WHERE rn = 1
+"""
+
+
+QUERIES3 = {
+    "merge_upsert": (merge_upsert, MERGE_UPSERT_SQL),
+    "scd2_history": (scd2_history, SCD2_HISTORY_SQL),
+    "window_frames": (window_frames, WINDOW_FRAMES_SQL),
+    "fuzzy_name_match": (fuzzy_name_match, FUZZY_NAME_MATCH_SQL),
+}

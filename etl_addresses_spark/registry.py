@@ -18,6 +18,7 @@ from etl_addresses_spark.plans import (
     flagship,
     relational,
     relational2,
+    relational3,
     transform,
 )
 
@@ -49,6 +50,10 @@ REGISTRY: dict[str, Entry] = {
     **{
         name: Entry(fn, sql)
         for name, (fn, sql) in relational2.QUERIES2.items()
+    },
+    **{
+        name: Entry(fn, sql)
+        for name, (fn, sql) in relational3.QUERIES3.items()
     },
 }
 
