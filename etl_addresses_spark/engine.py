@@ -43,8 +43,12 @@ def infer(spark: SparkSession, dirs: dict) -> None:
     house_numbers = load_objects(
         spark, dirs["base"], DATASET_HOUSE_NUMBERS, "transform", HOUSE_NUMBERS_SCHEMA
     )
-    # Empty-input assertion parity (addresses.js:139-141)
-    if not streets.filter(streets.geometry.isNotNull()).head(1):
+    # Empty-input assertion parity (addresses.js:139-141): the reference
+    # asserts on the EXPLODED segment list, so degenerate geometries
+    # (single-vertex / null coordinate arrays) must also trip it.
+    from etl_addresses_spark.functions.geo import explode_segments
+
+    if not explode_segments(streets.filter(streets.geometry.isNotNull())).head(1):
         raise RuntimeError("No streets with geometries found - this is very wrong!")
     inferred = infer_addresses(house_numbers, streets)
     write_ndjson(inferred, os.path.join(dirs["current"], INFERRED_DIRNAME))

@@ -13,8 +13,11 @@ from pyspark.sql import functions as F
 
 
 def full_id(dataset: str, id_col: Column) -> Column:
+    # F.concat (null-propagating) rather than concat_ws (null-skipping):
+    # a NULL id must stay NULL, not collapse to the bare dataset name —
+    # and it must match the oracle's `||` semantics.
     return F.when(id_col.contains("/"), id_col).otherwise(
-        F.concat_ws("/", F.lit(dataset), id_col)
+        F.concat(F.lit(f"{dataset}/"), id_col)
     )
 
 

@@ -354,7 +354,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = edges.select(F.col("doc_a").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node"))
-    for _ in range(20):  # diameter bound; dup clusters are tiny
+    prev_cached = None
+    converged = False
+    for round_no in range(20):  # diameter bound; dup clusters are tiny
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.node)
             .groupBy(F.col("doc_a").alias("node2"))
@@ -376,9 +378,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the count above materialized new_labels into its cache, so the
+        # previous round's cache (and its lineage) is no longer needed —
+        # without this, 20 rounds pin 20 dead cached DataFrames
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_labels
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent truncation would diverge from the transitive-closure
+        # oracle with no diagnostic
+        raise RuntimeError(
+            "dedup_clusters: label propagation did not converge within "
+            f"{round_no + 1} rounds (component diameter too large); raise "
+            "the round bound or switch to large-star/small-star"
+        )
+    pairs.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -402,9 +420,7 @@ def dedup_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # loop converges to.  Viable in DuckDB because dup clusters are tiny;
 # the Spark side is the one that scales.
 DEDUP_CLUSTERS_SQL = (
-    "WITH RECURSIVE " + CORPUS_CTE.strip().removeprefix("corpus AS").strip().join(
-        ["corpus AS ", ""]
-    )
+    "WITH RECURSIVE " + CORPUS_CTE.strip()
     + """,
 words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
 sh AS (

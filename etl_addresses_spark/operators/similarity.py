@@ -74,6 +74,22 @@ def _duckdb_dot(a: str, b: str) -> str:
     )
 
 
+def _norm_col(c: F.Column) -> F.Column:
+    """sqrt of the sequential-fold self dot product (see _pair_dot_seq)."""
+    return F.sqrt(_pair_dot_seq(c, c))
+
+
+def _rank_topk(scored: DataFrame, score_col: str = "cosine") -> DataFrame:
+    """Shared top-k finisher: row_number over (score desc, cand_id asc)
+    — the tie-break every variant must share or they silently diverge."""
+    w = W.partitionBy("query_id").orderBy(F.desc(score_col), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK_K)
+        .select("query_id", "rank", "cand_id", score_col)
+    )
+
+
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-10 for query vectors
     (vec_id % 50 == 0), bit-reproducible sequential-fold scoring."""
@@ -107,12 +123,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("q_norm") * F.col("cand_norm"))
         ).alias("cosine"),
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK_K)
-        .select("query_id", "rank", "cand_id", "cosine")
-    )
+    return _rank_topk(scored)
 
 
 COSINE_TOPK_SQL = f"""
@@ -144,34 +155,20 @@ def cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cosine_topk_fast_for(e: DataFrame) -> DataFrame:
-    """Throughput variant: pure-double zip_with/aggregate dot product
-    (whole-stage codegen, no decimal).  Result set equals cosine_topk
-    except where double rounding reorders near-ties."""
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("q_emb"), F.col("cand_emb"), lambda x, y: x.cast("double") * y.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
+    """Throughput variant: same sequential-fold scoring but with norms
+    computed inline per side (no norm join) — one narrow projection per
+    side plus the broadcast, nothing else."""
     corpus = e.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("cand_emb"),
-        norm(F.col("embedding")).alias("cand_norm"),
+        _norm_col(F.col("embedding")).alias("cand_norm"),
     )
     queries = (
         e.filter(F.col("vec_id") % QUERY_MOD == 0)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            norm(F.col("embedding")).alias("q_norm"),
+            _norm_col(F.col("embedding")).alias("q_norm"),
         )
     )
     pairs = corpus.crossJoin(F.broadcast(queries)).filter(
@@ -180,14 +177,12 @@ def cosine_topk_fast_for(e: DataFrame) -> DataFrame:
     scored = pairs.select(
         "query_id",
         "cand_id",
-        (dot / (F.col("q_norm") * F.col("cand_norm"))).alias("cosine"),
+        (
+            _pair_dot_seq(F.col("q_emb"), F.col("cand_emb"))
+            / (F.col("q_norm") * F.col("cand_norm"))
+        ).alias("cosine"),
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK_K)
-        .select("query_id", "rank", "cand_id", "cosine")
-    )
+    return _rank_topk(scored)
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,12 +246,8 @@ def ann_ivf_topk_for(e: DataFrame, centroid_mod: int = 100) -> DataFrame:
     nearest centroid (broadcast centroid list), and each query probes
     the nprobe=2 nearest centroid lists only.  Rows-only check
     (approximate by construction); recall asserted in pytest."""
-    dot = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda c: F.sqrt(dot(c, c))
+    dot = _pair_dot_seq
+    norm = _norm_col
     cents = e.filter(F.col("vec_id") % centroid_mod == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cent_emb"),
@@ -313,12 +304,7 @@ def ann_ivf_topk_for(e: DataFrame, centroid_mod: int = 100) -> DataFrame:
             / (F.col("q_norm") * F.col("vnorm"))
         ).alias("cosine"),
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK_K)
-        .select("query_id", "rank", "cand_id", "cosine")
-    )
+    return _rank_topk(scored)
 
 
 def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,12 +353,7 @@ def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(F.col("q_norm2").cast("double")) * F.sqrt(F.col("qnorm2").cast("double")))
         ).alias("qcosine"),
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("qcosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK_K)
-        .select("query_id", "rank", "cand_id", "qcosine")
-    )
+    return _rank_topk(scored, "qcosine")
 
 
 QUANTIZED_TOPK_SQL = f"""

@@ -420,9 +420,11 @@ def scalar_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.col("o_orderpriority")).alias("prio_upper"),
         F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
         F.length(F.col("o_orderstatus")).cast("long").alias("status_len"),
-        F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias(
-            "status_prio"
-        ),
+        # F.concat (null-propagating) mirrors the oracle's `||`;
+        # concat_ws would skip a NULL side and diverge.
+        F.concat(
+            F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")
+        ).alias("status_prio"),
         F.replace(
             F.col("o_orderpriority"), F.lit("-"), F.lit("_")
         ).alias("prio_snake"),
