@@ -108,8 +108,62 @@ def write_outputs(inferred: DataFrame, out_dir: str) -> None:
             {"from_id": "from", "to_id": "to"}
         ).write.mode("overwrite").json(os.path.join(out_dir, "relations"))
         logs_df(inferred).write.mode("overwrite").json(os.path.join(out_dir, "logs"))
+        write_dataset_metadata(out_dir)
     finally:
         inferred.unpersist()
+
+
+DATASET_METADATA = {
+    # S5 parity: the dataset descriptor the host tool consumes
+    # (/root/reference/addresses.dataset.json:1-80) — id/title/license,
+    # the JSON Schema of the data payload, and the flattenPaths
+    # projection hints (the select(col("data.*")) equivalents).
+    "id": "addresses",
+    "title": "Addresses",
+    "license": "CC0",
+    "flattenPaths": [
+        "$.data.sheetId",
+        "$.data.layerId",
+        "$.data.mapId",
+        "$.data.number",
+        "$.data.borough",
+        "$.data.houseNumberId",
+        "$.data.streetId",
+    ],
+    "schema": {
+        "type": "object",
+        "additionalProperties": False,
+        "required": [
+            "sheetId",
+            "layerId",
+            "mapId",
+            "number",
+            "borough",
+            "houseNumberId",
+            "streetId",
+        ],
+        "properties": {
+            "sheetId": {"type": "integer"},
+            "layerId": {"type": "integer"},
+            "mapId": {"type": "integer"},
+            "number": {"type": "string"},
+            "borough": {"type": "string"},
+            "houseNumberId": {"type": "string"},
+            "streetId": {"type": "string"},
+        },
+    },
+}
+
+
+def write_dataset_metadata(out_dir: str) -> str:
+    """Emit the dataset descriptor alongside the typed outputs (S5)."""
+    import json
+
+    path = os.path.join(out_dir, "addresses.dataset.json")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(DATASET_METADATA, fh, indent=2)
+    return path
 
 
 # --- schema validation (Q1) ----------------------------------------------

@@ -87,3 +87,21 @@ def test_relation_degrees_oracle(spark, ddb):
         transform.relation_degrees(spark, SF_ORACLE),
         ddb.sql(transform.DEGREES_ORACLE),
     )
+
+
+def test_dataset_metadata_emitted(spark, tmp_path):
+    import json as _json
+
+    from etl_addresses_spark.operators.transform_step import (
+        REQUIRED_DATA_FIELDS,
+        write_outputs,
+    )
+
+    inferred = _inferred(spark)
+    out = str(tmp_path / "meta_out")
+    write_outputs(inferred, out)
+    with open(os.path.join(out, "addresses.dataset.json")) as fh:
+        meta = _json.load(fh)
+    assert meta["schema"]["required"] == REQUIRED_DATA_FIELDS
+    assert meta["schema"]["additionalProperties"] is False
+    assert len(meta["flattenPaths"]) == 7
