@@ -2,7 +2,13 @@
 
 from __future__ import annotations
 
-from etl_addresses_spark.operators import dedup, multimodal, similarity, textops
+from etl_addresses_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    sketches,
+    textops,
+)
 
 # name -> (query fn, oracle SQL or None for rows-only checks)
 EXTENSION_QUERIES = {
@@ -35,4 +41,10 @@ EXTENSION_QUERIES = {
         similarity.DOCS_WITH_EMBEDDINGS_SQL,
     ),
     "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
+    # Sketches are engine-specific approximations: rows-only checks with
+    # pytest error-bound/mergeability assertions.
+    "hll_distinct_parts": (sketches.hll_distinct_parts, None),
+    "hll_mergeable_union": (sketches.hll_mergeable_union, None),
+    "approx_quantiles_orders": (sketches.approx_quantiles_orders, None),
+    "simhash_near_pairs": (sketches.simhash_near_pairs, None),
 }
