@@ -35,9 +35,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_TABLES = {"region", "nation", "supplier"}
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs every query depends on, set defensively because the
+    driver may call us with a SparkSession it built itself:
+    UTC session timezone (fuzzy-date epoch math and all oracle
+    timestamp comparisons assume it) and nanos-as-long parquet reads
+    (events.parquet stores TIMESTAMP(NANOS), which the vectorized
+    reader otherwise rejects).  Both are session-level SQL confs, safe
+    to set at call time."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read as raw nanos (see session.py);
