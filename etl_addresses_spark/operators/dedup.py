@@ -339,12 +339,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shallow) or switch to the large-star/small-star formulation; the
     loop shape here is the same.  The DuckDB oracle walks the same
     closure with WITH RECURSIVE."""
+    return dedup_clusters_for(corpus_df(spark, sf_dir))
+
+
+def dedup_clusters_for(corpus: DataFrame, max_rounds: int = 50) -> DataFrame:
     pairs = (
-        ngram_jaccard_pairs(spark, sf_dir)
+        ngram_jaccard_pairs_for(corpus)
         .select("doc_a", "doc_b")
         .unionByName(
             # exact-dup pairs (identical text) are edges too
-            dedup_exact_pairs(spark, sf_dir)
+            dedup_exact_pairs_for(corpus)
         )
         .distinct()
         .cache()
@@ -356,7 +360,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = nodes.withColumn("label", F.col("node"))
     prev_cached = None
     converged = False
-    for round_no in range(20):  # diameter bound; dup clusters are tiny
+    for round_no in range(max_rounds):  # diameter bound; dup clusters are tiny
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.node)
             .groupBy(F.col("doc_a").alias("node2"))
@@ -402,10 +406,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_exact_pairs_for(c: DataFrame) -> DataFrame:
     """Edges between identical-text docs (each non-representative copy
     linked to the group's min doc_id)."""
-    c = corpus_df(spark, sf_dir)
     withrep = c.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
     reps = withrep.groupBy("text_hash").agg(F.min("doc_id").alias("rep"))
     return (

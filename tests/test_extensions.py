@@ -101,3 +101,25 @@ def test_quantized_topk_recall_vs_exact(spark):
     recall = len(exact & quant) / len(exact)
     # int8 quantization should barely perturb the ranking
     assert recall >= 0.9, f"quantized recall too low: {recall}"
+
+
+def test_dedup_clusters_convergence_guard(spark):
+    # a duplicate chain longer than the round bound must raise, not
+    # silently truncate (doc_i = 20-word sliding window over one long
+    # word sequence -> adjacent docs share most shingles)
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_addresses_spark.operators.dedup import dedup_clusters_for
+
+    words = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(words[i : i + 20]))
+        for i in range(8)
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    # sanity: with enough rounds the chain converges to one cluster
+    ok = dedup_clusters_for(corpus, max_rounds=50)
+    assert ok.select("cluster_id").distinct().count() == 1
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters_for(corpus, max_rounds=2).count()

@@ -89,3 +89,73 @@ def test_id_qualify_roundtrip(spark, ids, dataset):
         # qualify is idempotent-prefixing; internal_id inverts it
         assert r.full == f"{dataset}/{r.id}"
         assert r.back == r.id
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-179.0, 179.0),  # seg lon1
+            st.floats(-80.0, 80.0),  # seg lat1
+            st.floats(-0.05, 0.05),  # dlon to seg end
+            st.floats(-0.05, 0.05),  # dlat to seg end
+            st.floats(-0.01, 0.01),  # point offset lon
+            st.floats(-0.01, 0.01),  # point offset lat
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_crosstrack_matches_python_reference(spark, cases):
+    import math
+
+    from etl_addresses_spark.config import EARTH_RADIUS_KM
+    from etl_addresses_spark.functions.geo import crosstrack_km
+
+    def py_crosstrack(y1, x1, y2, x2, py, px):
+        def rad(v):
+            return math.radians(v)
+
+        def bearing(aY, aX, bY, bX):
+            dlon = rad(bX) - rad(aX)
+            return math.atan2(
+                math.sin(dlon) * math.cos(rad(bY)),
+                math.cos(rad(aY)) * math.sin(rad(bY))
+                - math.sin(rad(aY)) * math.cos(rad(bY)) * math.cos(dlon),
+            )
+
+        dphi = rad(py) - rad(y1)
+        dlon = rad(px) - rad(x1)
+        a = (
+            math.sin(dphi / 2) ** 2
+            + math.cos(rad(y1)) * math.cos(rad(py)) * math.sin(dlon / 2) ** 2
+        )
+        d13 = 2 * math.asin(math.sqrt(a))
+        b13 = bearing(y1, x1, py, px)
+        b12 = bearing(y1, x1, y2, x2)
+        return abs(math.asin(math.sin(d13) * math.sin(b13 - b12)) * EARTH_RADIUS_KM)
+
+    rows = [
+        (x1, y1, x1 + dx, y2i, x1 + ox, y1 + oy)
+        for (x1, y1, dx, dy, ox, oy) in cases
+        for y2i in [y1 + dy]
+        if abs(dx) + abs(dy) > 1e-9  # degenerate zero-length segments excluded
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "x1 double, y1 double, x2 double, y2 double, px double, py double"
+    )
+    from pyspark.sql import functions as F
+
+    got = df.select(
+        "*",
+        crosstrack_km(
+            F.col("y1"), F.col("x1"), F.col("y2"), F.col("x2"), F.col("py"), F.col("px")
+        ).alias("km"),
+    ).collect()
+    for r in got:
+        want = py_crosstrack(r.y1, r.x1, r.y2, r.x2, r.py, r.px)
+        assert abs(r.km - want) <= max(1e-9, 1e-9 * abs(want)), (
+            r.y1, r.x1, r.y2, r.x2, r.py, r.px
+        )
