@@ -142,7 +142,49 @@ def _candidates(hn: DataFrame, segs: DataFrame, strategy: str) -> DataFrame:
         return _bbox_refine(hn_cells.join(seg_cells, "cell").drop("cell"))
     if strategy == "broadcast":
         return _bbox_refine(hn.crossJoin(F.broadcast(segs)))
+    if strategy == "reference_knn":
+        return _reference_knn_candidates(hn, segs)
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _reference_knn_candidates(hn: DataFrame, segs: DataFrame) -> DataFrame:
+    """STRICT reference-parity candidate semantics (addresses.js:61-63):
+    `search` (exact bbox containment, no ε) ∪ `nearest(10)` (the 10
+    nearest segments by planar point-to-bbox distance — what an R-tree
+    kNN compares).  Unlike the default bbox semantics this can match a
+    FAR-AWAY collinear segment whose infinite great circle passes within
+    25 m of the point, exactly as the reference does.
+
+    Physical shape is a ranked broadcast cross join — a validation mode,
+    deliberately not the scale path (the rank is O(points x segments));
+    the deterministic (boxdist, streetId, seg_index) tie-break stands in
+    for the reference's index-insertion order."""
+    from pyspark.sql import Window as W
+
+    from etl_addresses_spark.config import KNN_FANOUT
+
+    pairs = hn.crossJoin(F.broadcast(segs))
+    minx = F.least(F.col("seg_lon1"), F.col("seg_lon2"))
+    maxx = F.greatest(F.col("seg_lon1"), F.col("seg_lon2"))
+    miny = F.least(F.col("seg_lat1"), F.col("seg_lat2"))
+    maxy = F.greatest(F.col("seg_lat1"), F.col("seg_lat2"))
+    dx = F.greatest(minx - F.col("pt_lon"), F.col("pt_lon") - maxx, F.lit(0.0))
+    dy = F.greatest(miny - F.col("pt_lat"), F.col("pt_lat") - maxy, F.lit(0.0))
+    boxdist2 = dx * dx + dy * dy
+    bbox_hit = (
+        (F.col("pt_lon") >= minx)
+        & (F.col("pt_lon") <= maxx)
+        & (F.col("pt_lat") >= miny)
+        & (F.col("pt_lat") <= maxy)
+    )
+    w = W.partitionBy("houseNumberId").orderBy(
+        boxdist2.asc(), F.col("streetId").asc(), F.col("seg_index").asc()
+    )
+    return (
+        pairs.withColumn("_knn_rank", F.row_number().over(w))
+        .filter(bbox_hit | (F.col("_knn_rank") <= KNN_FANOUT))
+        .drop("_knn_rank")
+    )
 
 
 def infer_addresses(

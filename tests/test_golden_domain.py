@@ -147,3 +147,52 @@ def test_matched_record_shape(golden):
     assert r["validSince"] == "1855" and r["validUntil"] == "1855"
     assert r["streetName"] == "Main St"
     assert r["error"] is None
+
+
+def test_reference_knn_dominates_grid(spark):
+    """reference_knn candidates are a strict superset of the default
+    bbox candidates, so every grid match must also match under
+    reference_knn with an equal-or-closer segment, and its match count
+    can only be larger (the extra matches are the great-circle
+    artifacts the default semantics deliberately exclude)."""
+    from conftest import SF_ORACLE
+
+    from etl_addresses_spark.plans.flagship import spatiotemporal_join
+
+    grid = {
+        r["houseNumberId"]: r["lineLength"]
+        for r in spatiotemporal_join(spark, SF_ORACLE, "grid").collect()
+    }
+    knn = {
+        r["houseNumberId"]: r["lineLength"]
+        for r in spatiotemporal_join(spark, SF_ORACLE, "reference_knn").collect()
+    }
+    assert set(grid) == set(knn)  # same universe of house numbers
+    for hn_id, grid_len in grid.items():
+        if grid_len is not None:
+            assert knn[hn_id] is not None, f"{hn_id} lost its match"
+            assert knn[hn_id] <= grid_len, f"{hn_id} got a worse match"
+    n_grid = sum(1 for v in grid.values() if v is not None)
+    n_knn = sum(1 for v in knn.values() if v is not None)
+    assert n_knn >= n_grid
+
+
+def test_reference_knn_matches_far_collinear_segment(spark):
+    """The reference's kNN fallback matches a segment 50+ km away when
+    the point lies within 25 m of its infinite great circle (equator
+    here).  The default bbox semantics deliberately exclude this; the
+    reference_knn strategy reproduces it."""
+    streets = [
+        _street("far", "Far St", "1850", "1860", [[0.5, 0.0], [0.51, 0.0]]),
+    ]
+    hns = [
+        # ~11 m north of the equator, ~55 km west of the segment
+        _hn("hn_x", "1855", "1855", 0.005, 0.0001),
+    ]
+    sdf = spark.createDataFrame(streets, STREET_SCHEMA)
+    hdf = spark.createDataFrame(hns, HN_SCHEMA)
+    grid = infer_addresses(hdf, sdf, strategy="grid").collect()[0]
+    knn = infer_addresses(hdf, sdf, strategy="reference_knn").collect()[0]
+    assert grid["error"] == ERROR_MESSAGE  # spatial semantics: no match
+    assert knn["streetId"] == "nyc-streets/far"  # reference semantics: match
+    assert knn["lineLength"] == 11
