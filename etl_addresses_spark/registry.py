@@ -19,6 +19,7 @@ from etl_addresses_spark.plans import (
     relational,
     relational2,
     relational3,
+    relational4,
     transform,
 )
 
@@ -54,6 +55,10 @@ REGISTRY: dict[str, Entry] = {
     **{
         name: Entry(fn, sql)
         for name, (fn, sql) in relational3.QUERIES3.items()
+    },
+    **{
+        name: Entry(fn, sql)
+        for name, (fn, sql) in relational4.QUERIES4.items()
     },
 }
 
