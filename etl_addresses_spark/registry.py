@@ -20,6 +20,7 @@ from etl_addresses_spark.plans import (
     relational2,
     relational3,
     relational4,
+    relational5,
     transform,
 )
 
@@ -59,6 +60,10 @@ REGISTRY: dict[str, Entry] = {
     **{
         name: Entry(fn, sql)
         for name, (fn, sql) in relational4.QUERIES4.items()
+    },
+    **{
+        name: Entry(fn, sql)
+        for name, (fn, sql) in relational5.QUERIES5.items()
     },
 }
 
