@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_addresses_spark.config import MAX_DISTANCE_M, MS_THRESHOLD
+from etl_addresses_spark.config import KNN_FANOUT, MAX_DISTANCE_M, MS_THRESHOLD
 from etl_addresses_spark.functions.dates import DUCKDB_EARLIEST_MS, DUCKDB_LATEST_MS
 from etl_addresses_spark.functions.geo import duckdb_crosstrack_m
 from etl_addresses_spark.operators.spatial_join import infer_addresses, inferred_flat
@@ -37,10 +37,9 @@ _HN_SINCE = DUCKDB_EARLIEST_MS.format(c="validSince")
 _HN_UNTIL = DUCKDB_LATEST_MS.format(c="validUntil")
 _DIST = duckdb_crosstrack_m("s.y1", "s.x1", "s.y2", "s.x2", "h.pt_lat", "h.pt_lon")
 
-# All CTEs up to and including `inferred` — reused by the transform-step
-# oracles (plans/transform.py) so every downstream record type is checked
-# against the same join result.
-INFERRED_CTES = f"""
+# CTE prefix shared by both candidate strategies: fixtures + prepared
+# segment/house-number sides.
+_PREFIX_CTES = f"""
 WITH {DUCKDB_FIXTURE_CTES.strip()},
 seg AS (
   SELECT
@@ -61,7 +60,11 @@ hn AS (
     ({_HN_UNTIL}) AS addr_until_ms
   FROM fx_hn
   WHERE type = 'st:Address' AND NOT geom_is_null
-),
+)"""
+
+# Default (grid/broadcast) candidate semantics: ε-expanded bbox + temporal
+# containment in the join condition.
+_CAND_DEFAULT = f""",
 cand AS (
   SELECT h.houseNumberId, s.streetId, s.streetName, s.seg_index,
          {_DIST} AS distance
@@ -71,7 +74,47 @@ cand AS (
    AND h.pt_lat >= least(s.y1, s.y2) - 0.0005e0
    AND h.pt_lat <= greatest(s.y1, s.y2) + 0.0005e0
    AND s.seg_since_ms <= h.addr_since_ms AND s.seg_until_ms >= h.addr_until_ms
+)"""
+
+# STRICT reference-parity candidate semantics (operators/spatial_join.py
+# _reference_knn_candidates): exact bbox containment (no ε) UNION the
+# KNN_FANOUT nearest segments by planar point-to-bbox distance, ranked
+# over ALL pairs BEFORE the temporal filter, with the same deterministic
+# (boxdist², streetId, seg_index) tie-break.  Both engines compute the
+# identical double expression, so the rank order is bit-identical.
+_DX = (
+    "greatest(least(x1, x2) - pt_lon, pt_lon - greatest(x1, x2), 0.0e0)"
+)
+_DY = (
+    "greatest(least(y1, y2) - pt_lat, pt_lat - greatest(y1, y2), 0.0e0)"
+)
+_DIST_P = duckdb_crosstrack_m("y1", "x1", "y2", "x2", "pt_lat", "pt_lon")
+_CAND_KNN = f""",
+pairs AS (
+  SELECT h.houseNumberId, s.streetId, s.streetName, s.seg_index,
+         s.x1, s.y1, s.x2, s.y2, h.pt_lat, h.pt_lon,
+         s.seg_since_ms, s.seg_until_ms, h.addr_since_ms, h.addr_until_ms
+  FROM hn h CROSS JOIN seg s
 ),
+ranked AS (
+  SELECT *,
+    (pt_lon >= least(x1, x2) AND pt_lon <= greatest(x1, x2)
+     AND pt_lat >= least(y1, y2) AND pt_lat <= greatest(y1, y2)) AS bbox_hit,
+    row_number() OVER (
+      PARTITION BY houseNumberId
+      ORDER BY {_DX} * {_DX} + {_DY} * {_DY}, streetId, seg_index
+    ) AS knn_rank
+  FROM pairs
+),
+cand AS (
+  SELECT houseNumberId, streetId, streetName, seg_index,
+         {_DIST_P} AS distance
+  FROM ranked
+  WHERE (bbox_hit OR knn_rank <= {KNN_FANOUT})
+    AND seg_since_ms <= addr_since_ms AND seg_until_ms >= addr_until_ms
+)"""
+
+_SUFFIX_CTES = f""",
 best AS (
   SELECT houseNumberId, distance AS lineLength, streetId, streetName
   FROM (
@@ -107,4 +150,18 @@ inferred AS (
 )
 """
 
+# All CTEs up to and including `inferred` — reused by the transform-step
+# oracles (plans/transform.py) so every downstream record type is checked
+# against the same join result.
+INFERRED_CTES = _PREFIX_CTES + _CAND_DEFAULT + _SUFFIX_CTES
+INFERRED_KNN_CTES = _PREFIX_CTES + _CAND_KNN + _SUFFIX_CTES
+
 ORACLE_SQL = INFERRED_CTES + "\nSELECT * FROM inferred"
+ORACLE_SQL_KNN = INFERRED_KNN_CTES + "\nSELECT * FROM inferred"
+
+
+def spatiotemporal_join_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship join under the strict reference-parity candidate strategy
+    (R-tree search ∪ nearest(10) reproduction) — validation mode, now
+    oracle-checked rather than rows-only."""
+    return spatiotemporal_join(spark, sf_dir, strategy="reference_knn")

@@ -35,6 +35,9 @@ class Entry:
 
 REGISTRY: dict[str, Entry] = {
     "spatiotemporal_join": Entry(flagship.spatiotemporal_join, flagship.ORACLE_SQL),
+    "spatiotemporal_join_knn": Entry(
+        flagship.spatiotemporal_join_knn, flagship.ORACLE_SQL_KNN
+    ),
     "transform_objects": Entry(transform.transform_objects, transform.OBJECTS_ORACLE),
     "transform_relations": Entry(
         transform.transform_relations, transform.RELATIONS_ORACLE

@@ -15,6 +15,11 @@ def test_flagship_matches_oracle_broadcast(spark, ddb):
     assert_frames_match(sdf, ddb.sql(flagship.ORACLE_SQL))
 
 
+def test_flagship_matches_oracle_reference_knn(spark, ddb):
+    sdf = flagship.spatiotemporal_join_knn(spark, SF_ORACLE)
+    assert_frames_match(sdf, ddb.sql(flagship.ORACLE_SQL_KNN))
+
+
 def test_flagship_has_matches_and_errors(spark):
     sdf = flagship.spatiotemporal_join(spark, SF_ORACLE).cache()
     total = sdf.count()
