@@ -1,0 +1,100 @@
+"""Structured Streaming queries as driver-checkable registry entries.
+
+Each wraps a streaming/event_stream.py operator: readStream over the
+events parquet, drain synchronously into a memory sink (availableNow),
+return the result as a batch DataFrame.  Because the drain processes
+all input while the watermark is still at its initial value, no rows
+are late, so the streamed result equals the batch semantics and can be
+oracle-checked in DuckDB like any other query.  Timestamps are emitted
+as formatted strings (timestamp-unit drift rule, see plans/relational.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_addresses_spark.streaming import event_stream
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_DUCK_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup (first arrival per key wins); only
+    the key columns are emitted so the result is order-independent."""
+    stream = event_stream.read_events_stream(spark, sf_dir)
+    out = event_stream.run_to_memory(
+        event_stream.dedup_stream(stream), "q_stream_dedup", mode="append"
+    )
+    return out.select("user_id", "event_type")
+
+
+STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation, drained to batch."""
+    stream = event_stream.read_events_stream(spark, sf_dir)
+    out = event_stream.run_to_memory(
+        event_stream.windowed_counts(stream), "q_stream_win"
+    )
+    return out.select(
+        F.date_format("window_start", _TS_FMT).alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+STREAM_WINDOWED_SQL = f"""
+SELECT
+  strftime(time_bucket(INTERVAL 5 MINUTES, CAST(ts AS TIMESTAMP)), '{_DUCK_FMT}')
+    AS window_start,
+  event_type,
+  count(*) AS n,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def stream_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases to same-user views within
+    the preceding 30 minutes), drained to batch."""
+    stream = event_stream.read_events_stream(spark, sf_dir)
+    out = event_stream.run_to_memory(
+        event_stream.purchases_with_recent_views(stream), "q_stream_ssj", mode="append"
+    )
+    return out.select(
+        "purchase_event_id",
+        "user_id",
+        F.date_format("purchase_ts", _TS_FMT).alias("purchase_ts"),
+        "view_event_id",
+        F.date_format("view_ts", _TS_FMT).alias("view_ts"),
+    )
+
+
+STREAM_SSJ_SQL = f"""
+SELECT
+  p.event_id AS purchase_event_id,
+  p.user_id AS user_id,
+  strftime(CAST(p.ts AS TIMESTAMP), '{_DUCK_FMT}') AS purchase_ts,
+  v.event_id AS view_event_id,
+  strftime(CAST(v.ts AS TIMESTAMP), '{_DUCK_FMT}') AS view_ts
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 30 MINUTES
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+"""
+
+
+STREAMING_QUERIES = {
+    "stream_dedup_keys": (stream_dedup_keys, STREAM_DEDUP_SQL),
+    "stream_windowed_counts": (stream_windowed_counts, STREAM_WINDOWED_SQL),
+    "stream_purchase_view_join": (stream_purchase_view_join, STREAM_SSJ_SQL),
+}

@@ -21,6 +21,7 @@ from etl_addresses_spark.plans import (
     relational3,
     relational4,
     relational5,
+    streaming_queries,
     transform,
 )
 
@@ -67,6 +68,10 @@ REGISTRY: dict[str, Entry] = {
     **{
         name: Entry(fn, sql)
         for name, (fn, sql) in relational5.QUERIES5.items()
+    },
+    **{
+        name: Entry(fn, sql)
+        for name, (fn, sql) in streaming_queries.STREAMING_QUERIES.items()
     },
 }
 

@@ -111,6 +111,32 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Streaming deduplication with watermark-bounded state
+    (`dropDuplicatesWithinWatermark`): the first arrival per key is
+    emitted, re-arrivals within the watermark horizon are dropped, and
+    key state is evicted once the watermark passes — so state size is
+    O(keys per horizon), not O(all keys ever), the property that makes
+    dedup feasible on an unbounded stream.  Contrast with plain
+    `dropDuplicates` on a stream, whose state grows without bound."""
+    keys = keys or ["user_id", "event_type"]
+    return events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+ROCKSDB_STATE_CONF = {
+    # Off-heap, disk-backed state store: state no longer bounded by
+    # executor heap — required for 100 TB-scale streaming state
+    # (large dedup horizons, wide session windows).  Changelog
+    # checkpointing ships deltas instead of full SST snapshots.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drain all available input synchronously into a memory sink and
     return the result as a batch DataFrame (test/smoke harness).

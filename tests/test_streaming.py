@@ -85,6 +85,56 @@ def test_stream_stream_join_matches_batch(spark):
     assert out.count() > 0
 
 
+def test_dedup_stream_first_arrival_per_key(spark):
+    stream = event_stream.read_events_stream(spark, SF_ORACLE)
+    out = event_stream.run_to_memory(
+        event_stream.dedup_stream(stream), "dedup_stream", mode="append"
+    )
+    # one surviving row per (user_id, event_type) pair, matching batch distinct
+    got = {(r.user_id, r.event_type) for r in out.collect()}
+    batch = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, SF_ORACLE, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == batch
+    assert out.count() == len(batch), "exactly one row per key must survive"
+
+
+def test_stateful_totals_on_rocksdb_state_store(spark):
+    # Same stateful query, RocksDB state store provider: results must be
+    # identical to the default HDFS-backed provider.
+    old = {
+        k: spark.conf.get(k, None) for k in event_stream.ROCKSDB_STATE_CONF
+    }
+    for k, v in event_stream.ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        stream = event_stream.read_events_stream(spark, SF_ORACLE)
+        out = event_stream.run_to_memory(
+            event_stream.stateful_user_totals(stream),
+            "stateful_totals_rocksdb",
+            mode="update",
+        )
+        got = {r.user_id: r.n_events for r in out.collect()}
+        batch = {
+            r.user_id: r.n
+            for r in load_table(spark, SF_ORACLE, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == batch
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_checkpoint_restart_no_duplicates(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")
