@@ -1,0 +1,179 @@
+"""Distributed k-means (Lloyd iterations) and a Lloyd-refined IVF ANN.
+
+The scale shape is the MLlib one: the CORPUS never leaves the
+executors; only the k x dim centroid matrix crosses the driver per
+iteration (metadata, not data).
+
+* assignment — corpus x broadcast(centroids) squared-L2, argmin via
+  row_number with an (d2, cent_id) tie-break: one broadcast join, no
+  shuffle of the corpus.
+* update — posexplode to (cluster, pos, val), groupBy average: one
+  shuffle of n x dim scalar rows with map-side partial aggregation.
+  Per-dimension agg expressions would avoid the explode but blow past
+  the codegen expression limit at higher dims; the explode shape is
+  dim-independent.
+* empty clusters keep their previous centroid (standard Lloyd detail).
+
+Deterministic by construction: init centroids are the vec_id % k_mod
+rows, all floats fold in fixed association order, ties break by id —
+re-running reproduces the same clustering bit-for-bit.
+
+This replaces the pseudo-centroid shortcut in similarity.ann_ivf_topk
+for the `ann_ivf_lloyd_topk` registry entry: same probing/scoring
+pipeline, but the lists are actual Lloyd-converged Voronoi cells, which
+is what real IVF indexes (FAISS-style) build.  Iterative + float
+accumulation order -> genuinely non-SQL-expressible, so rows-only
+check; recall and SSE-monotonicity are asserted in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F, Window as W
+from pyspark.sql import types as T
+
+from etl_addresses_spark.operators.similarity import (
+    QUERY_MOD,
+    _pair_dot_seq,
+    _rank_topk,
+)
+from etl_addresses_spark.sources.tables import load_table
+
+DEFAULT_K_MOD = 100
+DEFAULT_ITERS = 3
+
+
+def _sqdist(a, b) -> F.Column:
+    """Squared L2 distance, sequential double fold (deterministic)."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+_CENT_SCHEMA = T.StructType(
+    [
+        T.StructField("cent_id", T.LongType()),
+        T.StructField("cent_emb", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per vector: broadcast join + argmin."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        _sqdist(F.col("embedding"), F.col("cent_emb")).alias("d2"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cluster_id"), "d2")
+    )
+
+
+def kmeans_fit(
+    e: DataFrame,
+    k_mod: int = DEFAULT_K_MOD,
+    iters: int = DEFAULT_ITERS,
+) -> tuple[DataFrame, list[float]]:
+    """Lloyd's algorithm; returns (centroids DataFrame, SSE history —
+    one value per iteration, non-increasing)."""
+    spark = e.sparkSession
+    vecs = e.select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") % k_mod == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "cent_emb"
+        ),
+    )
+    cent_rows = {r.cent_id: list(r.cent_emb) for r in cents.collect()}
+    history: list[float] = []
+    for _ in range(iters):
+        cents = spark.createDataFrame(
+            [(cid, emb) for cid, emb in sorted(cent_rows.items())], _CENT_SCHEMA
+        )
+        assigned = _assign(vecs, cents)
+        sse_row, *_ = assigned.agg(F.sum("d2").alias("sse")).collect()
+        history.append(float(sse_row.sse))
+        means = (
+            assigned.select(
+                "cluster_id", F.posexplode("embedding").alias("pos", "val")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        new_rows: dict[int, list[float]] = {}
+        for r in means:
+            new_rows.setdefault(r.cluster_id, [0.0] * len(cent_rows[r.cluster_id]))[
+                r.pos
+            ] = r.m
+        # empty clusters keep their previous centroid
+        cent_rows = {cid: new_rows.get(cid, emb) for cid, emb in cent_rows.items()}
+    final = spark.createDataFrame(
+        [(cid, emb) for cid, emb in sorted(cent_rows.items())], _CENT_SCHEMA
+    )
+    return final, history
+
+
+def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry surface: per-cluster membership counts + SSE after
+    DEFAULT_ITERS Lloyd iterations (rows-only: iterative op)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_fit(e)
+    assigned = _assign(e.select("vec_id", "embedding"), cents)
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("d2").cast("decimal(28,10)")).cast("double").alias("sse"),
+    )
+
+
+def ann_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over Lloyd-refined centroid lists: corpus assigned to its
+    Voronoi cell, queries probe the nprobe=2 nearest cells, candidates
+    scored by exact cosine, top-10 per query."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_fit(e)
+    vecs = e.select("vec_id", "embedding")
+    assigned = _assign(vecs, cents).select(
+        "vec_id", "embedding", F.col("cluster_id").alias("list_id")
+    )
+    qnorm = F.sqrt(_pair_dot_seq(F.col("embedding"), F.col("embedding")))
+    queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        qnorm.alias("q_norm"),
+    )
+    probe_scored = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "q_emb",
+        "q_norm",
+        "cent_id",
+        _sqdist(F.col("q_emb"), F.col("cent_emb")).alias("d2"),
+    )
+    wp = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cent_id"))
+    probes = (
+        probe_scored.withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= 2)
+        .select("query_id", "q_emb", "q_norm", F.col("cent_id").alias("list_id"))
+    )
+    cand = assigned.join(probes, "list_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cnorm = F.sqrt(_pair_dot_seq(F.col("embedding"), F.col("embedding")))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        (
+            _pair_dot_seq(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * cnorm)
+        ).alias("cosine"),
+    )
+    return _rank_topk(scored)

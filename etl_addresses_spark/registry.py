@@ -13,6 +13,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_addresses_spark.operators import clustering
 from etl_addresses_spark.plans import (
     extensions,
     flagship,
@@ -73,6 +74,10 @@ REGISTRY: dict[str, Entry] = {
         name: Entry(fn, sql)
         for name, (fn, sql) in streaming_queries.STREAMING_QUERIES.items()
     },
+    # Iterative float ops: genuinely non-SQL-expressible -> rows-only
+    # checks; SSE-monotonicity + recall asserted in pytest instead.
+    "kmeans_cluster_sizes": Entry(clustering.kmeans_cluster_sizes, None),
+    "ann_ivf_lloyd_topk": Entry(clustering.ann_ivf_lloyd_topk, None),
 }
 
 
