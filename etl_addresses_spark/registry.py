@@ -13,7 +13,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_addresses_spark.operators import clustering
+from etl_addresses_spark.operators import clustering, graph
 from etl_addresses_spark.plans import (
     extensions,
     flagship,
@@ -78,6 +78,7 @@ REGISTRY: dict[str, Entry] = {
     # checks; SSE-monotonicity + recall asserted in pytest instead.
     "kmeans_cluster_sizes": Entry(clustering.kmeans_cluster_sizes, None),
     "ann_ivf_lloyd_topk": Entry(clustering.ann_ivf_lloyd_topk, None),
+    "pagerank_relations": Entry(graph.pagerank_relations, None),
 }
 
 
