@@ -13,7 +13,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_addresses_spark.operators import clustering, graph
+from etl_addresses_spark.operators import clustering, graph, polygon
 from etl_addresses_spark.plans import (
     extensions,
     flagship,
@@ -79,6 +79,7 @@ REGISTRY: dict[str, Entry] = {
     "kmeans_cluster_sizes": Entry(clustering.kmeans_cluster_sizes, None),
     "ann_ivf_lloyd_topk": Entry(clustering.ann_ivf_lloyd_topk, None),
     "pagerank_relations": Entry(graph.pagerank_relations, None),
+    "st_contains_join": Entry(polygon.st_contains_join, polygon.ST_CONTAINS_SQL),
 }
 
 
