@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 def _ts(col: Column) -> Column:
     # Session timezone is pinned to UTC (session.py), so this matches the
     # reference's Date.parse of ISO date-only strings (UTC midnight).
-    return F.to_timestamp(col, "yyyy-MM-dd")
+    # try_to_timestamp, not to_timestamp: Spark 4 runs with
+    # spark.sql.ansi.enabled=true, where to_timestamp RAISES on a
+    # malformed string.  The reference's Date.parse yields NaN and the
+    # containment predicate goes false; try_to_timestamp's NULL gives
+    # the same null-safe-false behavior on dirty data.
+    return F.try_to_timestamp(col, F.lit("yyyy-MM-dd"))
 
 
 def fuzzy_date_earliest(col: Column) -> Column:

@@ -42,50 +42,122 @@ def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decode_stub_batches(
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_payload(doc_id: int) -> bytes:
+    """A fully valid RGB8 PNG (signature, IHDR+CRC32, zlib IDAT, IEND)
+    built from the stdlib only (struct + zlib — no PIL).  Dimensions and
+    pixel fill derive deterministically from doc_id so the decode stage
+    has an arithmetic oracle."""
+    import struct
+    import zlib
+
+    width = 8 + doc_id % 56
+    height = 8 + (doc_id * 3) % 56
+    row = b"\x00" + bytes([doc_id % 256]) * (3 * width)  # filter 0 + RGB
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(row * height, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _encode_png_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """STUB image decode.
-
-    A real implementation would do `PIL.Image.open(io.BytesIO(b))` per
-    payload; that library is unavailable here, so dimensions are derived
-    deterministically from the payload bytes.  The batch shape, Arrow
-    transfer, and output schema contract are exactly what a real decoder
-    would use.
-    """
-    import hashlib
-
     for pdf in batches:
-        n_bytes = pdf["payload"].map(len)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": n_bytes.astype("int32"),
-                "width": (32 + (n_bytes % 608)).astype("int32"),
-                "height": (32 + ((n_bytes * 7) % 608)).astype("int32"),
-                "channels": 3,
-                "content_hash": pdf["payload"].map(
-                    lambda b: hashlib.md5(b).hexdigest()
-                ),
+                "payload": pdf["doc_id"].map(lambda i: _png_payload(int(i))),
             }
         )
 
 
+def binary_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synthetic PNG blob per document row — the image-column
+    stand-in, with REAL image bytes (parseable by any PNG reader)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _encode_png_batches, schema="doc_id bigint, payload binary"
+    )
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _decode_png_meta(p: bytes) -> tuple[int, int, int, int, bool]:
+    """Parse the IHDR chunk of a PNG byte payload: width/height are the
+    big-endian u32 pair at bytes 16-24, bit depth and color type follow,
+    and the chunk CRC32 (bytes 29-33) covers tag+data (bytes 12-29)."""
+    import zlib
+
+    if p[:8] != PNG_SIG or p[12:16] != b"IHDR":
+        raise ValueError("not a PNG")
+    width = int.from_bytes(p[16:20], "big")
+    height = int.from_bytes(p[20:24], "big")
+    bit_depth = p[24]
+    channels = _PNG_CHANNELS[p[25]]
+    crc_ok = zlib.crc32(p[12:29]) == int.from_bytes(p[29:33], "big")
+    return width, height, channels, bit_depth, crc_ok
+
+
+def _decode_png_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Real image decode kernel: header parse + CRC verification per
+    payload, Arrow-batched.  (A full pixel decode would additionally
+    zlib-decompress the IDAT stream — same batch shape.)"""
+    for pdf in batches:
+        meta = pdf["payload"].map(_decode_png_meta)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": meta.map(lambda m: m[0]).astype("int32"),
+                "height": meta.map(lambda m: m[1]).astype("int32"),
+                "channels": meta.map(lambda m: m[2]).astype("int32"),
+                "bit_depth": meta.map(lambda m: m[3]).astype("int32"),
+                "crc_ok": meta.map(lambda m: m[4]),
+            }
+        )
+
+
+DECODE_PNG_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, bit_depth int, "
+    "crc_ok boolean"
+)
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode-metadata extraction over binary payloads via mapInPandas
-    (stubbed kernel, real plumbing)."""
-    return binary_documents(spark, sf_dir).mapInPandas(
-        _decode_stub_batches, schema=DECODE_SCHEMA
+    """PNG metadata decode over binary payloads via mapInPandas — a real
+    byte-level parser (signature, IHDR fields, CRC32 check), no image
+    libraries.  Oracle: the generator derives dimensions from doc_id, so
+    DuckDB replays the arithmetic; a parser that mis-read any header
+    byte would hash-mismatch."""
+    return binary_images(spark, sf_dir).mapInPandas(
+        _decode_png_batches, schema=DECODE_PNG_SCHEMA
     )
 
 
 MULTIMODAL_DECODE_SQL = """
 SELECT doc_id,
-  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-  CAST(32 + (octet_length(encode(text)) % 608) AS INTEGER) AS width,
-  CAST(32 + ((octet_length(encode(text)) * 7) % 608) AS INTEGER) AS height,
+  CAST(8 + doc_id % 56 AS INTEGER) AS width,
+  CAST(8 + (doc_id * 3) % 56 AS INTEGER) AS height,
   3 AS channels,
-  md5(text) AS content_hash
+  8 AS bit_depth,
+  TRUE AS crc_ok
 FROM documents
 """
 

@@ -307,6 +307,55 @@ def ann_ivf_topk_for(e: DataFrame, centroid_mod: int = 100) -> DataFrame:
     return _rank_topk(scored)
 
 
+# The pseudo-centroid IVF pipeline is deterministic end-to-end: the
+# centroid set is a fixed id subset, assignment/probe ranks tie-break on
+# cent_id, and every float is a sequential-fold dot that DuckDB's
+# list_reduce reproduces bit-for-bit — so even this *approximate* index
+# is fully oracle-checkable.
+ANN_IVF_TOPK_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+    sqrt(CAST({_duckdb_dot('embedding', 'embedding')} AS DOUBLE)) AS vnorm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS cent_emb, vnorm AS cent_norm
+  FROM base WHERE vec_id % 100 = 0
+),
+assign_scored AS (
+  SELECT v.vec_id, v.embedding, v.vnorm, c.cent_id,
+    CAST({_duckdb_dot('v.embedding', 'c.cent_emb')} AS DOUBLE)
+      / (v.vnorm * c.cent_norm) AS c_cos
+  FROM base v CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, vnorm, cent_id AS list_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY c_cos DESC, cent_id ASC) AS r
+    FROM assign_scored) WHERE r = 1
+),
+probes AS (
+  SELECT query_id, q_emb, q_norm, cent_id AS list_id FROM (
+    SELECT vec_id AS query_id, embedding AS q_emb, vnorm AS q_norm, cent_id,
+      row_number() OVER (
+        PARTITION BY vec_id ORDER BY c_cos DESC, cent_id ASC) AS r
+    FROM assign_scored WHERE vec_id % {QUERY_MOD} = 0) WHERE r <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS cand_id,
+    CAST({_duckdb_dot('p.q_emb', 'a.embedding')} AS DOUBLE)
+      / (p.q_norm * a.vnorm) AS cosine
+  FROM assigned a JOIN probes p ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, rank, cand_id, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {TOPK_K}
+"""
+
+
 def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized cosine top-k: each vector scaled per-row to
     [-127, 127] ints (scale = 127/max|x|), scored with INTEGER dot

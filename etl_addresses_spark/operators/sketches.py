@@ -46,15 +46,21 @@ def hll_mergeable_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def approx_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile with bounded accuracy vs the exact values."""
+    """approx_percentile with bounded accuracy vs the exact values.
+
+    Scalar double columns only (no arrays): the driver's canonicalizer
+    hashes row values and cannot sort list-valued cells.
+    """
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.expr(
-            "approx_percentile(o_totalprice, array(0.5, 0.9), 10000)"
-        ).alias("approx_p50_p90"),
-        F.expr("percentile(o_totalprice, array(0.5, 0.9))").alias(
-            "exact_p50_p90"
-        ),
+            "approx_percentile(o_totalprice, 0.5, 10000)"
+        ).alias("approx_p50"),
+        F.expr(
+            "approx_percentile(o_totalprice, 0.9, 10000)"
+        ).alias("approx_p90"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("exact_p90"),
     )
 
 

@@ -253,9 +253,15 @@ def infer_addresses(
     matched = F.col("streetId").isNotNull()
     return joined.select(
         F.when(matched, F.col("hn_internal_id")).alias("id"),
+        # concat (not concat_ws): propagates NULL like the oracle's
+        # `number || ' ' || streetName`.  A NULL house number yields a
+        # NULL name on both sides — chosen over the reference's literal
+        # "undefined <street>" rendering of a JS undefined.
         F.when(
             matched,
-            F.concat_ws(" ", F.col("addressData.number"), F.col("streetName")),
+            F.concat(
+                F.col("addressData.number"), F.lit(" "), F.col("streetName")
+            ),
         ).alias("name"),
         F.col("houseNumberId"),
         F.col("streetId"),

@@ -23,13 +23,15 @@ EXTENSION_QUERIES = {
     "text_fingerprint": (textops.text_fingerprint, textops.TEXT_FINGERPRINT_SQL),
     "text_tfidf_top_terms": (textops.text_tfidf_top_terms, textops.TEXT_TFIDF_SQL),
     "cosine_topk": (similarity.cosine_topk, similarity.COSINE_TOPK_SQL),
-    # double-precision throughput variant / approximate IVF: rows-only.
-    "cosine_topk_fast": (similarity.cosine_topk_fast, None),
+    # The fast variant computes the identical result (same fold, same
+    # tie-break), so it shares the brute-force oracle verbatim.
+    "cosine_topk_fast": (similarity.cosine_topk_fast, similarity.COSINE_TOPK_SQL),
     "embedding_near_dup": (
         similarity.embedding_near_dup,
         similarity.EMBEDDING_NEAR_DUP_SQL,
     ),
-    "ann_ivf_topk": (similarity.ann_ivf_topk, None),
+    # Deterministic pseudo-centroid IVF: approximate index, exact oracle.
+    "ann_ivf_topk": (similarity.ann_ivf_topk, similarity.ANN_IVF_TOPK_SQL),
     "multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
     "multimodal_decode": (
         multimodal.multimodal_decode,
