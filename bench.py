@@ -45,6 +45,13 @@ HEADLINE = [
     "ann_quantized_topk",
     "asof_join_events",
     "multimodal_decode",
+    # TPC-H batch representatives: multi-join shapes (q9 five-way,
+    # q21 exists/not-exists, q18 group-having-semi, q4 semi) so
+    # relational-plan regressions show up round over round.
+    "q4_late_shipments",
+    "q9_profit_by_nation_year",
+    "q18_large_orders",
+    "q21_sole_late_supplier",
 ]
 
 

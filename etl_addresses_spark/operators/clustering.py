@@ -100,15 +100,29 @@ def kmeans_fit(
             [(cid, emb) for cid, emb in sorted(cent_rows.items())], _CENT_SCHEMA
         )
         assigned = _assign(vecs, cents)
-        sse_row, *_ = assigned.agg(F.sum("d2").alias("sse")).collect()
-        history.append(float(sse_row.sse))
+        # ONE aggregation job per iteration: per-(cluster, dim) means
+        # and the SSE ride the same groupBy.  d2 is duplicated across a
+        # vector's exploded rows, so the SSE partial counts it only at
+        # pos 0; DECIMAL partials keep the total order-independent.
         means = (
             assigned.select(
-                "cluster_id", F.posexplode("embedding").alias("pos", "val")
+                "cluster_id",
+                "d2",
+                F.posexplode("embedding").alias("pos", "val"),
             )
             .groupBy("cluster_id", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .agg(
+                F.avg(F.col("val").cast("double")).alias("m"),
+                F.sum(
+                    F.when(F.col("pos") == 0, F.col("d2")).cast(
+                        "decimal(38,18)"
+                    )
+                ).alias("sse_part"),
+            )
             .collect()
+        )
+        history.append(
+            float(sum(r.sse_part for r in means if r.sse_part is not None))
         )
         new_rows: dict[int, list[float]] = {}
         for r in means:

@@ -49,22 +49,26 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damping: float = DAMPING) 
         .cache()
     )
     n_nodes = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).cache()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iters):
         with_deg = ranks.join(out_deg, ranks.node == out_deg.src, "left")
-        # mass from dangling nodes (no out-edges) spreads uniformly
-        dangling_row, *_ = (
+        # mass from dangling nodes (no out-edges) spreads uniformly.
+        # It rides the SAME job as the rank update: a 1-row aggregate
+        # broadcast into the select, instead of a per-iteration
+        # driver-side collect() — one Spark job per iteration total
+        # (the eager localCheckpoint below is the only action).
+        dangling_df = (
             with_deg.filter(F.col("out_deg").isNull())
             .agg(
                 F.coalesce(
                     F.sum(F.col("rank").cast(_DEC)), F.lit(0).cast(_DEC)
-                ).alias("m")
+                )
+                .cast("double")
+                .alias("dangling")
             )
-            .collect()
         )
-        dangling = float(dangling_row.m)
         contribs = (
             with_deg.filter(F.col("out_deg").isNotNull())
             .select(
@@ -75,13 +79,19 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damping: float = DAMPING) 
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("contrib").cast(_DEC)).cast("double").alias("recv"))
         )
-        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        # Same float association as the former driver-side arithmetic:
+        # ((1-d)/n + (d*dangling)/n) + d*recv.
         ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling_df))
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    (
+                        F.lit((1.0 - damping) / n_nodes)
+                        + (F.lit(damping) * F.col("dangling"))
+                        / F.lit(float(n_nodes))
+                    )
                     + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))
                 ).alias("rank"),
             )

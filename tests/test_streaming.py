@@ -147,3 +147,96 @@ def test_checkpoint_restart_no_duplicates(spark, tmp_path):
     second = event_stream.run_with_checkpoint(counts2, out, ckpt).count()
     assert first > 0
     assert second == first, "restart must not duplicate checkpointed output"
+
+
+def test_watermark_drops_late_row(spark, tmp_path):
+    """Pin actual late-data EVICTION, not just stream==batch equality.
+
+    Timeline (5-min windows, 10-min watermark delay, one file per
+    micro-batch):
+
+    * batch 0 (b1): on-time rows in window [10:00, 10:05) + a row at
+      11:00 that will advance the watermark to 10:50.
+    * batch 1 (b2): fresh row — during this batch the watermark (10:50)
+      passes window [10:00, 10:05), which is EMITTED (n=2) and evicted.
+    * batch 2 (b3): a late row for the already-evicted window.  The
+      engine must DROP it (numRowsDroppedByWatermark) — merging it
+      would resurrect a closed window and emit a duplicate in append
+      mode.  A row late-but-not-yet-evicted (arriving one batch
+      earlier) would still merge; eviction is the boundary.
+
+    Batch SQL over the same three files counts the late row (n=3).
+    """
+    import json
+    import os
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, rows, mtime):
+        p = src / name
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    b1 = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:30.000Z", "event_type": "view", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T10:01:00.000Z", "event_type": "view", "value": 1.0},
+        # advances the watermark to 10:50 for the NEXT batch
+        {"event_id": 3, "ts": "2024-01-01T11:00:00.000Z", "event_type": "view", "value": 1.0},
+    ]
+    b2 = [
+        # fresh row; window [10:00, 10:05) is emitted+evicted this batch
+        {"event_id": 4, "ts": "2024-01-01T11:05:00.000Z", "event_type": "view", "value": 1.0},
+    ]
+    b3 = [
+        # LATE: its window was evicted in the previous batch -> dropped
+        {"event_id": 5, "ts": "2024-01-01T10:02:00.000Z", "event_type": "view", "value": 1.0},
+    ]
+    now = time.time()
+    write("b1.json", b1, now - 100)  # mtime order = micro-batch order
+    write("b2.json", b2, now - 50)
+    write("b3.json", b3, now)
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        event_stream.windowed_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_eviction")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            op["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM wm_eviction").collect()
+    streamed = {r.window_start.isoformat(): r.n for r in rows}
+    batch = {
+        r.window_start.isoformat(): r.n
+        for r in spark.read.schema(schema)
+        .json(str(src))
+        .groupBy(F.window("ts", "5 minutes").start.alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    first_window = "2024-01-01T10:00:00"
+    assert batch[first_window] == 3, "batch SQL counts the late row"
+    assert streamed[first_window] == 2, (
+        "watermark must drop the late row for the evicted window"
+    )
+    assert dropped == 1, "engine must report exactly one watermark-dropped row"
+    assert len(rows) == len(streamed), "no duplicate window emissions"
