@@ -1,0 +1,343 @@
+"""Corpus-curation operators: the end-to-end shapes a training-data
+pipeline runs at 100 TB — deterministic sampling, dataset profiling,
+interval-overlap joins, BPE-ish token counting, and a composed
+filter -> dedup -> sample curation pass.
+
+Everything here is pure JVM column expressions (no UDFs) and every
+query carries a DuckDB oracle: sampling uses md5-prefix thresholds
+(hash-deterministic, portable across engines) rather than rand(),
+which is the production-correct choice anyway — reruns and backfills
+must sample the SAME rows.
+
+Scale notes per operator in the docstrings; the common thread: sampling
+and profiling are single-pass map-side work, the overlap join
+broadcasts the tiny interval dimension, and curation's only shuffle is
+the dedup groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_addresses_spark.sources.tables import load_table
+
+# Two lowercase hex chars of an md5 prefix compare lexicographically in
+# numeric order ('00' < '2a' < 'ff'), so `h2 < threshold` keeps a
+# deterministic (threshold/256) fraction, identically in Spark and
+# DuckDB.
+_H2 = "substring(md5(cast(doc_id as string)), 1, 2)"
+_H2_DUCK = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+_H2_FULL = "md5(cast(doc_id as string))"
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: each source stratum keeps a
+    different fraction (the up/down-weighting every corpus mix does).
+    Hash-threshold sampling is a narrow map-side filter — no shuffle,
+    no rand() nondeterminism, trivially resumable at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    strat = (F.substring("source", 4, 10).cast("int") % 4).alias("strat")
+    threshold = (
+        F.when(F.col("strat") == 0, "2a")   # ~16 %
+        .when(F.col("strat") == 1, "80")    # 50 %
+        .when(F.col("strat") == 2, "cc")    # 80 %
+        .otherwise("zz")                    # keep all
+    )
+    return (
+        d.select("doc_id", "source", strat, F.expr(_H2).alias("h2"))
+        .withColumn("threshold", threshold)
+        .filter(F.col("h2") < F.col("threshold"))
+        .select("doc_id", "source", F.col("strat").cast("long"), "h2")
+    )
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+WITH tagged AS (
+  SELECT doc_id, source,
+    CAST(substr(source, 4) AS INTEGER) % 4 AS strat,
+    {_H2_DUCK} AS h2
+  FROM documents
+)
+SELECT doc_id, source, CAST(strat AS BIGINT) AS strat, h2
+FROM tagged
+WHERE h2 < CASE strat WHEN 0 THEN '2a' WHEN 1 THEN '80'
+                      WHEN 2 THEN 'cc' ELSE 'zz' END
+"""
+
+
+SAMPLE_K = 5
+
+
+def sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling (the reservoir-sample shape, made
+    deterministic): rank rows within each source by their md5 hash and
+    keep the first k.  One shuffle on the stratum key; at 100 TB the
+    same plan holds because each partition ranks only its own stratum —
+    and a TopK-per-key (min(struct) of k) variant drops even the sort."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.expr(_H2_FULL), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "source")
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= SAMPLE_K)
+    )
+
+
+SAMPLE_FIXED_K_SQL = f"""
+SELECT doc_id, source, pick_rank FROM (
+  SELECT doc_id, source,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
+  FROM documents)
+WHERE pick_rank <= {SAMPLE_K}
+"""
+
+
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass dataset profiling of the orders table: row count,
+    null count, exact distinct count, and min/max per column, emitted
+    long-format (one row per column).  One aggregation job regardless
+    of column count — the shape a 100 TB profiler must have (per-column
+    jobs would rescan the table N times)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def null_count(c: str) -> F.Column:
+        return F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long")
+
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            x
+            for c in ("o_orderstatus", "o_orderpriority")
+            for x in (
+                null_count(c).alias(f"{c}_nulls"),
+                F.countDistinct(c).alias(f"{c}_distinct"),
+                F.min(c).alias(f"{c}_min"),
+                F.max(c).alias(f"{c}_max"),
+            )
+        ],
+        *[
+            x
+            for c in ("o_totalprice", "o_custkey")
+            for x in (
+                null_count(c).alias(f"{c}_nulls"),
+                F.countDistinct(c).alias(f"{c}_distinct"),
+                F.min(F.col(c).cast("double")).alias(f"{c}_min"),
+                F.max(F.col(c).cast("double")).alias(f"{c}_max"),
+            )
+        ],
+    )
+
+    def row(c: str, is_num: bool) -> F.Column:
+        return F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"{c}_nulls").alias("n_null"),
+            F.col(f"{c}_distinct").alias("n_distinct"),
+            (
+                F.col(f"{c}_min") if is_num else F.lit(None).cast("double")
+            ).alias("min_num"),
+            (
+                F.col(f"{c}_max") if is_num else F.lit(None).cast("double")
+            ).alias("max_num"),
+            (
+                F.lit(None).cast("string") if is_num else F.col(f"{c}_min")
+            ).alias("min_str"),
+            (
+                F.lit(None).cast("string") if is_num else F.col(f"{c}_max")
+            ).alias("max_str"),
+        )
+    return agg.select(
+        F.explode(
+            F.array(
+                row("o_orderstatus", False),
+                row("o_orderpriority", False),
+                row("o_totalprice", True),
+                row("o_custkey", True),
+            )
+        ).alias("p")
+    ).select("p.*")
+
+
+def _profile_duck(c: str, is_num: bool) -> str:
+    min_num = f"CAST(min({c}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+    max_num = f"CAST(max({c}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+    min_str = "CAST(NULL AS VARCHAR)" if is_num else f"min({c})"
+    max_str = "CAST(NULL AS VARCHAR)" if is_num else f"max({c})"
+    return f"""
+SELECT '{c}' AS col_name, count(*) AS n_rows,
+  CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  count(DISTINCT {c}) AS n_distinct,
+  {min_num} AS min_num, {max_num} AS max_num,
+  {min_str} AS min_str, {max_str} AS max_str
+FROM orders"""
+
+
+PROFILE_COLUMNS_SQL = " UNION ALL ".join(
+    _profile_duck(c, n)
+    for c, n in [
+        ("o_orderstatus", False),
+        ("o_orderpriority", False),
+        ("o_totalprice", True),
+        ("o_custkey", True),
+    ]
+)
+
+_SIX_H_US = 6 * 3600 * 1_000_000
+_TWO_H_US = 2 * 3600 * 1_000_000
+
+
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: user sessions (gap-sessionized) matched to
+    campaign windows they overlap.  The window dimension (one 2-hour
+    window every 6 hours, derived from the event span) is tiny ->
+    broadcast nested-loop with the overlap predicate is THE scale plan;
+    for large-large interval joins the pattern becomes bin-by-bucket
+    equi-join first, exactly like the flagship spatial grid."""
+    from etl_addresses_spark.plans.relational import events_sessionize
+
+    sessions = events_sessionize(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    windows = (
+        e.select(
+            (F.unix_micros("ts") / F.lit(_SIX_H_US))
+            .cast("long")
+            .alias("bucket")
+        )
+        .distinct()
+        .select(
+            (F.col("bucket") * _SIX_H_US).alias("win_start_us"),
+            (F.col("bucket") * _SIX_H_US + _TWO_H_US).alias("win_end_us"),
+        )
+    )
+    overlap = (F.col("start_us") <= F.col("win_end_us")) & (
+        F.col("end_us") >= F.col("win_start_us")
+    )
+    return (
+        sessions.join(F.broadcast(windows), overlap)
+        .groupBy("win_start_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+INTERVAL_OVERLAP_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+    epoch_us(ts) - epoch_us(lag(ts) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+),
+sess AS (
+  SELECT user_id,
+    CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_seq,
+    ts
+  FROM gaps
+),
+sessions AS (
+  SELECT user_id, session_seq,
+    min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+  FROM sess GROUP BY user_id, session_seq
+),
+windows AS (
+  SELECT DISTINCT (epoch_us(ts) // {_SIX_H_US}) * {_SIX_H_US} AS win_start_us,
+    (epoch_us(ts) // {_SIX_H_US}) * {_SIX_H_US} + {_TWO_H_US} AS win_end_us
+  FROM events
+)
+SELECT w.win_start_us, count(*) AS n_sessions,
+  count(DISTINCT s.user_id) AS n_users
+FROM sessions s JOIN windows w
+  ON s.start_us <= w.win_end_us AND s.end_us >= w.win_start_us
+GROUP BY w.win_start_us
+"""
+
+# GPT-2-ish pre-tokenizer classes: letter runs, single digits,
+# punctuation runs.  ASCII-only classes so Java regex (Spark) and RE2
+# (DuckDB) agree byte-for-byte.
+_BPE_PATTERN = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]+"
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways: whitespace tokens and a BPE-ish regex
+    pre-tokenization count (the budget estimator for LLM training
+    data), plus chars-per-token.  Pure JVM regexp_count — no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    n_ws = F.size(F.split(F.col("text"), " "))
+    n_bpe = F.regexp_count(F.col("text"), F.lit(_BPE_PATTERN))
+    return d.select(
+        "doc_id",
+        n_ws.cast("long").alias("n_ws_tokens"),
+        n_bpe.cast("long").alias("n_bpeish_tokens"),
+        (F.length("text").cast("double") / n_bpe).alias("chars_per_token"),
+    )
+
+
+TOKEN_COUNT_BPE_SQL = f"""
+SELECT doc_id,
+  len(string_split(text, ' ')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpeish_tokens,
+  CAST(length(text) AS DOUBLE)
+    / len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS chars_per_token
+FROM documents
+"""
+
+
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass every LLM corpus goes through, as one
+    declarative plan: quality filter -> exact dedup (keep lowest doc_id
+    per content hash) -> deterministic 50 % sample -> emit doc + token
+    count.  Only the dedup groupBy shuffles; filter and sample are
+    map-side; Catalyst pipelines the whole thing into two stages."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    mean_word_len = (
+        (F.length("text") - (F.size(toks) - 1)).cast("double") / F.size(toks)
+    )
+    quality = d.select(
+        "doc_id", "source", "lang", "text", n_tokens.alias("n_tokens")
+    ).filter(
+        (n_tokens >= 10) & (mean_word_len >= 2.0) & (mean_word_len <= 12.0)
+    )
+    # Dedup via min(struct): lexicographic min is the min-doc_id row and
+    # carries every output column through ONE map-side-combinable
+    # shuffle — no join-back, no window sort.
+    canonical = (
+        quality.groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .agg(
+            F.min(
+                F.struct("doc_id", "source", "lang", "n_tokens")
+            ).alias("rep")
+        )
+        .select("rep.doc_id", "rep.source", "rep.lang", "rep.n_tokens")
+    )
+    return canonical.filter(F.expr(_H2) < "80").select(
+        "doc_id", "source", "lang", F.col("n_tokens").cast("long")
+    )
+
+
+CURATE_CORPUS_SQL = f"""
+WITH quality AS (
+  SELECT doc_id, source, lang, text,
+    len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 10
+    AND CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        / len(string_split(text, ' ')) BETWEEN 2.0e0 AND 12.0e0
+),
+canonical AS (
+  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+)
+SELECT q.doc_id, q.source, q.lang, q.n_tokens
+FROM quality q JOIN canonical c ON q.doc_id = c.doc_id
+WHERE {_H2_DUCK.replace('doc_id', 'q.doc_id')} < '80'
+"""

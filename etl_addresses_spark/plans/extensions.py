@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from etl_addresses_spark.operators import (
+    curation,
     dedup,
     multimodal,
     similarity,
@@ -49,4 +50,18 @@ EXTENSION_QUERIES = {
     "hll_mergeable_union": (sketches.hll_mergeable_union, None),
     "approx_quantiles_orders": (sketches.approx_quantiles_orders, None),
     "simhash_near_pairs": (sketches.simhash_near_pairs, None),
+    # Corpus curation: deterministic sampling, profiling, interval
+    # joins, token budgeting, and the composed curation pass.
+    "sample_stratified": (
+        curation.sample_stratified,
+        curation.SAMPLE_STRATIFIED_SQL,
+    ),
+    "sample_fixed_k": (curation.sample_fixed_k, curation.SAMPLE_FIXED_K_SQL),
+    "profile_columns": (curation.profile_columns, curation.PROFILE_COLUMNS_SQL),
+    "interval_overlap_join": (
+        curation.interval_overlap_join,
+        curation.INTERVAL_OVERLAP_SQL,
+    ),
+    "token_count_bpe": (curation.token_count_bpe, curation.TOKEN_COUNT_BPE_SQL),
+    "curate_corpus": (curation.curate_corpus, curation.CURATE_CORPUS_SQL),
 }

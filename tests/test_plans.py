@@ -67,3 +67,38 @@ def test_semi_and_anti_join_operators(spark):
     anti = relational.join_anti_customers(spark, SF_SMALL)
     assert "LeftSemi" in _optimized(semi)
     assert "LeftAnti" in _optimized(anti)
+
+
+def test_sample_stratified_no_shuffle(spark):
+    # hash-threshold sampling must stay a map-side filter
+    from etl_addresses_spark.operators import curation
+
+    plan = _plan(curation.sample_stratified(spark, SF_SMALL))
+    assert "Exchange" not in plan
+
+
+def test_curate_corpus_single_shuffle(spark):
+    # quality filter -> min(struct) dedup -> sample: exactly one
+    # exchange (the dedup groupBy), with a map-side partial_min
+    from etl_addresses_spark.operators import curation
+
+    plan = _plan(curation.curate_corpus(spark, SF_SMALL))
+    assert plan.count("+- Exchange") == 1
+    assert "partial_min" in plan
+
+
+def test_profile_columns_pushes_column_pruning(spark):
+    # the profiler must read only the 4 profiled columns, not the table
+    from etl_addresses_spark.operators import curation
+
+    plan = _plan(curation.profile_columns(spark, SF_SMALL))
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_orderdate" not in read and "o_orderkey" not in read
+
+
+def test_interval_overlap_broadcasts_windows(spark):
+    from etl_addresses_spark.operators import curation
+
+    plan = _plan(curation.interval_overlap_join(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -39,21 +39,40 @@ def norm(v):
 
 qs, os_ = mod.queries(), mod.oracle_sql()
 ok = True
+report = {}
 for name, fn in qs.items():
-    sdf = fn(spark, SF)
-    spark_rows = [tuple(norm(v) for v in row) for row in sdf.collect()]
-    if name in os_:
-        drows = [tuple(norm(v) for v in row) for row in con.execute(os_[name]).fetchall()]
-        scols, dcols = sorted(sdf.columns), sorted([d[0] for d in con.execute(os_[name]).description])
-        # driver sorts columns by name before hashing
-        sidx = [sdf.columns.index(c) for c in scols]
-        didx = [[d[0] for d in con.execute(os_[name]).description].index(c) for c in dcols]
-        sh = value_hash([tuple(r[i] for i in sidx) for r in spark_rows])
-        dh = value_hash([tuple(r[i] for i in didx) for r in drows])
-        status = "MATCH" if (len(spark_rows)==len(drows) and scols==dcols and sh==dh) else "MISMATCH"
-        if status != "MATCH": ok = False
-        print(f"{name}: spark={len(spark_rows)} duck={len(drows)} cols_eq={scols==dcols} hash {sh} vs {dh} -> {status}")
-    else:
-        print(f"{name}: rows-only check, rows={len(spark_rows)}")
+    try:
+        sdf = fn(spark, SF)
+        spark_rows = [tuple(norm(v) for v in row) for row in sdf.collect()]
+        if name in os_:
+            drows = [tuple(norm(v) for v in row) for row in con.execute(os_[name]).fetchall()]
+            scols, dcols = sorted(sdf.columns), sorted([d[0] for d in con.execute(os_[name]).description])
+            # driver sorts columns by name before hashing
+            sidx = [sdf.columns.index(c) for c in scols]
+            didx = [[d[0] for d in con.execute(os_[name]).description].index(c) for c in dcols]
+            sh = value_hash([tuple(r[i] for i in sidx) for r in spark_rows])
+            dh = value_hash([tuple(r[i] for i in didx) for r in drows])
+            status = "MATCH" if (len(spark_rows)==len(drows) and scols==dcols and sh==dh) else "MISMATCH"
+            if status != "MATCH": ok = False
+            report[name] = {"rows_match": len(spark_rows)==len(drows), "schema_match": scols==dcols,
+                            "hash_match": sh==dh, "spark_rows": len(spark_rows),
+                            "oracle_rows": len(drows), "err": None}
+            print(f"{name}: spark={len(spark_rows)} duck={len(drows)} cols_eq={scols==dcols} hash {sh} vs {dh} -> {status}")
+        else:
+            report[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                            "spark_rows": len(spark_rows), "oracle_rows": None, "err": "no_oracle"}
+            print(f"{name}: rows-only check, rows={len(spark_rows)}")
+    except Exception as exc:  # a crashing query must not hide the rest
+        ok = False
+        report[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                        "spark_rows": None, "oracle_rows": None, "err": f"{type(exc).__name__}: {exc}"}
+        print(f"{name}: ERROR {type(exc).__name__}: {exc}")
+
+out_path = os.environ.get("OUT")
+if out_path:
+    import json
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"wrote {out_path} ({len(report)} queries)")
 print("RESULT:", "ALL MATCH" if ok else "MISMATCH")
 sys.exit(0 if ok else 1)
