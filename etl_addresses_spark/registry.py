@@ -22,6 +22,7 @@ from etl_addresses_spark.plans import (
     relational3,
     relational4,
     relational5,
+    relational6,
     streaming_queries,
     transform,
 )
@@ -69,6 +70,10 @@ _ALL: dict[str, Entry] = {
     **{
         name: Entry(fn, sql)
         for name, (fn, sql) in relational5.QUERIES5.items()
+    },
+    **{
+        name: Entry(fn, sql)
+        for name, (fn, sql) in relational6.QUERIES6.items()
     },
     **{
         name: Entry(fn, sql)
