@@ -308,9 +308,12 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(
         (n_tokens >= 10) & (mean_word_len >= 2.0) & (mean_word_len <= 12.0)
     )
-    # Dedup via min(struct): lexicographic min is the min-doc_id row and
-    # carries every output column through ONE map-side-combinable
-    # shuffle — no join-back, no window sort.
+    # Dedup via min(struct): the lexicographic min is the min-doc_id
+    # row and carries every output column through ONE shuffle with
+    # map-side partial_min — no join-back.  (Struct-valued min has no
+    # mutable hash buffer, so Spark plans a SortAggregate; the sort is
+    # partition-local on the dedup key and the partial agg still
+    # collapses each partition to one row per distinct hash.)
     canonical = (
         quality.groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
         .agg(

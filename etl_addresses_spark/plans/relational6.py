@@ -1,14 +1,16 @@
 """Sixth relational batch: skew-safe aggregation patterns + the raw
 SQL interface surface.
 
-`skew_salted_distinct` is the 100 TB exact-distinct shape: a plain
-`count(DISTINCT k)` per group shuffles every (group, k) pair into one
-reducer per group — a straggler when one group holds half the table.
-Salting by `hash(k) % n` splits each group's distinct set across n
-reducers (each distinct k lands in exactly one salt bucket, so partial
-distinct counts ADD exactly), then a second tiny shuffle merges n
-partial counts per group.  AQE cannot rewrite this one — it is a
-logical transformation, not a runtime split.
+`skew_salted_distinct` is the 100 TB exact-distinct shape for
+aggregates the planner CANNOT auto-rewrite.  (Plain `count(DISTINCT)`
+Spark already expands into a partial-dedup exchange — no salting
+needed.)  The naive materialization `size(collect_set(k))` however
+concentrates each group's ENTIRE key set in one reducer's memory — an
+OOM straggler when one group holds half the table.  Salting by
+`k % n` splits each group's set across n disjoint buckets (each
+distinct k lands in exactly one salt, so bucket sizes ADD exactly),
+bounding any reducer's state to 1/n of a group; a second tiny shuffle
+sums the n partial sizes.  A logical transformation AQE cannot make.
 
 `sql_grouping_sets` runs through `spark.sql(...)` over registered temp
 views — the engine's raw-SQL entry point — and exercises GROUPING SETS
@@ -26,15 +28,17 @@ N_SALTS = 16
 
 
 def skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct parts/suppliers per return flag via salted
-    two-stage aggregation (salt = key mod N_SALTS, deterministic)."""
+    """Exact distinct parts per return flag via salted set
+    materialization: per-(group, salt) collect_set sizes, summed per
+    group.  Salt = key mod N_SALTS -> buckets are disjoint and sizes
+    add exactly; no reducer ever holds a group's full key set."""
     li = load_table(spark, sf_dir, "lineitem")
     partial = (
         li.groupBy(
             "l_returnflag",
             (F.col("l_partkey") % N_SALTS).alias("_salt"),
         )
-        .agg(F.countDistinct("l_partkey").alias("d_parts"))
+        .agg(F.size(F.collect_set("l_partkey")).cast("long").alias("d_parts"))
     )
     return (
         partial.groupBy("l_returnflag")

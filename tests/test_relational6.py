@@ -31,12 +31,15 @@ def test_salted_distinct_equals_plain(spark):
 
 
 def test_salted_distinct_two_stage_plan(spark):
-    # the whole point: the per-group distinct set never converges on a
-    # single reducer — both stages carry map-side partial aggregation
+    # the whole point: the per-group key set never converges on a
+    # single reducer — sets build per (group, salt) with map-side
+    # partials, and only tiny partial sizes cross the second exchange
     plan = (
         skew_salted_distinct(spark, SF_ORACLE)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "partial_count" in plan or "partial_sum" in plan
+    assert "partial_collect_set" in plan
+    assert "partial_sum" in plan
+    assert plan.count("+- Exchange") == 2
