@@ -78,7 +78,115 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
 
 
+def window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-user rolling 1-hour event-value sum.
+    Unlike a ROWS frame, the window is defined by event-time distance —
+    the shape behind rate limiting / rolling quotas.  Numeric range on
+    epoch micros keeps Spark and DuckDB frame semantics identical."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        us.alias("ts_us"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_1h_value"),
+        F.count(F.lit(1)).over(w).alias("rolling_1h_events"),
+    )
+
+
+WINDOW_RANGE_TIME_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_1h_value,
+  count(*) OVER w AS rolling_1h_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: per user, the first view -> first
+    subsequent cart -> first subsequent purchase, then per-stage user
+    counts.  One window pass per stage boundary, no self-joins — the
+    standard product-analytics funnel at event-log scale."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+    )
+    carts = e.filter(F.col("event_type") == "cart").select(
+        "user_id", F.col("ts").alias("cart_ts")
+    )
+    first_cart = (
+        per_user.join(carts, "user_id", "left")
+        .filter(F.col("cart_ts") >= F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("cart_ts").alias("first_cart"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    first_purchase = (
+        first_cart.join(purchases, "user_id", "left")
+        .filter(F.col("p_ts") >= F.col("first_cart"))
+        .groupBy("user_id", "first_view", "first_cart")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    base = (
+        per_user.filter(F.col("first_view").isNotNull())
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("1_view").alias("stage"), "n")
+    )
+    stage2 = first_cart.agg(F.countDistinct("user_id").alias("n")).select(
+        F.lit("2_view_cart").alias("stage"), "n"
+    )
+    stage3 = first_purchase.agg(
+        F.countDistinct("user_id").alias("n")
+    ).select(F.lit("3_view_cart_purchase").alias("stage"), "n")
+    return base.unionByName(stage2).unionByName(stage3)
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+  FROM events GROUP BY user_id
+),
+first_cart AS (
+  SELECT e.user_id, p.first_view, min(e.ts) AS first_cart
+  FROM events e JOIN per_user p ON e.user_id = p.user_id
+  WHERE e.event_type = 'cart' AND e.ts >= p.first_view
+  GROUP BY e.user_id, p.first_view
+),
+first_purchase AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase
+  FROM events e JOIN first_cart c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.first_cart
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, count(*) AS n FROM per_user
+WHERE first_view IS NOT NULL
+UNION ALL
+SELECT '2_view_cart', count(DISTINCT user_id) FROM first_cart
+UNION ALL
+SELECT '3_view_cart_purchase', count(DISTINCT user_id) FROM first_purchase
+"""
+
+
 QUERIES6 = {
     "skew_salted_distinct": (skew_salted_distinct, SKEW_SALTED_DISTINCT_SQL),
     "sql_grouping_sets": (sql_grouping_sets, SQL_GROUPING_SETS_SQL),
+    "window_range_time": (window_range_time, WINDOW_RANGE_TIME_SQL),
+    "funnel_conversion": (funnel_conversion, FUNNEL_CONVERSION_SQL),
 }
