@@ -184,8 +184,59 @@ SELECT '3_view_cart_purchase', count(DISTINCT user_id) FROM first_purchase
 """
 
 
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (adapted — no partsupp table in the fixture schema):
+    suppliers who shipped more than half of a part's total 1996 volume,
+    for parts with material volume.  Two grouped decimal sums share one
+    scan-stage aggregation pattern; the part-total side joins back on
+    the part key."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1996
+    )
+    per_sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq")
+    )
+    per_p = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("tq")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    dominant = per_sp.join(per_p, "l_partkey").filter(
+        (F.col("tq").cast("double") >= 50.0)
+        & (F.col("sq").cast("double") > 0.5 * F.col("tq").cast("double"))
+    )
+    return (
+        dominant.join(F.broadcast(s), dominant.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+    )
+
+
+Q20_SQL = """
+WITH li AS (
+  SELECT * FROM lineitem WHERE year(l_shipdate) = 1996
+),
+per_sp AS (
+  SELECT l_suppkey, l_partkey,
+    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+  FROM li GROUP BY 1, 2
+),
+per_p AS (
+  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+  FROM li GROUP BY 1
+)
+SELECT s_suppkey, s_name, count(*) AS n_dominated_parts
+FROM per_sp
+JOIN per_p USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE CAST(tq AS DOUBLE) >= 50.0e0
+  AND CAST(sq AS DOUBLE) > 0.5e0 * CAST(tq AS DOUBLE)
+GROUP BY s_suppkey, s_name
+"""
+
+
 QUERIES6 = {
     "skew_salted_distinct": (skew_salted_distinct, SKEW_SALTED_DISTINCT_SQL),
+    "q20_dominant_suppliers": (q20_dominant_suppliers, Q20_SQL),
     "sql_grouping_sets": (sql_grouping_sets, SQL_GROUPING_SETS_SQL),
     "window_range_time": (window_range_time, WINDOW_RANGE_TIME_SQL),
     "funnel_conversion": (funnel_conversion, FUNNEL_CONVERSION_SQL),

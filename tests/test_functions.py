@@ -154,3 +154,43 @@ def test_explode_segments_multivertex(spark):
     )
     out = explode_segments(df2)
     assert out.count() == 1 and out.first().id == "a"
+
+
+def test_fuzzy_dates_malformed_input_yields_null(spark):
+    # Spark 4 runs ANSI mode, where to_timestamp would RAISE on garbage;
+    # the reference's Date.parse yields NaN (predicate false).  Our
+    # try_to_timestamp must degrade to NULL, never fail the job.
+    from pyspark.sql import functions as F
+
+    from etl_addresses_spark.functions.dates import (
+        fuzzy_date_earliest,
+        fuzzy_date_latest,
+    )
+
+    df = spark.createDataFrame(
+        [("1854",), ("not-a-date",), ("1854-13-99",), (None,)], ["d"]
+    )
+    rows = df.select(
+        fuzzy_date_earliest(F.col("d")).alias("lo"),
+        fuzzy_date_latest(F.col("d")).alias("hi"),
+    ).collect()
+    assert rows[0].lo is not None and rows[0].hi is not None
+    assert rows[1].lo is None and rows[1].hi is None
+    assert rows[2].lo is None and rows[2].hi is None
+    assert rows[3].lo is None and rows[3].hi is None
+
+
+def test_matched_name_null_number_propagates(spark):
+    # the matched-record name is concat(number, ' ', street): a NULL
+    # house number must yield a NULL name (matches the oracle's ||),
+    # not concat_ws's silent skip
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("12", "Elm St"), (None, "Oak St")], ["number", "streetName"]
+    )
+    out = df.select(
+        F.concat(F.col("number"), F.lit(" "), F.col("streetName")).alias("name")
+    ).collect()
+    assert out[0].name == "12 Elm St"
+    assert out[1].name is None
