@@ -93,8 +93,55 @@ WHERE p.event_type = 'purchase' AND v.event_type = 'view'
 """
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: the streaming purchase feed
+    joined per micro-batch to the static customer dimension (user_id
+    mod the customer count, the fixture's event->customer mapping).
+    The static side is planned as a broadcast against every
+    micro-batch — no state store, no watermark needed; the production
+    shape for dimension lookups on an unbounded stream."""
+    from etl_addresses_spark.sources.tables import load_table
+
+    stream = event_stream.read_events_stream(spark, sf_dir)
+    customers = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    n_cust = customers.count()
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        (F.col("user_id") % n_cust + 1).alias("cust_id"),
+        "value",
+    )
+    enriched = purchases.join(
+        F.broadcast(customers), purchases.cust_id == customers.c_custkey
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "sum_value"
+        ),
+    )
+    return event_stream.run_to_memory(agg, "q_stream_enrich", mode="complete")
+
+
+# The oracle needs the same customer-count constant; it is the table's
+# row count, computable inline.
+STREAM_STATIC_ENRICH_SQL = """
+SELECT c_mktsegment,
+  count(*) AS n_purchases,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e
+JOIN customer c
+  ON (e.user_id % (SELECT count(*) FROM customer)) + 1 = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY c_mktsegment
+"""
+
+
 STREAMING_QUERIES = {
     "stream_dedup_keys": (stream_dedup_keys, STREAM_DEDUP_SQL),
     "stream_windowed_counts": (stream_windowed_counts, STREAM_WINDOWED_SQL),
     "stream_purchase_view_join": (stream_purchase_view_join, STREAM_SSJ_SQL),
+    "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_ENRICH_SQL),
 }
