@@ -234,10 +234,57 @@ GROUP BY s_suppkey, s_name
 """
 
 
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a base rollup
+    (orders before 1997) merged with a delta batch (1997 onward) by
+    COMBINING PARTIAL STATES — sums add, counts add, avg re-derives
+    from merged sum/count — instead of rescanning history.  At 100 TB
+    this is the difference between a daily job over one day's delta and
+    one over five years of history.  The oracle aggregates the full
+    table directly, proving merged-partial == recomputed-from-scratch."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+
+    base = rollup(o.filter(F.col("o_orderdate") < cutoff))
+    delta = rollup(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("sum_price").alias("sum_price"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+    )
+    return merged.select(
+        "o_orderstatus",
+        F.col("sum_price").cast("double").alias("sum_price"),
+        "n_orders",
+        (F.col("sum_price").cast("double") / F.col("n_orders")).alias(
+            "avg_price"
+        ),
+    )
+
+
+INCREMENTAL_AGG_SQL = """
+SELECT o_orderstatus,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+  count(*) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 QUERIES6 = {
     "skew_salted_distinct": (skew_salted_distinct, SKEW_SALTED_DISTINCT_SQL),
     "q20_dominant_suppliers": (q20_dominant_suppliers, Q20_SQL),
     "sql_grouping_sets": (sql_grouping_sets, SQL_GROUPING_SETS_SQL),
     "window_range_time": (window_range_time, WINDOW_RANGE_TIME_SQL),
     "funnel_conversion": (funnel_conversion, FUNNEL_CONVERSION_SQL),
+    "incremental_agg_merge": (incremental_agg_merge, INCREMENTAL_AGG_SQL),
 }

@@ -195,6 +195,34 @@ def purchases_with_recent_views(events: DataFrame) -> DataFrame:
     )
 
 
+def run_foreach_batch_overwrite(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """foreachBatch sink: each micro-batch receives (batch_df, batch_id)
+    and applies arbitrary writer logic — here a complete-mode aggregate
+    atomically overwriting the sink table, the idempotent upsert shape
+    (re-delivery of a batch id rewrites the same state; with a
+    transactional format this becomes MERGE INTO on the key).  This is
+    the escape hatch for sinks Structured Streaming has no native
+    writer for."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.read.parquet(out_dir)
+
+
 def run_with_checkpoint(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> DataFrame:

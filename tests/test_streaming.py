@@ -240,3 +240,45 @@ def test_watermark_drops_late_row(spark, tmp_path):
     )
     assert dropped == 1, "engine must report exactly one watermark-dropped row"
     assert len(rows) == len(streamed), "no duplicate window emissions"
+
+
+def test_foreach_batch_overwrite_sink(spark, tmp_path):
+    """foreachBatch upsert sink over two micro-batches: the final sink
+    state must equal the batch aggregate over ALL input (each complete-
+    mode batch overwrites, so the last overwrite wins and re-delivery
+    is idempotent)."""
+    import json
+    import os
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, rows, mtime):
+        p = src / name
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    b1 = [{"user_id": 1, "value": 1.0}, {"user_id": 2, "value": 2.0}]
+    b2 = [{"user_id": 1, "value": 3.0}, {"user_id": 3, "value": 4.0}]
+    now = time.time()
+    write("b1.json", b1, now - 50)
+    write("b2.json", b2, now)
+
+    schema = "user_id long, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+    out = event_stream.run_foreach_batch_overwrite(
+        agg, str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    )
+    got = {(r.user_id): (r.n, r.total) for r in out.collect()}
+    assert got == {1: (2, 4.0), 2: (1, 2.0), 3: (1, 4.0)}
