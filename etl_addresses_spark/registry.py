@@ -13,7 +13,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_addresses_spark.operators import clustering, graph, polygon
+from etl_addresses_spark.operators import clustering, graph, llmtext, polygon
 from etl_addresses_spark.plans import (
     extensions,
     flagship,
@@ -78,6 +78,10 @@ _ALL: dict[str, Entry] = {
     **{
         name: Entry(fn, sql)
         for name, (fn, sql) in streaming_queries.STREAMING_QUERIES.items()
+    },
+    **{
+        name: Entry(fn, sql)
+        for name, (fn, sql) in llmtext.QUERIES_LLMDATA.items()
     },
     # Iterative float ops: genuinely non-SQL-expressible -> rows-only
     # checks; SSE-monotonicity + recall asserted in pytest instead.
