@@ -107,3 +107,137 @@ def pagerank_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = transform_relations(spark, sf_dir)
     return pagerank(edges.select("from_id", "to_id"))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the co-purchase graph (degree-ordered).
+# ---------------------------------------------------------------------------
+
+_ORD_BASE = 1_000_000_000
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count triangles in the parts-bought-together graph with the
+    degree-ordered edge orientation (the node-iterator++ / Latapy
+    scheme every distributed triangle counter uses).
+
+    Each undirected edge is oriented from its lower-(degree, id) node
+    to its higher one, so every triangle is enumerated exactly once at
+    its lowest vertex AND the join fan-out per node is bounded by
+    out-degree <= O(sqrt(m)) even on power-law graphs — orienting by id
+    alone would put a hub's whole neighborhood on one key.  Two
+    self-joins on the oriented edge set; no driver data path.  Output
+    is one audit row (edges, oriented wedges, triangles, closure rate).
+    """
+    from etl_addresses_spark.sources.tables import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    # edges feeds the degree count twice (u side, v side) and the
+    # orientation join once; cache so the lineitem self-join+distinct
+    # runs a single time during the `oriented` materialization.
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .cache()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(
+            "node",
+            (F.col("deg") * _ORD_BASE + F.col("node")).alias("ord"),
+        )
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("ord").alias("ord_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("ord").alias("ord_v"))
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(F.col("ord_u") < F.col("ord_v"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("src"),
+            F.when(F.col("ord_u") < F.col("ord_v"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("dst"),
+            F.greatest("ord_u", "ord_v").alias("dst_ord"),
+        )
+    )
+    # `oriented` feeds three join operands and the edge count feeds a
+    # fourth branch; caching collapses what would otherwise be four
+    # full recomputations of the build pipeline into one (same hygiene
+    # as pagerank's cached edge set — without it the physical plan
+    # replicates the join subtree per branch, ~100 exchanges).
+    oriented = oriented.cache()
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    # wedge + triangle counts ride ONE aggregation: a wedge closes into
+    # a triangle iff the (b, c) edge exists, so a left join and a
+    # conditional count measure both in a single pass.
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.dst_ord") < F.col("e2.dst_ord")),
+    ).select(F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c"))
+    closed = wedges.join(
+        e3,
+        (F.col("b") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst")),
+        "left",
+    ).agg(
+        F.count(F.lit(1)).alias("n_oriented_wedges"),
+        F.count(F.col("e3.src")).alias("n_triangles"),
+    )
+    n_edges = oriented.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.crossJoin(closed).selectExpr(
+        "n_edges",
+        "n_oriented_wedges",
+        "n_triangles",
+        "cast(n_triangles as double) / cast(n_oriented_wedges as double)"
+        " AS wedge_closure",
+    )
+
+
+TRIANGLE_COUNT_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+),
+deg AS (
+  SELECT node, count(*) * {_ORD_BASE} + node AS ord
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN du.ord < dv.ord THEN u ELSE v END AS src,
+         CASE WHEN du.ord < dv.ord THEN v ELSE u END AS dst,
+         greatest(du.ord, dv.ord) AS dst_ord
+  FROM edges
+  JOIN deg du ON edges.u = du.node
+  JOIN deg dv ON edges.v = dv.node
+),
+wedges AS (
+  SELECT e1.dst AS b, e2.dst AS c
+  FROM oriented e1 JOIN oriented e2
+    ON e1.src = e2.src AND e1.dst_ord < e2.dst_ord
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM wedges JOIN oriented e3 ON wedges.b = e3.src AND wedges.c = e3.dst
+)
+SELECT (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT count(*) FROM wedges) AS n_oriented_wedges,
+       n_triangles,
+       CAST(n_triangles AS DOUBLE)
+         / CAST((SELECT count(*) FROM wedges) AS DOUBLE) AS wedge_closure
+FROM tri
+"""

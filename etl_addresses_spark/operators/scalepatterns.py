@@ -1,0 +1,485 @@
+"""Physical-design patterns that only matter once the data is big:
+Z-order layout, Bloom-filter join pruning, count-min-sketch heavy
+hitters, and integer-exact anomaly flagging.
+
+These are the knobs a 100 TB deployment turns that a 60k-row demo never
+needs — so each one is written to *demonstrate its scale property in
+its result* (span shrinkage, false-positive rate, overcount bound)
+rather than just run.  All four are pure JVM column expressions with
+bit-level DuckDB oracles; the hash/bit arithmetic is md5-derived and
+rendered identically in both engines (Spark `instr`/`shiftleft` ==
+DuckDB `strpos`/`<<`).
+
+Scale designs:
+- Z-order: quantize on a broadcast 1-row min/max frame, interleave bits
+  map-side, bucket by z-prefix (NO global window/ntile — a total-order
+  rank would serialize on one task).  The write path is
+  `repartitionByRange(z).sortWithinPartitions(z)` (see
+  tests/test_scalepatterns.py::test_zorder_write_files_are_disjoint);
+  the query here reports per-bucket extents so the clustering is
+  visible in the result.
+- Bloom pruning: the filter is built as a <=1024-row (word, bits) table
+  via bit_or aggregation and broadcast into the probe — the relational
+  rendering of what Spark's AQE runtime bloom filter
+  (spark.sql.optimizer.runtime.bloomFilter.enabled) injects as a scalar
+  subquery.  No false negatives by construction; the measured false
+  positives are in the output.
+- Count-min sketch: constant-size (d=4, w=4096) mergeable state; the
+  only viable frequency shape when the key space doesn't fit anywhere.
+  Estimate >= truth always; the result carries the overcount so the
+  epsilon*N bound is checkable.
+- Anomaly z-score: the 3-sigma test ((n*v - S)^2 > 9*(n*SS - S^2)) is
+  evaluated in exact int64 cents — no float variance, no engine
+  drift, no division anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_addresses_spark.sources.tables import load_table
+
+_HEX = "0123456789abcdef"
+
+
+def _hx_spark(h: str, pos: int) -> str:
+    """0..15 value of 1-based hex char `pos` of column-expr `h`."""
+    return f"(instr('{_HEX}', substring({h}, {pos}, 1)) - 1)"
+
+
+def _hx_duck(h: str, pos: int) -> str:
+    return f"(strpos('{_HEX}', substr({h}, {pos}, 1)) - 1)"
+
+
+def _hexint_spark(h: str, start: int, nchars: int) -> str:
+    """Big-endian integer from `nchars` hex chars starting at `start`."""
+    return (
+        "("
+        + " + ".join(
+            f"{_hx_spark(h, start + i)} * {16 ** (nchars - 1 - i)}"
+            for i in range(nchars)
+        )
+        + ")"
+    )
+
+
+def _hexint_duck(h: str, start: int, nchars: int) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"{_hx_duck(h, start + i)} * {16 ** (nchars - 1 - i)}"
+            for i in range(nchars)
+        )
+        + ")"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout: interleave quantized (custkey, order-day).
+# ---------------------------------------------------------------------------
+
+_ZBITS = 16          # bits per dimension -> 32-bit z-value
+_ZBUCKET_SHIFT = 26  # keep top 6 z bits -> 64 buckets
+
+
+def _interleave_spark(qx: str, qy: str) -> str:
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"shiftleft(shiftright({qx}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({qy}, {i}) & 1, {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _interleave_duck(qx: str, qy: str) -> str:
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"((({qx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({qy} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket (custkey, day) extents under a Z-order layout vs a
+    naive date-only layout, side by side.
+
+    The z-ordered buckets stay narrow in BOTH dimensions while the
+    date-sorted buckets span the full custkey range — the property that
+    lets a (custkey range, date range) scan skip most files.  Quantize
+    bounds come from one broadcast 1-row min/max aggregate; everything
+    after is map-side bit math plus one rollup, so the plan is two
+    narrow passes at any scale.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.selectExpr(
+        "o_custkey AS ck",
+        "datediff(cast(o_orderdate as date), date'1970-01-01') AS dy",
+    )
+    stats = base.agg(
+        F.min("ck").alias("ck_min"),
+        F.max("ck").alias("ck_max"),
+        F.min("dy").alias("dy_min"),
+        F.max("dy").alias("dy_max"),
+    )
+    scale = 2**_ZBITS - 1
+    q = base.crossJoin(F.broadcast(stats)).selectExpr(
+        f"((ck - ck_min) * {scale}) div greatest(ck_max - ck_min, 1) AS qx",
+        f"((dy - dy_min) * {scale}) div greatest(dy_max - dy_min, 1) AS qy",
+    )
+    z = q.selectExpr(
+        "qx", "qy", _interleave_spark("qx", "qy") + " AS z"
+    )
+    zorder = z.selectExpr(
+        "'zorder' AS layout",
+        f"z div {2 ** _ZBUCKET_SHIFT} AS bucket",
+        "qx",
+        "qy",
+    )
+    bydate = z.selectExpr(
+        "'by_date' AS layout",
+        f"qy div {2 ** (_ZBITS - 6)} AS bucket",
+        "qx",
+        "qy",
+    )
+    return (
+        zorder.unionByName(bydate)
+        .groupBy("layout", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("qx") - F.min("qx")).alias("span_ck"),
+            (F.max("qy") - F.min("qy")).alias("span_day"),
+        )
+    )
+
+
+ZORDER_EXTENTS_SQL = f"""
+WITH base AS (
+  SELECT o_custkey AS ck,
+    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dy
+  FROM orders
+),
+stats AS (
+  SELECT min(ck) AS ck_min, max(ck) AS ck_max,
+         min(dy) AS dy_min, max(dy) AS dy_max
+  FROM base
+),
+q AS (
+  SELECT ((ck - ck_min) * {2 ** _ZBITS - 1}) // greatest(ck_max - ck_min, 1) AS qx,
+         ((dy - dy_min) * {2 ** _ZBITS - 1}) // greatest(dy_max - dy_min, 1) AS qy
+  FROM base CROSS JOIN stats
+),
+z AS (
+  SELECT qx, qy, {_interleave_duck("qx", "qy")} AS z FROM q
+),
+both_layouts AS (
+  SELECT 'zorder' AS layout, z // {2 ** _ZBUCKET_SHIFT} AS bucket, qx, qy FROM z
+  UNION ALL
+  SELECT 'by_date' AS layout, qy // {2 ** (_ZBITS - 6)} AS bucket, qx, qy FROM z
+)
+SELECT layout, bucket, count(*) AS n_rows,
+  max(qx) - min(qx) AS span_ck,
+  max(qy) - min(qy) AS span_day
+FROM both_layouts
+GROUP BY layout, bucket
+"""
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning: m=32768 bits (512 words), k=3.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 32768  # bits
+_BLOOM_K = 3
+
+_MD5_SPARK = "md5(cast(cast({k} as string) as binary))"
+_MD5_DUCK = "md5(CAST({k} AS VARCHAR))"
+
+
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prune a lineitem probe against a Bloom filter of URGENT-order
+    keys, then measure the pruning against the exact semi-join.
+
+    Build side: 3 md5-derived bit positions per key, bit_or-folded into
+    a <=1024-row (word, bits) table — constant size regardless of build
+    cardinality, which is why a bloom broadcast survives scales where a
+    key-set broadcast cannot.  Probe side: distinct keys explode to
+    their 3 (word, mask) probes, hash-join the broadcast bloom, and a
+    key passes iff all 3 bits are set (no false negatives by
+    construction).  Output: per returnflag, probe rows vs bloom-passing
+    rows vs true matches — the false-positive column IS the measured
+    pruning quality.  Spark's AQE injects this same filter automatically
+    (runtime.bloomFilter); this operator is the explicit, testable form.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    h = _MD5_SPARK.format(k="k")
+
+    def probes(keys: DataFrame) -> DataFrame:
+        ps = ", ".join(
+            f"{_hexint_spark(h, 1 + 4 * j, 4)} % {_BLOOM_M}"
+            for j in range(_BLOOM_K)
+        )
+        # 32 bits per word (not 64): DuckDB range-checks signed left
+        # shifts, so 1 << 63 errors there; bit <= 31 is portable.
+        return keys.selectExpr("k", f"explode(array({ps})) AS p").selectExpr(
+            "k", "p div 32 AS word", "shiftleft(cast(1 as bigint), p % 32) AS mask"
+        )
+
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").selectExpr(
+        "o_orderkey AS k"
+    )
+    bloom = (
+        probes(urgent)
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    probe_keys = li.selectExpr("l_orderkey AS k").distinct()
+    passing = (
+        probes(probe_keys)
+        .join(F.broadcast(bloom), "word")
+        .filter(F.expr("(bits & mask) = mask"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == _BLOOM_K)
+        .select("k", F.lit(1).alias("bloom_pass"))
+    )
+    flags = (
+        probe_keys.join(passing, "k", "left")
+        .join(urgent.distinct().withColumn("true_match", F.lit(1)), "k", "left")
+    )
+    return (
+        li.join(flags, li.l_orderkey == flags.k)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("bloom_pass").alias("n_bloom_pass"),
+            F.count("true_match").alias("n_true_match"),
+            F.count(
+                F.when(
+                    F.col("bloom_pass").isNotNull()
+                    & F.col("true_match").isNull(),
+                    1,
+                )
+            ).alias("n_false_pos"),
+        )
+    )
+
+
+def _bloom_probes_duck(src: str) -> str:
+    h = _MD5_DUCK.format(k="k")
+    ps = ", ".join(
+        f"{_hexint_duck(h, 1 + 4 * j, 4)} % {_BLOOM_M}"
+        for j in range(_BLOOM_K)
+    )
+    return f"""
+  SELECT k, p // 32 AS word, (CAST(1 AS BIGINT) << (p % 32)) AS mask
+  FROM (SELECT k, unnest([{ps}]) AS p FROM {src})
+"""
+
+
+BLOOM_PRUNE_SQL = f"""
+WITH urgent AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+bloom AS (
+  SELECT word, bit_or(mask) AS bits
+  FROM ({_bloom_probes_duck("urgent")})
+  GROUP BY word
+),
+probe_keys AS (
+  SELECT DISTINCT l_orderkey AS k FROM lineitem
+),
+passing AS (
+  SELECT k, 1 AS bloom_pass
+  FROM ({_bloom_probes_duck("probe_keys")}) pr
+  JOIN bloom USING (word)
+  WHERE (bits & mask) = mask
+  GROUP BY k
+  HAVING count(*) = {_BLOOM_K}
+),
+flags AS (
+  SELECT pk.k, p.bloom_pass, CASE WHEN u.k IS NOT NULL THEN 1 END AS true_match
+  FROM probe_keys pk
+  LEFT JOIN passing p ON pk.k = p.k
+  LEFT JOIN (SELECT DISTINCT k FROM urgent) u ON pk.k = u.k
+)
+SELECT l_returnflag, count(*) AS n_rows,
+  count(bloom_pass) AS n_bloom_pass,
+  count(true_match) AS n_true_match,
+  count(CASE WHEN bloom_pass IS NOT NULL AND true_match IS NULL THEN 1 END)
+    AS n_false_pos
+FROM lineitem JOIN flags ON l_orderkey = flags.k
+GROUP BY l_returnflag
+"""
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters: d=4 rows, w=4096 buckets.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 4096  # 3 hex chars per row hash
+_CMS_TOPK = 20
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True top-20 parts by lineitem frequency, with their count-min
+    estimates alongside the exact counts.
+
+    The sketch is d=4 x w=4096 counters built with ONE groupBy over an
+    explode — constant-size mergeable state (the property that lets a
+    100 TB stream keep frequencies in 128 KB/executor and merge
+    partials associatively).  Estimates are min over the 4 rows and
+    never undercount; `overcount` in the output makes the eps*N bound
+    auditable (eps = e/w ~ 0.07 % of stream length).  Top-k truth here
+    is the verify stage; at scale the sketch IS the answer and truth is
+    sampled.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    h = _MD5_SPARK.format(k="l_partkey")
+    buckets = ", ".join(
+        f"named_struct('j', {j}, 'bucket', {_hexint_spark(h, 1 + 3 * j, 3)})"
+        for j in range(_CMS_D)
+    )
+    cms = (
+        li.selectExpr(f"explode(array({buckets})) AS rb")
+        .groupBy("rb.j", "rb.bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("l_partkey"))
+        .limit(_CMS_TOPK)
+    )
+    th = _MD5_SPARK.format(k="l_partkey")
+    top_probes = top.selectExpr(
+        "l_partkey",
+        "true_cnt",
+        "explode(array("
+        + ", ".join(
+            f"named_struct('j', {j}, 'bucket', {_hexint_spark(th, 1 + 3 * j, 3)})"
+            for j in range(_CMS_D)
+        )
+        + ")) AS rb",
+    )
+    return (
+        top_probes.join(
+            F.broadcast(cms),
+            (top_probes["rb.j"] == cms["j"])
+            & (top_probes["rb.bucket"] == cms["bucket"]),
+        )
+        .groupBy("l_partkey", "true_cnt")
+        .agg(F.min("n").alias("cms_est"))
+        .withColumn("overcount", F.col("cms_est") - F.col("true_cnt"))
+    )
+
+
+def _cms_probes_duck(h: str) -> str:
+    return ", ".join(
+        f"{{'j': {j}, 'bucket': {_hexint_duck(h, 1 + 3 * j, 3)}}}"
+        for j in range(_CMS_D)
+    )
+
+
+_CMS_H = _MD5_DUCK.format(k="l_partkey")
+
+CMS_HEAVY_HITTERS_SQL = f"""
+WITH exploded AS (
+  SELECT unnest([{_cms_probes_duck(_CMS_H)}]) AS rb FROM lineitem
+),
+cms AS (
+  SELECT rb.j AS j, rb.bucket AS bucket, count(*) AS n
+  FROM exploded GROUP BY rb.j, rb.bucket
+),
+top AS (
+  SELECT l_partkey, count(*) AS true_cnt
+  FROM lineitem GROUP BY l_partkey
+  ORDER BY true_cnt DESC, l_partkey ASC
+  LIMIT {_CMS_TOPK}
+),
+top_probes AS (
+  SELECT l_partkey, true_cnt, unnest([{_cms_probes_duck(_CMS_H)}]) AS rb
+  FROM top
+)
+SELECT l_partkey, true_cnt, min(n) AS cms_est, min(n) - true_cnt AS overcount
+FROM top_probes JOIN cms ON rb.j = cms.j AND rb.bucket = cms.bucket
+GROUP BY l_partkey, true_cnt
+"""
+
+# ---------------------------------------------------------------------------
+# Integer-exact 3-sigma anomaly flags over event values.
+# ---------------------------------------------------------------------------
+
+_Z_MIN_EVENTS = 10
+
+
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is >3 population-sigma above/below their
+    user's mean, computed WITHOUT any floating-point variance:
+    values quantize to int64 cents and the test
+        (n*v - S)^2 > 9 * (n*SS - S^2)
+    multiplies the classic |v - mu| > 3*sigma through by n^2, so both
+    engines evaluate exact integers and parity is bit-trivial.  One
+    window shuffle on user_id; flags are map-side arithmetic.  At
+    100 TB the same shape runs per (user, day) partitions and the
+    quantization bound (half a cent) is the documented contract.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = "(PARTITION BY user_id)"
+    return (
+        e.selectExpr(
+            "user_id",
+            "event_id",
+            "cast(floor(value * 100.0e0) as bigint) AS v_cents",
+        )
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "v_cents",
+            f"count(*) OVER {w} AS n",
+            f"sum(v_cents) OVER {w} AS s",
+            f"sum(v_cents * v_cents) OVER {w} AS ss",
+        )
+        .filter(
+            F.expr(
+                f"n >= {_Z_MIN_EVENTS} AND "
+                "(n * v_cents - s) * (n * v_cents - s) > 9 * (n * ss - s * s)"
+            )
+        )
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "v_cents",
+            "n AS n_user_events",
+            "(n * v_cents - s) AS n_dev",
+        )
+    )
+
+
+ANOMALY_ZSCORE_SQL = f"""
+WITH cents AS (
+  SELECT user_id, event_id,
+    CAST(floor(value * 100.0e0) AS BIGINT) AS v_cents
+  FROM events
+),
+stats AS (
+  SELECT user_id, event_id, v_cents,
+    count(*) OVER w AS n,
+    sum(v_cents) OVER w AS s,
+    sum(v_cents * v_cents) OVER w AS ss
+  FROM cents
+  WINDOW w AS (PARTITION BY user_id)
+)
+SELECT user_id, event_id, v_cents, n AS n_user_events,
+  (n * v_cents - s) AS n_dev
+FROM stats
+WHERE n >= {_Z_MIN_EVENTS}
+  AND (n * v_cents - s) * (n * v_cents - s) > 9 * (n * ss - s * s)
+"""
+
+
+QUERIES_SCALE = {
+    "zorder_extents": (zorder_extents, ZORDER_EXTENTS_SQL),
+    "bloom_prune_join": (bloom_prune_join, BLOOM_PRUNE_SQL),
+    "cms_heavy_hitters": (cms_heavy_hitters, CMS_HEAVY_HITTERS_SQL),
+    "anomaly_zscore_events": (anomaly_zscore_events, ANOMALY_ZSCORE_SQL),
+}

@@ -13,7 +13,13 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_addresses_spark.operators import clustering, graph, llmtext, polygon
+from etl_addresses_spark.operators import (
+    clustering,
+    graph,
+    llmtext,
+    polygon,
+    scalepatterns,
+)
 from etl_addresses_spark.plans import (
     extensions,
     flagship,
@@ -83,6 +89,11 @@ _ALL: dict[str, Entry] = {
         name: Entry(fn, sql)
         for name, (fn, sql) in llmtext.QUERIES_LLMDATA.items()
     },
+    **{
+        name: Entry(fn, sql)
+        for name, (fn, sql) in scalepatterns.QUERIES_SCALE.items()
+    },
+    "triangle_count": Entry(graph.triangle_count, graph.TRIANGLE_COUNT_SQL),
     # Iterative float ops: genuinely non-SQL-expressible -> rows-only
     # checks; SSE-monotonicity + recall asserted in pytest instead.
     "kmeans_cluster_sizes": Entry(clustering.kmeans_cluster_sizes, None),

@@ -1,0 +1,117 @@
+from __future__ import annotations
+
+import pytest
+from conftest import SF_ORACLE, assert_frames_match
+
+from pyspark.sql import functions as F
+
+from etl_addresses_spark.operators.graph import TRIANGLE_COUNT_SQL, triangle_count
+from etl_addresses_spark.operators.scalepatterns import (
+    QUERIES_SCALE,
+    _interleave_spark,
+    anomaly_zscore_events,
+    bloom_prune_join,
+    cms_heavy_hitters,
+    zorder_extents,
+)
+from etl_addresses_spark.sources.tables import load_table
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES_SCALE))
+def test_scalepatterns_oracle(name, spark, ddb):
+    fn, sql = QUERIES_SCALE[name]
+    assert_frames_match(fn(spark, SF_ORACLE), ddb.sql(sql))
+
+
+def test_triangle_count_oracle(spark, ddb):
+    assert_frames_match(triangle_count(spark, SF_ORACLE), ddb.sql(TRIANGLE_COUNT_SQL))
+
+
+def test_zorder_clusters_both_dimensions(spark):
+    rows = zorder_extents(spark, SF_ORACLE).collect()
+    # weighted mean custkey-span per bucket: z-order keeps it a small
+    # fraction of the full 65535 range; date-sorted buckets span ~all.
+    def wspan(layout):
+        rs = [r for r in rows if r.layout == layout]
+        n = sum(r.n_rows for r in rs)
+        return sum(r.span_ck * r.n_rows for r in rs) / n
+
+    assert wspan("by_date") > 50000  # date layout: custkey unclustered
+    assert wspan("zorder") < wspan("by_date") / 3
+
+
+def test_zorder_write_files_are_disjoint(spark, tmp_path):
+    # the write path: repartitionByRange(z) + sortWithinPartitions(z)
+    # must yield files whose z ranges do not overlap -> a (ck, day)
+    # range scan can skip files on parquet min/max alone.
+    o = load_table(spark, SF_ORACLE, "orders")
+    base = o.selectExpr(
+        "o_orderkey",
+        "o_custkey % 65536 AS qx",
+        "(datediff(cast(o_orderdate as date), date'1970-01-01')) % 65536 AS qy",
+    ).selectExpr("o_orderkey", _interleave_spark("qx", "qy") + " AS z")
+    out = str(tmp_path / "orders_z")
+    base.repartitionByRange(8, "z").sortWithinPartitions("z").write.parquet(out)
+    back = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in back)
+    assert len(spans) >= 2
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
+
+
+def test_bloom_has_no_false_negatives_and_prunes(spark):
+    rows = bloom_prune_join(spark, SF_ORACLE).collect()
+    n_rows = sum(r.n_rows for r in rows)
+    n_pass = sum(r.n_bloom_pass for r in rows)
+    n_true = sum(r.n_true_match for r in rows)
+    n_fp = sum(r.n_false_pos for r in rows)
+    assert n_pass == n_true + n_fp  # passing = true ∪ false-positive
+    assert n_true > 0
+    # the filter must actually prune: the non-matching share surviving
+    # the bloom is the FP rate, which at m/n ~ 11 bits/key stays small
+    assert n_fp < 0.05 * (n_rows - n_true)
+
+
+def test_cms_never_undercounts(spark):
+    rows = cms_heavy_hitters(spark, SF_ORACLE).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.cms_est >= r.true_cnt
+        assert r.overcount == r.cms_est - r.true_cnt
+
+
+def test_anomaly_flags_are_three_sigma(spark):
+    import math
+
+    flagged = {
+        r.event_id for r in anomaly_zscore_events(spark, SF_ORACLE).collect()
+    }
+    assert flagged
+    # recompute per-user mean/std in plain python and confirm exactly
+    # the >3-sigma events were flagged
+    ev = (
+        load_table(spark, SF_ORACLE, "events")
+        .selectExpr(
+            "user_id", "event_id", "cast(floor(value * 100.0e0) as bigint) v"
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    want = set()
+    for rs in by_user.values():
+        n = len(rs)
+        if n < 10:
+            continue
+        mu = sum(r.v for r in rs) / n
+        sd = math.sqrt(sum((r.v - mu) ** 2 for r in rs) / n)
+        for r in rs:
+            if abs(r.v - mu) > 3 * sd:
+                want.add(r.event_id)
+    assert flagged == want
