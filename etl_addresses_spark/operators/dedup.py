@@ -461,3 +461,105 @@ closure(a, b) AS (
 SELECT a AS doc_id, min(b) AS cluster_id FROM closure GROUP BY a
 """
 )
+
+
+# --- block-level exact substring dedup -----------------------------------
+
+SUBSTR_BLOCK_WORDS = 10
+
+
+def dedup_substring_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact substring dedup at 10-word-block granularity
+    (the distributed shape of suffix-array substring dedup, Lee et al.
+    2021 "Deduplicating Training Data Makes Language Models Better" --
+    blocks instead of suffixes so the state is linear, not quadratic).
+
+    Every document splits into consecutive 10-word blocks; a block
+    survives only at its FIRST corpus occurrence (min (doc_id, position)
+    over all documents), so exact copies lose all their blocks and
+    near-dup copies keep only their novel tail.  Surviving blocks
+    reassemble in position order into `text_dedup`.
+
+    Plan: one narrow explode (no data growth: blocks partition the
+    text), ONE hash shuffle on block content for the first-occurrence
+    row_number, one per-document shuffle to reassemble.  Per-group
+    state is bounded: the window groups duplicate copies of one block,
+    the reassembly groups one document's own blocks.  At 100 TB the
+    window key would be xxhash64(blk) to cut shuffle bytes, and a hot
+    boilerplate block (the classic header/footer clique) lands on one
+    task only for a cheap row_number -- no pairwise blowup, unlike
+    similarity joins.  AQE skew splitting covers the rest.
+    """
+    c = corpus_df(spark, sf_dir)
+    bw = SUBSTR_BLOCK_WORDS
+    blocks = (
+        c.select("doc_id", F.split("text", " ").alias("t"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"explode(sequence(0, cast(ceil(size(t) / {bw}.0e0) as int) - 1))"
+            ).alias("blk_idx"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "blk_idx",
+            F.expr(f"array_join(slice(t, blk_idx * {bw} + 1, {bw}), ' ')").alias(
+                "blk"
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("blk").orderBy("doc_id", "blk_idx"))
+    ranked = blocks.select("doc_id", "blk_idx", "blk", rn.alias("rn"))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rn") == 1, F.struct("blk_idx", "blk"))
+                    )
+                ),
+                lambda x: x["blk"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+
+
+DEDUP_SUBSTRING_SQL = (
+    "WITH " + CORPUS_CTE.strip()
+    + f""",
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+blocks AS (
+  SELECT doc_id,
+         unnest(range(CAST(ceil(len(t) / {SUBSTR_BLOCK_WORDS}.0e0) AS BIGINT)))
+           AS blk_idx,
+         t
+  FROM toks
+),
+blk AS (
+  SELECT doc_id, blk_idx,
+         array_to_string(
+           t[blk_idx * {SUBSTR_BLOCK_WORDS} + 1 :
+             blk_idx * {SUBSTR_BLOCK_WORDS} + {SUBSTR_BLOCK_WORDS}], ' ') AS blk
+  FROM blocks
+),
+ranked AS (
+  SELECT doc_id, blk_idx, blk,
+         row_number() OVER (PARTITION BY blk ORDER BY doc_id, blk_idx) AS rn
+  FROM blk
+)
+SELECT doc_id,
+       count(*) AS n_blocks,
+       count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+       coalesce(
+         string_agg(CASE WHEN rn = 1 THEN blk END, ' ' ORDER BY blk_idx), ''
+       ) AS text_dedup
+FROM ranked
+GROUP BY doc_id
+"""
+)

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_addresses_spark.operators import (
     clustering,
+    dedup,
     graph,
     llmtext,
     polygon,
@@ -94,6 +95,9 @@ _ALL: dict[str, Entry] = {
         for name, (fn, sql) in scalepatterns.QUERIES_SCALE.items()
     },
     "triangle_count": Entry(graph.triangle_count, graph.TRIANGLE_COUNT_SQL),
+    "dedup_substring_blocks": Entry(
+        dedup.dedup_substring_blocks, dedup.DEDUP_SUBSTRING_SQL
+    ),
     # Iterative float ops: genuinely non-SQL-expressible -> rows-only
     # checks; SSE-monotonicity + recall asserted in pytest instead.
     "kmeans_cluster_sizes": Entry(clustering.kmeans_cluster_sizes, None),

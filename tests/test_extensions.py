@@ -123,3 +123,38 @@ def test_dedup_clusters_convergence_guard(spark):
     assert ok.select("cluster_id").distinct().count() == 1
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters_for(corpus, max_rounds=2).count()
+
+
+def test_dedup_substring_blocks_oracle(spark, ddb):
+    assert_frames_match(
+        dedup.dedup_substring_blocks(spark, SF_ORACLE),
+        ddb.sql(dedup.DEDUP_SUBSTRING_SQL),
+    )
+
+
+def test_dedup_substring_blocks_semantics(spark):
+    rows = {r.doc_id: r for r in dedup.dedup_substring_blocks(spark, SF_ORACLE).collect()}
+    texts = {
+        r.doc_id: r.text for r in dedup.corpus_df(spark, SF_ORACLE).collect()
+    }
+    exact = [d for d in rows if d >= 20000000]
+    near = [d for d in rows if 10000000 <= d < 20000000]
+    orig = [d for d in rows if d < 10000000]
+    assert exact and near and orig
+    # exact copies: every block already appeared in the original -> all dropped
+    for d in exact:
+        assert rows[d].n_kept == 0
+        assert rows[d].text_dedup == ""
+    # near-dups: the suffix-bearing tail block is novel, the body is not
+    for d in near:
+        assert 1 <= rows[d].n_kept < rows[d].n_blocks
+    # originals win first-occurrence nearly always (cross-doc block
+    # collisions are possible in the synthetic vocab, but rare)
+    full_kept = [d for d in orig if rows[d].n_kept == rows[d].n_blocks]
+    assert len(full_kept) > 0.8 * len(orig)
+    kept_blocks = sum(rows[d].n_kept for d in orig)
+    all_blocks = sum(rows[d].n_blocks for d in orig)
+    assert kept_blocks > 0.9 * all_blocks
+    # reassembly is the identity on fully-kept docs
+    for d in full_kept[:50]:
+        assert rows[d].text_dedup == texts[d]
