@@ -52,6 +52,11 @@ HEADLINE = [
     "q9_profit_by_nation_year",
     "q18_large_orders",
     "q21_sole_late_supplier",
+    # round-2 additions: the shuffle-heaviest new operators (substring
+    # dedup window, bloom build+probe, degree-ordered triangle join)
+    "dedup_substring_blocks",
+    "bloom_prune_join",
+    "triangle_count",
 ]
 
 
