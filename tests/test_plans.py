@@ -102,3 +102,46 @@ def test_interval_overlap_broadcasts_windows(spark):
     plan = _plan(curation.interval_overlap_join(spark, SF_SMALL))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_substring_dedup_plan_shape(spark):
+    # one window shuffle on block content, no join at all — the dedup
+    # must never degenerate into a pairwise self-join
+    from etl_addresses_spark.operators import dedup
+
+    plan = _plan(dedup.dedup_substring_blocks(spark, SF_SMALL))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_bloom_prune_broadcasts_filter_not_keys(spark):
+    # the <=1024-row bloom table must broadcast into the probe side
+    from etl_addresses_spark.operators import scalepatterns
+
+    plan = _plan(scalepatterns.bloom_prune_join(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_extents_no_window_no_join_blowup(spark):
+    # quantization bounds ride ONE broadcast 1-row frame; the layout
+    # comparison must not introduce a global sort or rank
+    from etl_addresses_spark.operators import scalepatterns
+
+    plan = _plan(scalepatterns.zorder_extents(spark, SF_SMALL))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Sort [z" not in plan
+
+
+def test_triangle_count_no_nested_loop(spark):
+    # all three triangle joins are equi-joins (src / (b,c) keys); a
+    # nested-loop or cartesian fallback would be quadratic at scale
+    from etl_addresses_spark.operators import graph
+
+    plan = _plan(graph.triangle_count(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    # the single crossJoin of two 1-row aggregates is the only BNLJ
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
