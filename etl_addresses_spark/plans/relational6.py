@@ -280,6 +280,73 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort-retention triangle over events: users cohorted by
+    first-activity day, activity counted per (cohort, days-since) --
+    daily grain because the synthetic event log spans one month.
+
+    Plan: one shuffle keys the first-event aggregate on user_id; the
+    activity join reuses that same user_id partitioning (no extra
+    exchange); per-(cohort, age) distinct-user counts are a bounded
+    two-level aggregate; cohort sizes are a tiny per-day frame that
+    BROADCASTS back for the ratio.  The ratio divides explicit
+    doubles.  At 100 TB the only wide ops are user_id hash
+    shuffles -- no window over the full event log, no driver state.
+    Day arithmetic is a calendar-date diff, exact in both engines.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    j = e.join(first, "user_id")
+    base = j.select(
+        "user_id",
+        F.date_format("first_ts", "yyyy-MM-dd").alias("cohort_day"),
+        F.datediff(F.col("ts").cast("date"), F.col("first_ts").cast("date")).alias(
+            "age_days"
+        ),
+    )
+    active = base.groupBy("cohort_day", "age_days").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    sizes = first.groupBy(
+        F.date_format("first_ts", "yyyy-MM-dd").alias("cohort_day")
+    ).agg(F.count(F.lit(1)).alias("cohort_size"))
+    return active.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "age_days",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size").cast("double")).alias(
+            "retention"
+        ),
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+),
+base AS (
+  SELECT e.user_id,
+         strftime(f.first_ts, '%Y-%m-%d') AS cohort_day,
+         date_diff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE))
+           AS age_days
+  FROM events e JOIN first f ON e.user_id = f.user_id
+),
+active AS (
+  SELECT cohort_day, age_days, count(DISTINCT user_id) AS n_active
+  FROM base GROUP BY cohort_day, age_days
+),
+sizes AS (
+  SELECT strftime(first_ts, '%Y-%m-%d') AS cohort_day, count(*) AS cohort_size
+  FROM first GROUP BY 1
+)
+SELECT a.cohort_day, age_days, n_active, cohort_size,
+       CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+FROM active a JOIN sizes s ON a.cohort_day = s.cohort_day
+"""
+
+
+
 QUERIES6 = {
     "skew_salted_distinct": (skew_salted_distinct, SKEW_SALTED_DISTINCT_SQL),
     "q20_dominant_suppliers": (q20_dominant_suppliers, Q20_SQL),
@@ -287,4 +354,5 @@ QUERIES6 = {
     "window_range_time": (window_range_time, WINDOW_RANGE_TIME_SQL),
     "funnel_conversion": (funnel_conversion, FUNNEL_CONVERSION_SQL),
     "incremental_agg_merge": (incremental_agg_merge, INCREMENTAL_AGG_SQL),
+    "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
 }

@@ -43,3 +43,14 @@ def test_salted_distinct_two_stage_plan(spark):
     assert "partial_collect_set" in plan
     assert "partial_sum" in plan
     assert plan.count("+- Exchange") == 2
+
+
+def test_cohort_retention_day_zero_is_total(spark):
+    from etl_addresses_spark.plans.relational6 import cohort_retention
+
+    rows = cohort_retention(spark, SF_ORACLE).collect()
+    assert rows
+    day0 = [r for r in rows if r.age_days == 0]
+    # every user is active on their first day, so age-0 retention == 1
+    assert day0 and all(r.retention == 1.0 and r.n_active == r.cohort_size for r in day0)
+    assert all(0.0 < r.retention <= 1.0 for r in rows)
