@@ -39,12 +39,17 @@ def ensure_session_confs(spark: SparkSession) -> None:
     """Runtime confs every query depends on, set defensively because the
     driver may call us with a SparkSession it built itself:
     UTC session timezone (fuzzy-date epoch math and all oracle
-    timestamp comparisons assume it) and nanos-as-long parquet reads
-    (events.parquet stores TIMESTAMP(NANOS), which the vectorized
-    reader otherwise rejects).  Both are session-level SQL confs, safe
-    to set at call time."""
+    timestamp comparisons assume it), nanos-as-long parquet reads
+    (older testdata stored events.ts as TIMESTAMP(NANOS), which the
+    vectorized reader otherwise rejects), and no NTZ inference (current
+    testdata stores naive timestamp[us]; with a UTC session, reading it
+    as TIMESTAMP keeps the same instant values and keeps unix_micros /
+    window arithmetic working — DuckDB's epoch_us on the naive value
+    agrees).  All are session-level SQL confs, safe to set at call
+    time."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -52,13 +57,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) parquet read as raw nanos (see session.py);
-        # truncate to microseconds — same truncation DuckDB applies when
-        # it compares TIMESTAMP_NS at microsecond precision.
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) parquet read as raw nanos (see
+            # session.py); truncate to microseconds — same truncation
+            # DuckDB applies comparing TIMESTAMP_NS at micro precision.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Naive timestamp read before the inferTimestampNTZ conf
+            # took effect (e.g. a cached scan); with a UTC session the
+            # cast is value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
