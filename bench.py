@@ -59,6 +59,16 @@ HEADLINE = [
     "triangle_count",
 ]
 
+# Bisect/pinning hook: SPARK_GRAFT_BENCH_QUERIES="a,b,c" restricts the
+# run to a subset (attribution runs, r1-vs-r2 comparisons); repeats per
+# query pin via SPARK_GRAFT_BENCH_REPEATS (default 3 = best-of-3).
+# The driver's BENCH_r{N}.json always uses the full list + default
+# repeats, so round-over-round totals stay apples-to-apples.
+_q_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+if _q_env:
+    HEADLINE = [q.strip() for q in _q_env.split(",") if q.strip()]
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
 
 def main() -> None:
     spark = get_spark("bench")
@@ -85,7 +95,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = REGISTRY[name].query
         best = float("inf")
-        for _ in range(3):
+        for _ in range(REPEATS):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

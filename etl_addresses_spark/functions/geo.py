@@ -135,6 +135,31 @@ def point_cell(lat: Column, lon: Column, cell_deg: float = GRID_CELL_DEG) -> Col
     )
 
 
+def point_neighbor_cells(
+    lat: Column,
+    lon: Column,
+    cell_deg: float = GRID_CELL_DEG,
+    ring: int = 2,
+) -> Column:
+    """The (2·ring+1)² grid-cell block centered on a point's cell
+    (array<struct<cx,cy>>) — the probe fan-out of the grid-prefiltered
+    kNN: any segment NOT indexed in this block has planar bbox distance
+    ≥ ring·cell_deg from every point inside the center cell, the bound
+    that makes block-local top-k provably equal to global top-k when
+    enough candidates sit strictly inside it."""
+    cx = F.floor(lon / F.lit(cell_deg))
+    cy = F.floor(lat / F.lit(cell_deg))
+    return F.flatten(
+        F.transform(
+            F.sequence(cx - ring, cx + ring),
+            lambda x: F.transform(
+                F.sequence(cy - ring, cy + ring),
+                lambda y: F.struct(x.alias("cx"), y.alias("cy")),
+            ),
+        )
+    )
+
+
 def segment_cells(
     seg_lat1: Column,
     seg_lon1: Column,

@@ -11,18 +11,23 @@ Operators:
                         shingle index self-join (the scalable pattern:
                         explode -> equi-join on shingle -> count agg; no
                         cross join ever materializes)
-* MinHash + LSH       — 64-perm MinHash signatures (xxhash64 built-in),
-                        16 bands x 4 rows, bucket self-join for candidate
-                        pairs, exact-Jaccard verification of candidates
+* MinHash + LSH       — 64-perm MinHash signatures, 16 bands x 4 rows,
+                        bucket self-join for candidate pairs,
+                        exact-Jaccard verification of candidates
                         (banding is the 100 TB path: candidates per
                         bucket, never all-pairs)
-* SimHash             — 64-bit sign-sum fingerprint over token hashes
+* SimHash             — 60-bit sign-sum fingerprint over token hashes
 
 At 100 TB: every step is explode + hash-shuffle + agg on bounded keys;
-shingle/bucket skew is handled by AQE skew-join splitting.  MinHash/
-SimHash use Spark's JVM xxhash64 (no portable SQL equivalent), so those
-two register rows-only; the exact-Jaccard and exact-dedup operators are
-fully oracle-checked.
+shingle/bucket skew is handled by AQE skew-join splitting.
+
+All hashing uses a PORTABLE 60-bit hash (top 15 hex chars of md5,
+parsed to bigint) that Spark (`conv(substr(md5(x),1,15),16,10)`) and
+DuckDB (`CAST('0x' || substr(md5(x),1,15) AS BIGINT)`) compute
+identically, so MinHash-LSH and SimHash are fully oracle-checked —
+same md5 of the same utf-8 bytes, same 60-bit prefix, no engine-
+specific xxhash.  60 bits keeps the value positive in a signed int64
+on both engines (hash quality is unchanged: md5 bits are uniform).
 """
 
 from __future__ import annotations
@@ -186,7 +191,24 @@ WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
 )
 
 
-# --- MinHash + LSH (rows-only: depends on JVM xxhash64) ------------------
+# --- portable 60-bit hash ------------------------------------------------
+
+
+def phash60(col) -> "F.Column":
+    """Portable 60-bit hash: bigint from the first 15 hex chars of md5.
+    DuckDB mirror: CAST('0x' || substring(md5(x), 1, 15) AS BIGINT) —
+    bit-identical across engines, always positive."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def phash60_sql(expr: str) -> str:
+    """The DuckDB-side twin of `phash60` for oracle SQL strings."""
+    return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
+
+
+# --- MinHash + LSH -------------------------------------------------------
 
 
 def _minhash_long(sh: DataFrame) -> DataFrame:
@@ -209,13 +231,21 @@ def _minhash_long(sh: DataFrame) -> DataFrame:
             F.col("shingle"),
         )
         .groupBy("doc_id", "seed")
-        .agg(F.min(F.xxhash64(F.col("seed"), F.col("shingle"))).alias("minh"))
+        .agg(
+            F.min(
+                phash60(
+                    F.concat_ws(
+                        ":", F.col("seed").cast("string"), F.col("shingle")
+                    )
+                )
+            ).alias("minh")
+        )
     )
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-permutation MinHash signature per doc as a seed-ordered array:
-    min over shingles of xxhash64(perm_seed, shingle)."""
+    min over shingles of phash60(perm_seed || ':' || shingle)."""
     long = _minhash_long(_shingles(corpus_df(spark, sf_dir)))
     return long.groupBy("doc_id").agg(
         F.transform(
@@ -242,15 +272,23 @@ def minhash_lsh_pairs_for(corpus: DataFrame) -> DataFrame:
     # candidate verification below
     sh = _shingles(corpus).cache()
     long = _minhash_long(sh)
-    # band id = seed div 4; bucket = hash of the band's 4 minima in
-    # seed order (sort_array over (seed, minh) structs is deterministic).
+    # band id = seed div 4; bucket = md5 of the band's 4 minima joined
+    # in seed order (sort_array over (seed, minh) structs is
+    # deterministic) — portable: DuckDB's
+    # md5(string_agg(minh, ',' ORDER BY seed)) is the same string.
     banded = (
         long.groupBy(
             "doc_id", (F.col("seed") - (F.col("seed") % LSH_ROWS)).alias("band")
         )
         .agg(
-            F.xxhash64(
-                F.sort_array(F.collect_list(F.struct("seed", "minh")))
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("seed", "minh"))),
+                        lambda s: s.getField("minh").cast("string"),
+                    ),
+                ).cast("binary")
             ).alias("bucket")
         )
     )
@@ -298,9 +336,58 @@ def minhash_lsh_pairs_for(corpus: DataFrame) -> DataFrame:
     )
 
 
+# LSH pipeline replicated in DuckDB over the same portable hash: same
+# shingles, same 64 per-seed minima, same md5 band buckets, same
+# exact-Jaccard verification — hash-identical output to the Spark plan.
+MINHASH_LSH_SQL = (
+    "WITH " + CORPUS_CTE.strip()
+    + f""",
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+),
+hs AS (
+  SELECT doc_id, seed,
+         min({phash60_sql("CAST(seed AS VARCHAR) || ':' || shingle")}) AS minh
+  FROM sh, UNNEST(generate_series(0, {MINHASH_PERMS - 1})) AS s(seed)
+  GROUP BY doc_id, seed
+),
+banded AS (
+  SELECT doc_id, seed - (seed % {LSH_ROWS}) AS band,
+         md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed)) AS bucket
+  FROM hs GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= {JACCARD_THRESHOLD}
+"""
+)
+
+
+SIMHASH_BITS = 60  # phash60 provides 60 uniform bits
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per doc: for each bit b, sum +1/-1 over distinct
-    tokens according to bit b of xxhash64(token); bit set iff sum > 0.
+    """60-bit SimHash per doc: for each bit b, sum +1/-1 over distinct
+    tokens according to bit b of phash60(token); bit set iff sum > 0.
 
     Long-format shape (explode bit index, single sum() aggregate, then
     bit_or() to assemble the fingerprint) — same codegen-limit
@@ -311,8 +398,8 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bits = tokens.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
-        F.xxhash64(F.col("tok")).alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        phash60(F.col("tok")).alias("h"),
     )
     sums = bits.groupBy("doc_id", "b").agg(
         F.sum(
@@ -325,6 +412,33 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
+
+
+SIMHASH_FP_CTE = (
+    CORPUS_CTE.strip()
+    + f""",
+toksd AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus
+  )
+),
+bits AS (
+  SELECT doc_id, b, {phash60_sql("tok")} AS h
+  FROM toksd, UNNEST(generate_series(0, {SIMHASH_BITS - 1})) AS t(b)
+),
+sums AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY doc_id, b
+),
+fp AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b
+                     ELSE CAST(0 AS BIGINT) END) AS simhash
+  FROM sums GROUP BY doc_id
+)"""
+)
+
+SIMHASH_FP_SQL = "WITH " + SIMHASH_FP_CTE + "\nSELECT doc_id, simhash FROM fp"
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

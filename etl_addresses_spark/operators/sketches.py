@@ -46,30 +46,62 @@ def hll_mergeable_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def approx_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile with bounded accuracy vs the exact values.
+    """approx_percentile with its rank-error contract CHECKED in-query.
 
-    Scalar double columns only (no arrays): the driver's canonicalizer
-    hashes row values and cannot sort list-valued cells.
-    """
+    Output is fully oracle-able: exact discrete percentiles
+    (percentile_disc picks an actual data value — no interpolation
+    arithmetic to drift between engines) plus a boolean asserting the
+    approx_percentile values fall inside a ±0.01 rank window around
+    their targets (accuracy=10000 guarantees ~1e-4 rank error, so the
+    window is generous).  The DuckDB oracle computes the same exact
+    percentiles and expects the boolean TRUE — if Spark's sketch ever
+    violated its bound, the value-hash would mismatch.  Scalar columns
+    only (driver canonicalizer cannot sort list cells)."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.expr(
-            "approx_percentile(o_totalprice, 0.5, 10000)"
-        ).alias("approx_p50"),
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p50_disc"),
         F.expr(
-            "approx_percentile(o_totalprice, 0.9, 10000)"
-        ).alias("approx_p90"),
-        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
-        F.expr("percentile(o_totalprice, 0.9)").alias("exact_p90"),
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p90_disc"),
+        (
+            F.expr("approx_percentile(o_totalprice, 0.5, 10000)").between(
+                F.expr(
+                    "percentile_disc(0.49) WITHIN GROUP (ORDER BY o_totalprice)"
+                ),
+                F.expr(
+                    "percentile_disc(0.51) WITHIN GROUP (ORDER BY o_totalprice)"
+                ),
+            )
+            & F.expr("approx_percentile(o_totalprice, 0.9, 10000)").between(
+                F.expr(
+                    "percentile_disc(0.89) WITHIN GROUP (ORDER BY o_totalprice)"
+                ),
+                F.expr(
+                    "percentile_disc(0.91) WITHIN GROUP (ORDER BY o_totalprice)"
+                ),
+            )
+        ).alias("approx_within_bounds"),
     )
 
 
+APPROX_QUANTILES_SQL = """
+SELECT o_orderstatus,
+       quantile_disc(o_totalprice, 0.5) AS p50_disc,
+       quantile_disc(o_totalprice, 0.9) AS p90_disc,
+       TRUE AS approx_within_bounds
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit fingerprint into 4
-    16-bit bands (any exact band match -> candidate: catches all pairs
+    """SimHash near-dup pairs: band the 60-bit fingerprint into 4
+    15-bit bands (any exact band match -> candidate: catches all pairs
     with hamming distance <= 3 by pigeonhole, most up to ~10), then
     verify with bit_count(xor) <= 10.  Candidates are band-local —
-    never all-pairs."""
+    never all-pairs.  Fully oracle-checked (portable phash60 underneath,
+    see operators/dedup.py)."""
     from etl_addresses_spark.operators.dedup import simhash_fingerprints
 
     fp = simhash_fingerprints(spark, sf_dir)
@@ -77,7 +109,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.expr(f"(simhash >> {16 * b}) & 65535").alias("bits"),
+                F.expr(f"(simhash >> {15 * b}) & 32767").alias("bits"),
             )
             for b in range(4)
         ]
@@ -108,4 +140,27 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 10)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _simhash_near_pairs_sql() -> str:
+    from etl_addresses_spark.operators.dedup import SIMHASH_FP_CTE
+
+    return (
+        "WITH " + SIMHASH_FP_CTE
+        + """,
+banded AS (
+  SELECT doc_id, simhash, b AS band, (simhash >> (15 * b)) & 32767 AS bits
+  FROM fp, UNNEST(generate_series(0, 3)) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bits = b.bits
+               AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 10
+"""
     )

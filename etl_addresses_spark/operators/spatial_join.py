@@ -144,6 +144,8 @@ def _candidates(hn: DataFrame, segs: DataFrame, strategy: str) -> DataFrame:
         return _bbox_refine(hn.crossJoin(F.broadcast(segs)))
     if strategy == "reference_knn":
         return _reference_knn_candidates(hn, segs)
+    if strategy == "reference_knn_grid":
+        return _reference_knn_candidates_grid(hn, segs)
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
@@ -164,6 +166,21 @@ def _reference_knn_candidates(hn: DataFrame, segs: DataFrame) -> DataFrame:
     from etl_addresses_spark.config import KNN_FANOUT
 
     pairs = hn.crossJoin(F.broadcast(segs))
+    boxdist2, bbox_hit = _knn_pair_metrics(pairs)
+    w = W.partitionBy("houseNumberId").orderBy(
+        boxdist2.asc(), F.col("streetId").asc(), F.col("seg_index").asc()
+    )
+    return (
+        pairs.withColumn("_knn_rank", F.row_number().over(w))
+        .filter(bbox_hit | (F.col("_knn_rank") <= KNN_FANOUT))
+        .drop("_knn_rank")
+    )
+
+
+def _knn_pair_metrics(pairs: DataFrame):
+    """(boxdist², exact-bbox-hit) shared by both kNN strategies —
+    identical expressions so the grid variant provably computes the
+    same ordering the cross-join validation mode does."""
     minx = F.least(F.col("seg_lon1"), F.col("seg_lon2"))
     maxx = F.greatest(F.col("seg_lon1"), F.col("seg_lon2"))
     miny = F.least(F.col("seg_lat1"), F.col("seg_lat2"))
@@ -177,14 +194,76 @@ def _reference_knn_candidates(hn: DataFrame, segs: DataFrame) -> DataFrame:
         & (F.col("pt_lat") >= miny)
         & (F.col("pt_lat") <= maxy)
     )
-    w = W.partitionBy("houseNumberId").orderBy(
+    return boxdist2, bbox_hit
+
+
+def _reference_knn_candidates_grid(hn: DataFrame, segs: DataFrame) -> DataFrame:
+    """Grid-prefiltered STRICT reference-parity kNN — same output as
+    `_reference_knn_candidates`, scale-safe physical plan.
+
+    Each point probes its 5x5 grid-cell neighborhood (equi-join on cell
+    id, 25x probe fan-out — no cross join).  A segment NOT indexed in
+    that block has planar bbox distance >= 2·GRID_CELL_DEG from the
+    point (geo.point_neighbor_cells), so when a point sees >= KNN_FANOUT
+    local candidates STRICTLY inside that radius, its block-local
+    (boxdist, streetId, seg_index) top-k is provably the global top-k —
+    and exact bbox-containment hits are always block-local (a containing
+    bbox overlaps the point's own cell).  The rare points that don't
+    reach the bound (sparse regions, block edges) fall back to the
+    ranked broadcast cross join — but only for that residue, so the
+    O(points x segments) term is bounded by a small escalation set
+    instead of the whole input."""
+    from pyspark.sql import Window as W
+
+    from etl_addresses_spark.config import GRID_CELL_DEG, KNN_FANOUT
+    from etl_addresses_spark.functions.geo import point_neighbor_cells
+
+    seg_cells = segs.withColumn(
+        "cell",
+        F.explode(
+            segment_cells(
+                F.col("seg_lat1"),
+                F.col("seg_lon1"),
+                F.col("seg_lat2"),
+                F.col("seg_lon2"),
+            )
+        ),
+    )
+    probes = hn.withColumn(
+        "cell", F.explode(point_neighbor_cells(F.col("pt_lat"), F.col("pt_lon")))
+    )
+    # A segment indexed in several block cells would appear per cell:
+    # dedup to one candidate row per (point, segment) before ranking.
+    local = (
+        probes.join(seg_cells, "cell")
+        .drop("cell")
+        .dropDuplicates(["houseNumberId", "streetId", "seg_index"])
+    )
+    boxdist2, bbox_hit = _knn_pair_metrics(local)
+    w = W.partitionBy("houseNumberId")
+    worder = w.orderBy(
         boxdist2.asc(), F.col("streetId").asc(), F.col("seg_index").asc()
     )
-    return (
-        pairs.withColumn("_knn_rank", F.row_number().over(w))
-        .filter(bbox_hit | (F.col("_knn_rank") <= KNN_FANOUT))
-        .drop("_knn_rank")
+    safe2 = F.lit((2.0 * GRID_CELL_DEG) ** 2)
+    ranked = (
+        local.withColumn("_bbox_hit", bbox_hit)
+        .withColumn("_boxdist2", boxdist2)
+        .withColumn("_rank", F.row_number().over(worder))
+        .withColumn(
+            "_nsafe",
+            F.sum(F.when(F.col("_boxdist2") < safe2, 1).otherwise(0)).over(w),
+        )
     )
+    safe_rows = ranked.filter(F.col("_nsafe") >= KNN_FANOUT)
+    out_local = safe_rows.filter(
+        F.col("_bbox_hit") | (F.col("_rank") <= KNN_FANOUT)
+    ).drop("_bbox_hit", "_boxdist2", "_rank", "_nsafe")
+    # Escalation residue: points without KNN_FANOUT provably-complete
+    # local candidates (includes points with zero local candidates).
+    escalated = hn.join(
+        safe_rows.select("houseNumberId").distinct(), "houseNumberId", "left_anti"
+    )
+    return out_local.unionByName(_reference_knn_candidates(escalated, segs))
 
 
 def infer_addresses(

@@ -15,9 +15,10 @@ from etl_addresses_spark.operators import (
 EXTENSION_QUERIES = {
     "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
     "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
-    # MinHash/SimHash depend on JVM xxhash64 — no portable SQL oracle.
-    "minhash_lsh_pairs": (dedup.minhash_lsh_pairs, None),
-    "simhash_fingerprints": (dedup.simhash_fingerprints, None),
+    # MinHash/SimHash run on the portable phash60 (md5-prefix bigint both
+    # engines compute identically) — fully oracle-checked since round 3.
+    "minhash_lsh_pairs": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_SQL),
+    "simhash_fingerprints": (dedup.simhash_fingerprints, dedup.SIMHASH_FP_SQL),
     "text_stats": (textops.text_stats, textops.TEXT_STATS_SQL),
     "text_quality": (textops.text_quality, textops.TEXT_QUALITY_SQL),
     "text_langid": (textops.text_langid, textops.TEXT_LANGID_SQL),
@@ -44,12 +45,19 @@ EXTENSION_QUERIES = {
         similarity.DOCS_WITH_EMBEDDINGS_SQL,
     ),
     "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
-    # Sketches are engine-specific approximations: rows-only checks with
-    # pytest error-bound/mergeability assertions.
+    # HLL sketches are engine-specific approximations: rows-only checks
+    # with pytest error-bound/mergeability assertions.
     "hll_distinct_parts": (sketches.hll_distinct_parts, None),
     "hll_mergeable_union": (sketches.hll_mergeable_union, None),
-    "approx_quantiles_orders": (sketches.approx_quantiles_orders, None),
-    "simhash_near_pairs": (sketches.simhash_near_pairs, None),
+    # Exact disc percentiles + in-query approx bound check: oracle-able.
+    "approx_quantiles_orders": (
+        sketches.approx_quantiles_orders,
+        sketches.APPROX_QUANTILES_SQL,
+    ),
+    "simhash_near_pairs": (
+        sketches.simhash_near_pairs,
+        sketches._simhash_near_pairs_sql(),
+    ),
     # Corpus curation: deterministic sampling, profiling, interval
     # joins, token budgeting, and the composed curation pass.
     "sample_stratified": (

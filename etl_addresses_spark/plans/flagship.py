@@ -161,7 +161,12 @@ ORACLE_SQL_KNN = INFERRED_KNN_CTES + "\nSELECT * FROM inferred"
 
 
 def spatiotemporal_join_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship join under the strict reference-parity candidate strategy
-    (R-tree search ∪ nearest(10) reproduction) — validation mode, now
-    oracle-checked rather than rows-only."""
-    return spatiotemporal_join(spark, sf_dir, strategy="reference_knn")
+    """Flagship join under the strict reference-parity candidate
+    semantics (R-tree search ∪ nearest(10) reproduction,
+    addresses.js:61-63) on the SCALE-SAFE physical plan: grid-block
+    prefilter with provable local-top-k completeness, broadcast
+    cross-join only for the escalation residue
+    (spatial_join._reference_knn_candidates_grid).  The plain
+    `reference_knn` cross-join strategy remains available as the
+    validation mode this plan is equivalence-tested against."""
+    return spatiotemporal_join(spark, sf_dir, strategy="reference_knn_grid")

@@ -116,41 +116,43 @@ _ALL: dict[str, Entry] = {
 # round-1 canonicalizer error.  Rows-only sketch/iterative entries sit
 # at the tail; tools/driver_sim.py still exercises the FULL registry.
 DRIVER_WINDOW: list[str] = [
-    # -- no driver correctness row as of round 1 --------------------
-    "unpivot_measures",
-    "scalar_array_funcs",
-    "asof_join_events",
-    "text_top_terms",
-    "merge_upsert",
-    "scd2_history",
-    "window_frames",
-    "fuzzy_name_match",
-    "q2_min_cost_part",
-    "q4_late_shipments",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q12_priority_by_status",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q21_sole_late_supplier",
-    "q22_idle_customers",
-    "stream_dedup_keys",
+    # -- never driver-checked as of round 2 (VERDICT.md item 3) -----
+    "sample_stratified",
+    "sample_fixed_k",
+    "profile_columns",
+    "interval_overlap_join",
+    "token_count_bpe",
+    "curate_corpus",
+    "skew_salted_distinct",
+    "q20_dominant_suppliers",
+    "sql_grouping_sets",
+    "window_range_time",
+    "funnel_conversion",
+    "incremental_agg_merge",
+    "cohort_retention",
+    "stream_static_enrich",
+    "decontaminate_ngram",
+    "chunk_documents",
+    "pack_sequences",
+    "pii_redact",
+    "quality_gopher_flags",
+    "bm25_topk",
+    "zorder_extents",
+    "bloom_prune_join",
+    "cms_heavy_hitters",
+    "anomaly_zscore_events",
+    "triangle_count",
+    "dedup_substring_blocks",
+    "kmeans_cluster_sizes",
+    "ann_ivf_lloyd_topk",
+    "pagerank_relations",
+    # -- fixed this round: prove the streaming ts fix + new oracles -
     "stream_windowed_counts",
     "stream_purchase_view_join",
-    "st_contains_join",
-    # -- newly oracled / fixed this round ---------------------------
-    "cosine_topk_fast",
-    "ann_ivf_topk",
     "approx_quantiles_orders",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
     # -- reference surface: re-confirm every round ------------------
     "spatiotemporal_join",
     "spatiotemporal_join_knn",
@@ -160,16 +162,14 @@ DRIVER_WINDOW: list[str] = [
     "relation_degrees",
     # -- one representative per family ------------------------------
     "agg_pricing_summary",
-    "join_topk_order_revenue",
     "window_topk_per_group",
-    "set_union_buyers",
-    "sort_limit_global",
     "events_sessionize",
     "dedup_exact",
-    "ngram_jaccard_pairs",
-    "dedup_clusters",
-    "cosine_topk",
+    "cosine_topk_fast",
+    "ann_ivf_topk",
     "multimodal_decode",
+    "st_contains_join",
+    "stream_dedup_keys",
 ]
 
 REGISTRY: dict[str, Entry] = {

@@ -52,25 +52,47 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """THE single definition of events.ts unit handling — shared by the
+    batch loader and the streaming reader so the two paths can never
+    diverge (the round-2 bug: streaming kept a stale `div 1000` after
+    the testdata moved from TIMESTAMP(NANOS) to timestamp[us]).
+
+    Branches on the actual read dtype:
+    - ``bigint``: TIMESTAMP(NANOS) parquet surfaced as raw nanos by
+      spark.sql.legacy.parquet.nanosAsLong; truncate to micros — the
+      same truncation DuckDB applies comparing TIMESTAMP_NS at micro
+      precision.
+    - ``timestamp_ntz``: naive timestamp read with NTZ inference on
+      (e.g. an explicit NTZ schema); with a UTC session the cast is
+      value-preserving.
+    - ``timestamp``: already correct, pass through.
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    from pyspark.sql import functions as F
+
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def events_file_schema(spark: SparkSession, sf_dir: str):
+    """Parquet footer schema of events as Spark will read it under
+    ensure_session_confs — one cheap metadata-only read.  Streaming
+    needs this up front because readStream requires an explicit schema."""
+    ensure_session_confs(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        from pyspark.sql import functions as F
-
-        if ts_type == "bigint":
-            # TIMESTAMP(NANOS) parquet read as raw nanos (see
-            # session.py); truncate to microseconds — same truncation
-            # DuckDB applies comparing TIMESTAMP_NS at micro precision.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            # Naive timestamp read before the inferTimestampNTZ conf
-            # took effect (e.g. a cached scan); with a UTC session the
-            # cast is value-preserving.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_events_ts(df)
     return df
 
 

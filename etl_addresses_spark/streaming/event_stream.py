@@ -16,29 +16,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-# Parquet stores TIMESTAMP(NANOS); with spark.sql.legacy.parquet.nanosAsLong
-# (session.py) the file-source schema must declare the raw long.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from etl_addresses_spark.sources.tables import events_file_schema, normalize_events_ts
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet.
+
+    readStream requires an explicit schema, so we take the one Spark
+    itself derives from the parquet footer (a cheap metadata-only batch
+    read) and then run the SAME ts normalizer as the batch loader
+    (`sources.tables.normalize_events_ts`) — ts units are defined in
+    exactly one place, whatever the testdata's physical type
+    (TIMESTAMP(NANOS)-as-long vs timestamp[us])."""
+    schema = events_file_schema(spark, sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def windowed_counts(events: DataFrame) -> DataFrame:

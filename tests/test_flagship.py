@@ -20,6 +20,16 @@ def test_flagship_matches_oracle_reference_knn(spark, ddb):
     assert_frames_match(sdf, ddb.sql(flagship.ORACLE_SQL_KNN))
 
 
+def test_knn_grid_equals_cross_join_validation_mode(spark):
+    """The grid-prefiltered kNN plan must emit EXACTLY the rows of the
+    O(n·m) cross-join validation mode — the completeness bound proof
+    (point_neighbor_cells) made executable."""
+    grid = flagship.spatiotemporal_join(spark, SF_ORACLE, "reference_knn_grid")
+    ref = flagship.spatiotemporal_join(spark, SF_ORACLE, "reference_knn")
+    assert grid.exceptAll(ref).count() == 0
+    assert ref.exceptAll(grid).count() == 0
+
+
 def test_flagship_has_matches_and_errors(spark):
     sdf = flagship.spatiotemporal_join(spark, SF_ORACLE).cache()
     total = sdf.count()

@@ -29,12 +29,13 @@ def test_hll_union_mergeability(spark):
 
 
 def test_approx_quantiles_within_tolerance(spark):
-    for r in sketches.approx_quantiles_orders(spark, SF_ORACLE).collect():
-        for approx, exact in [
-            (r.approx_p50, r.exact_p50),
-            (r.approx_p90, r.exact_p90),
-        ]:
-            assert abs(approx - exact) / exact < 0.05
+    rows = sketches.approx_quantiles_orders(spark, SF_ORACLE).collect()
+    assert rows, "expected one row per order status"
+    for r in rows:
+        # the rank-error contract is evaluated in-query; a violation
+        # would also hash-mismatch against the DuckDB oracle
+        assert r.approx_within_bounds
+        assert r.p50_disc <= r.p90_disc
 
 
 def test_simhash_near_pairs_find_injected_dups(spark):
