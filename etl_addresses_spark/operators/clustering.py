@@ -21,9 +21,15 @@ re-running reproduces the same clustering bit-for-bit.
 This replaces the pseudo-centroid shortcut in similarity.ann_ivf_topk
 for the `ann_ivf_lloyd_topk` registry entry: same probing/scoring
 pipeline, but the lists are actual Lloyd-converged Voronoi cells, which
-is what real IVF indexes (FAISS-style) build.  Iterative + float
-accumulation order -> genuinely non-SQL-expressible, so rows-only
-check; recall and SSE-monotonicity are asserted in pytest.
+is what real IVF indexes (FAISS-style) build.
+
+The fixed iteration count (DEFAULT_ITERS=3) makes the loop
+SQL-expressible: `kmeans_oracle_sql` / `ann_ivf_lloyd_oracle_sql`
+unroll assignment→update into chained CTEs whose squared-distance fold
+(`list_reduce`) matches Spark's sequential `F.aggregate` association
+exactly; only the per-dimension means and SSE sums differ at ulp level
+(aggregation order), far below the driver's 1e-9 canonicalization.
+Recall and SSE-monotonicity stay asserted in pytest.
 """
 
 from __future__ import annotations
@@ -44,7 +50,9 @@ DEFAULT_ITERS = 3
 
 
 def _sqdist(a, b) -> F.Column:
-    """Squared L2 distance, sequential double fold (deterministic)."""
+    """Squared L2 distance, sequential double fold (deterministic;
+    see similarity._pair_dot_seq for why the fold beats an unrolled
+    per-element chain)."""
     diffs = F.zip_with(
         a,
         b,
@@ -146,6 +154,121 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum(F.col("d2").cast("decimal(28,10)")).cast("double").alias("sse"),
+    )
+
+
+def _duckdb_sqdist(a: str, b: str) -> str:
+    """DuckDB twin of `_sqdist`: left-to-right list_reduce fold of
+    squared diffs (Spark's leading +0.0 fold seed is an IEEE no-op)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _kmeans_ctes(k_mod: int = DEFAULT_K_MOD, iters: int = DEFAULT_ITERS) -> str:
+    """Chained-CTE unroll of kmeans_fit: c0..c{iters} centroid states,
+    a{k} = argmin assignment against c{k-1}, m{k} = per-(cluster, dim)
+    means, with empty clusters keeping their previous centroid
+    (coalesce) — operation-for-operation the Spark loop."""
+    sql = f"""WITH vecs AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+c0 AS MATERIALIZED (
+  SELECT vec_id AS cent_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent_emb
+  FROM embeddings WHERE vec_id % {k_mod} = 0
+)"""
+    for k in range(1, iters + 2):
+        p = k - 1
+        sql += f""",
+a{k} AS MATERIALIZED (
+  SELECT vec_id, embedding, cluster_id, d2 FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d2 ASC, cluster_id ASC) AS r
+    FROM (
+      SELECT v.vec_id, v.embedding, c.cent_id AS cluster_id,
+             {_duckdb_sqdist('v.embedding', 'c.cent_emb')} AS d2
+      FROM vecs v CROSS JOIN c{p} c))
+  WHERE r = 1
+)"""
+        if k <= iters:  # the final assignment needs no further update
+            sql += f""",
+m{k} AS MATERIALIZED (
+  SELECT cluster_id, pos, avg(val) AS m FROM (
+    SELECT cluster_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+    FROM a{k}, UNNEST(generate_series(1, len(embedding))) AS t(i))
+  GROUP BY cluster_id, pos
+),
+c{k} AS MATERIALIZED (
+  SELECT prev.cent_id, coalesce(nl.emb, prev.cent_emb) AS cent_emb
+  FROM c{p} prev LEFT JOIN (
+    SELECT cluster_id, list(m ORDER BY pos) AS emb
+    FROM m{k} GROUP BY cluster_id) nl
+  ON nl.cluster_id = prev.cent_id
+)"""
+    return sql
+
+
+def kmeans_oracle_sql(
+    k_mod: int = DEFAULT_K_MOD, iters: int = DEFAULT_ITERS
+) -> str:
+    final = iters + 1  # assignment against the post-iteration centroids
+    return (
+        _kmeans_ctes(k_mod, iters)
+        + f"""
+SELECT cluster_id, count(*) AS n_members,
+       CAST(sum(CAST(d2 AS DECIMAL(28,10))) AS DOUBLE) AS sse
+FROM a{final} GROUP BY cluster_id
+"""
+    )
+
+
+def ann_ivf_lloyd_oracle_sql(
+    k_mod: int = DEFAULT_K_MOD, iters: int = DEFAULT_ITERS
+) -> str:
+    from etl_addresses_spark.operators.similarity import (
+        TOPK_K,
+        _duckdb_dot,
+    )
+
+    final = iters + 1
+    return (
+        _kmeans_ctes(k_mod, iters)
+        + f""",
+assigned AS MATERIALIZED (
+  SELECT a.vec_id, a.embedding, a.cluster_id AS list_id,
+         sqrt(CAST({_duckdb_dot('a.embedding', 'a.embedding')} AS DOUBLE))
+           AS vnorm
+  FROM a{final} a
+),
+probes AS MATERIALIZED (
+  SELECT query_id, q_emb, q_norm, cluster_id AS list_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY d2 ASC, cluster_id ASC) AS r
+    FROM (
+      SELECT v.vec_id AS query_id, v.embedding AS q_emb,
+             sqrt(CAST({_duckdb_dot('v.embedding', 'v.embedding')} AS DOUBLE))
+               AS q_norm,
+             c.cent_id AS cluster_id,
+             {_duckdb_sqdist('v.embedding', 'c.cent_emb')} AS d2
+      FROM vecs v CROSS JOIN c{iters} c
+      WHERE v.vec_id % {QUERY_MOD} = 0))
+  WHERE r <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS cand_id,
+         CAST({_duckdb_dot('p.q_emb', 'a.embedding')} AS DOUBLE)
+           / (p.q_norm * a.vnorm) AS cosine
+  FROM assigned a JOIN probes p ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, rank, cand_id, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {TOPK_K}
+"""
     )
 
 

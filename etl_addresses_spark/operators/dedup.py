@@ -208,6 +208,22 @@ def phash60_sql(expr: str) -> str:
     return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
 
 
+def phash52(col) -> "F.Column":
+    """52-bit variant (13 md5 hex chars) — small enough that
+    seed * phash52 never overflows a signed int64 for seed < 64."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 13), 16, 10).cast(
+        "long"
+    )
+
+
+def phash52_sql(expr: str) -> str:
+    return f"CAST('0x' || substring(md5({expr}), 1, 13) AS BIGINT)"
+
+
+# 2^61 - 1 (Mersenne): modulus of the per-seed double-hashing mix.
+MINHASH_MOD = 2305843009213693951
+
+
 # --- MinHash + LSH -------------------------------------------------------
 
 
@@ -218,26 +234,35 @@ def _minhash_long(sh: DataFrame) -> DataFrame:
     evaluation (measured ~3x slower); this shape stays codegen'd and
     map-side combinable.
 
+    Each shingle is md5-hashed exactly TWICE (h1: 60-bit, h2: 52-bit),
+    BEFORE the 64x seed explode; the per-seed permutation is the cheap
+    double-hashing mix (h1 + seed·h2) mod (2^61-1) — the
+    Kirsch-Mitzenmacher construction.  Hashing 64x per shingle instead
+    costs ~2.2 s extra at sf0.1 (measured), and md5+hex-parse is the
+    price of engine-portable oracles; seed·h2 stays < 2^58, so the mix
+    never overflows a signed int64 even under ANSI arithmetic.
+
     The pre-repartition by doc_id makes the partial aggregation
     collapse the 64x-exploded rows to exactly 64 per doc per partition
     before the shuffle — without it every partition carries partials
     for nearly every doc and the combine saves nothing (measured 17M
     shuffled rows vs <1M)."""
+    hashed = sh.repartition("doc_id").select(
+        "doc_id",
+        phash60(F.col("shingle")).alias("h1"),
+        phash52(F.concat(F.col("shingle"), F.lit("#"))).alias("h2"),
+    )
     return (
-        sh.repartition("doc_id")
-        .select(
+        hashed.select(
             "doc_id",
             F.explode(F.sequence(F.lit(0), F.lit(MINHASH_PERMS - 1))).alias("seed"),
-            F.col("shingle"),
+            "h1",
+            "h2",
         )
         .groupBy("doc_id", "seed")
         .agg(
             F.min(
-                phash60(
-                    F.concat_ws(
-                        ":", F.col("seed").cast("string"), F.col("shingle")
-                    )
-                )
+                (F.col("h1") + F.col("seed") * F.col("h2")) % F.lit(MINHASH_MOD)
             ).alias("minh")
         )
     )
@@ -245,7 +270,8 @@ def _minhash_long(sh: DataFrame) -> DataFrame:
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-permutation MinHash signature per doc as a seed-ordered array:
-    min over shingles of phash60(perm_seed || ':' || shingle)."""
+    min over shingles of the (h1 + seed·h2) mod (2^61-1) double-hash
+    mix (see _minhash_long)."""
     long = _minhash_long(_shingles(corpus_df(spark, sf_dir)))
     return long.groupBy("doc_id").agg(
         F.transform(
@@ -347,10 +373,14 @@ sh AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
   FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
 ),
+hashed AS (
+  SELECT doc_id, {phash60_sql("shingle")} AS h1,
+         {phash52_sql("shingle || '#'")} AS h2
+  FROM sh
+),
 hs AS (
-  SELECT doc_id, seed,
-         min({phash60_sql("CAST(seed AS VARCHAR) || ':' || shingle")}) AS minh
-  FROM sh, UNNEST(generate_series(0, {MINHASH_PERMS - 1})) AS s(seed)
+  SELECT doc_id, seed, min((h1 + seed * h2) % {MINHASH_MOD}) AS minh
+  FROM hashed, UNNEST(generate_series(0, {MINHASH_PERMS - 1})) AS s(seed)
   GROUP BY doc_id, seed
 ),
 banded AS (

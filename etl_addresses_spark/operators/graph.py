@@ -15,9 +15,14 @@ in DataFrames):
   plan doubles per round and the job dies of planning time long before
   it dies of data size.
 
-Fixed-iteration float recursion is not ANSI-SQL-expressible -> the
-registry entry is a rows-only check; pytest validates against a dense
-NumPy power iteration on the same (small) graph and asserts the
+The fixed iteration count (PR_ITERS=10) makes the recursion
+SQL-expressible after all: `pagerank_oracle_sql()` unrolls the loop
+into 10 chained CTEs whose arithmetic mirrors the Spark expressions
+operation-for-operation ((1-d)/n + (d·dangling)/n + d·recv, same
+association).  Spark's DECIMAL(38,18) partial sums and DuckDB's double
+sums differ only at the last ulp, far below the driver's 1e-9 value
+canonicalization, so the entry is fully hash-checked; pytest
+additionally validates against a dense NumPy power iteration and the
 mass-conservation invariant.
 """
 
@@ -107,6 +112,63 @@ def pagerank_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = transform_relations(spark, sf_dir)
     return pagerank(edges.select("from_id", "to_id"))
+
+
+def pagerank_oracle_sql(iters: int = PR_ITERS, damping: float = DAMPING) -> str:
+    """DuckDB replica of `pagerank_relations`: the fixed-count
+    power-iteration loop unrolled into chained CTEs (r0..r{iters}), one
+    dangling-mass + one receive CTE per step, arithmetic in the same
+    association order as the Spark column expressions."""
+    from etl_addresses_spark.plans.transform import INFERRED_CTES
+
+    d = damping
+    # AS MATERIALIZED everywhere: DuckDB inlines plain CTEs per
+    # reference, and each r{k} is referenced three times by step k+1 —
+    # un-materialized, the expansion is 3^iters evaluations of the
+    # whole join pipeline (observed as an fd-exhaustion blowup).
+    sql = (
+        INFERRED_CTES
+        + """
+, rels AS MATERIALIZED (
+  SELECT houseNumberId AS from_id, streetId AS to_id
+  FROM inferred WHERE streetId IS NOT NULL
+  UNION ALL
+  SELECT id AS from_id, houseNumberId AS to_id
+  FROM inferred WHERE streetId IS NOT NULL
+),
+e AS MATERIALIZED (SELECT DISTINCT from_id AS src, to_id AS dst FROM rels),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS MATERIALIZED (
+  SELECT src, count(*) AS out_deg FROM e GROUP BY src
+),
+r0 AS MATERIALIZED (
+  SELECT node, 1.0e0 / nn.n AS pr FROM nodes CROSS JOIN nn
+)"""
+    )
+    for k in range(1, iters + 1):
+        p = k - 1
+        sql += f""",
+dang{k} AS MATERIALIZED (
+  SELECT coalesce(sum(r.pr), 0.0e0) AS dm
+  FROM r{p} r LEFT JOIN outdeg o ON r.node = o.src
+  WHERE o.src IS NULL
+),
+recv{k} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(r.pr / o.out_deg) AS recv
+  FROM r{p} r JOIN outdeg o ON r.node = o.src JOIN e ON e.src = r.node
+  GROUP BY e.dst
+),
+r{k} AS MATERIALIZED (
+  SELECT n.node,
+         ((1.0e0 - {d}e0) / nn.n + ({d}e0 * dg.dm) / nn.n)
+           + {d}e0 * coalesce(rv.recv, 0.0e0) AS pr
+  FROM nodes n
+  CROSS JOIN nn CROSS JOIN dang{k} dg
+  LEFT JOIN recv{k} rv ON rv.node = n.node
+)"""
+    sql += f'\nSELECT node, pr AS "rank" FROM r{iters}'
+    return sql
 
 
 # ---------------------------------------------------------------------------

@@ -39,13 +39,22 @@ NEAR_DUP_MOD = 5  # near-dup universe = vec_id % 5 == 0
 NEAR_DUP_THRESHOLD = 0.3
 
 
+# Embedding dimensionality of the driver's embeddings tables
+# (list<float>[64] at every SF) — kept as documentation; the fold
+# below is dim-agnostic.
+EMB_DIM = 64
+
+
 def _pair_dot_seq(emb_a: F.Column, emb_b: F.Column) -> F.Column:
     """Bit-reproducible dot product of two float vectors: per-element
     double products (float->double exact) summed with a SEQUENTIAL
     left fold.  DuckDB's list_reduce folds in the same order, so both
     engines produce the identical double.  (A decimal accumulation was
     tried first, but DuckDB's DECIMAL->DOUBLE cast is not correctly
-    rounded and diverges from the JVM's by 1 ulp.)"""
+    rounded and diverges from the JVM's by 1 ulp.  An unrolled flat
+    64-term chain was tried too — measured 3x SLOWER than this fold:
+    64 GetArrayItem nodes each pay a null+bounds check, while
+    zip_with/aggregate make one primitive-array traversal.)"""
     prods = F.zip_with(
         emb_a,
         emb_b,

@@ -139,9 +139,82 @@ GROUP BY c_mktsegment
 """
 
 
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (30-minute gap) per user,
+    drained to batch.  Session semantics: an event at EXACTLY
+    last_ts + gap starts a new session (the window is
+    [start, last_ts + gap)), which is why the oracle's new-session
+    predicate is >=, unlike the batch sessionizer's > convention."""
+    stream = event_stream.read_events_stream(spark, sf_dir)
+    out = event_stream.run_to_memory(
+        event_stream.session_windows(stream), "q_stream_sess"
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", _TS_FMT).alias("session_start"),
+        F.date_format("session_end", _TS_FMT).alias("session_end"),
+        "n_events",
+    )
+
+
+STREAM_SESSION_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+    epoch_us(ts) - epoch_us(lag(ts) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+    CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
+                  THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_seq
+  FROM gaps
+)
+SELECT user_id,
+  strftime(min(ts), '{_DUCK_FMT}') AS session_start,
+  strftime(max(ts) + INTERVAL 30 MINUTES, '{_DUCK_FMT}') AS session_end,
+  count(*) AS n_events
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState running
+    per-user totals) drained in update mode.  The memory sink keeps one
+    row per user per micro-batch; totals only grow, so max() recovers
+    the final state regardless of how the file source batched the
+    input — making the result equal to the batch aggregate and
+    oracle-checkable."""
+    stream = event_stream.read_events_stream(spark, sf_dir)
+    out = event_stream.run_to_memory(
+        event_stream.stateful_user_totals(stream), "q_stream_state", mode="update"
+    )
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+    )
+
+
+# pandas float64 summation vs DuckDB's double sum differ only at ulp
+# level — absorbed by the driver's 1e-9 canonicalization.
+STREAM_STATEFUL_SQL = """
+SELECT user_id, count(*) AS n_events, sum(value) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 STREAMING_QUERIES = {
     "stream_dedup_keys": (stream_dedup_keys, STREAM_DEDUP_SQL),
     "stream_windowed_counts": (stream_windowed_counts, STREAM_WINDOWED_SQL),
     "stream_purchase_view_join": (stream_purchase_view_join, STREAM_SSJ_SQL),
     "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_ENRICH_SQL),
+    "stream_session_windows": (stream_session_windows, STREAM_SESSION_SQL),
+    "stream_stateful_user_totals": (
+        stream_stateful_user_totals,
+        STREAM_STATEFUL_SQL,
+    ),
 }

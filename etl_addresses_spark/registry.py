@@ -98,11 +98,20 @@ _ALL: dict[str, Entry] = {
     "dedup_substring_blocks": Entry(
         dedup.dedup_substring_blocks, dedup.DEDUP_SUBSTRING_SQL
     ),
-    # Iterative float ops: genuinely non-SQL-expressible -> rows-only
-    # checks; SSE-monotonicity + recall asserted in pytest instead.
-    "kmeans_cluster_sizes": Entry(clustering.kmeans_cluster_sizes, None),
-    "ann_ivf_lloyd_topk": Entry(clustering.ann_ivf_lloyd_topk, None),
-    "pagerank_relations": Entry(graph.pagerank_relations, None),
+    # Iterative float ops: the FIXED iteration counts (10 power
+    # iterations, 3 Lloyd rounds) unroll into chained CTEs, so all
+    # three are fully oracle-checked since round 3 — ulp-level
+    # aggregation-order drift sits far below the driver's 1e-9 value
+    # canonicalization.  SSE-monotonicity/recall stay in pytest.
+    "kmeans_cluster_sizes": Entry(
+        clustering.kmeans_cluster_sizes, clustering.kmeans_oracle_sql()
+    ),
+    "ann_ivf_lloyd_topk": Entry(
+        clustering.ann_ivf_lloyd_topk, clustering.ann_ivf_lloyd_oracle_sql()
+    ),
+    "pagerank_relations": Entry(
+        graph.pagerank_relations, graph.pagerank_oracle_sql()
+    ),
     "st_contains_join": Entry(polygon.st_contains_join, polygon.ST_CONTAINS_SQL),
 }
 
