@@ -344,3 +344,33 @@ SELECT q.doc_id, q.source, q.lang, q.n_tokens
 FROM quality q JOIN canonical c ON q.doc_id = c.doc_id
 WHERE {_H2_DUCK.replace('doc_id', 'q.doc_id')} < '80'
 """
+
+
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10): each doc's
+    split derives from an md5 hash bucket of its id, NOT rand() — the
+    production requirement, since a backfill or a second team running
+    the split must put every document in the SAME partition, and the
+    split must stay stable when the corpus grows (hash of id is
+    independent of row order and corpus size, unlike randomSplit or
+    ntile).  Map-side projection only — no shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(f"conv(substring({_H2_FULL}, 1, 2), 16, 10)").cast(
+        "int"
+    )  # 0..255
+    split = (
+        F.when(bucket < 204, F.lit("train"))  # 204/256 = 79.7%
+        .when(bucket < 230, F.lit("val"))  # 26/256 = 10.2%
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
+SPLIT_TVT_SQL = f"""
+SELECT doc_id,
+       CAST(('0x' || {_H2_DUCK}) AS INTEGER) AS bucket,
+       CASE WHEN CAST(('0x' || {_H2_DUCK}) AS INTEGER) < 204 THEN 'train'
+            WHEN CAST(('0x' || {_H2_DUCK}) AS INTEGER) < 230 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""

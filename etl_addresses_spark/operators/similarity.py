@@ -245,6 +245,152 @@ WHERE CAST({_duckdb_dot('a.embedding', 'b.embedding')} AS DOUBLE) / (a.norm * b.
 """
 
 
+# --- signed-random-projection LSH (cosine LSH) ---------------------------
+
+SRP_BITS = 16
+SRP_BAND_BITS = 4
+SRP_BANDS = SRP_BITS // SRP_BAND_BITS
+
+
+def _srp_signs() -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix (SRP_BITS x EMB_DIM), derived
+    from md5 so the exact same literals embed in the Spark plan and the
+    DuckDB oracle.  A ±1 (Rademacher) projection preserves cosine LSH
+    guarantees like a Gaussian one (sign-random-projection, Charikar
+    2002) and keeps every product exactly representable."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"srp:{b}:{i}".encode()).hexdigest()[:15], 16) % 2
+            else -1.0
+            for i in range(EMB_DIM)
+        ]
+        for b in range(SRP_BITS)
+    ]
+
+
+def embedding_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via signed-random-projection (cosine) LSH —
+    the UNblocked complement to `embedding_near_dup`'s label blocking:
+    16 sign bits per vector (dot with fixed ±1 hyperplanes), banded
+    4x4; vectors sharing any exact 4-bit band become candidates
+    (band-local self-join — never all-pairs), then candidates are
+    verified with the exact sequential-fold cosine >= 0.3.  Precision
+    is exact (verification); banding bounds recall, like MinHash-LSH.
+
+    At 100 TB: 16 fused projection expressions per row map-side, the
+    band explode is 4x, and the self-join shuffles on (band_idx,
+    band_bits) — skewed hot buckets split by AQE.  Fully oracle-checked
+    (the ±1 literals embed in both engines' plans)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    norm = F.sqrt(_pair_dot_seq(F.col("embedding"), F.col("embedding")))
+    signs = _srp_signs()
+    bit_cols = []
+    for row in signs:
+        arr = F.array(*[F.lit(v) for v in row])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), arr, lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit_cols.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.concat(
+                    *bit_cols[j * SRP_BAND_BITS : (j + 1) * SRP_BAND_BITS]
+                ).alias("band"),
+            )
+            for j in range(SRP_BANDS)
+        ]
+    )
+    banded = e.select(
+        "vec_id", "embedding", norm.alias("norm"), F.explode(bands).alias("bb")
+    ).select("vec_id", "embedding", "norm", "bb.band_idx", "bb.band")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("emb_a"),
+            F.col("b.embedding").alias("emb_b"),
+            F.col("a.norm").alias("norm_a"),
+            F.col("b.norm").alias("norm_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    scored = cand.select(
+        "vec_a",
+        "vec_b",
+        (
+            _pair_dot_seq(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("norm_a") * F.col("norm_b"))
+        ).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= NEAR_DUP_THRESHOLD)
+
+
+def _srp_sign_sql(row: list[float]) -> str:
+    return "[" + ", ".join(f"{v:.1f}e0" for v in row) + "]"
+
+
+def embedding_srp_lsh_sql() -> str:
+    signs = _srp_signs()
+    bit_exprs = []
+    for row in signs:
+        arr = _srp_sign_sql(row)
+        dot = (
+            f"list_reduce(list_transform(generate_series(1, len(embedding)), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]), "
+            f"(x, y) -> x + y)"
+        )
+        bit_exprs.append(f"CASE WHEN ({dot}) > 0 THEN '1' ELSE '0' END")
+    bit_cols = ",\n    ".join(
+        f"{e} AS bit{i}" for i, e in enumerate(bit_exprs)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, norm, {j} AS band_idx, "
+        + " || ".join(
+            f"bit{j * SRP_BAND_BITS + k}" for k in range(SRP_BAND_BITS)
+        )
+        + " AS band FROM bits"
+        for j in range(SRP_BANDS)
+    )
+    return f"""
+WITH bits AS MATERIALIZED (
+  SELECT vec_id, embedding,
+    sqrt(CAST({_duckdb_dot('embedding', 'embedding')} AS DOUBLE)) AS norm,
+    {bit_cols}
+  FROM embeddings
+),
+banded AS MATERIALIZED ({band_rows}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS emb_a, b.embedding AS emb_b,
+         a.norm AS norm_a, b.norm AS norm_b
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band = b.band
+               AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+  CAST({_duckdb_dot('emb_a', 'emb_b')} AS DOUBLE) / (norm_a * norm_b) AS cosine
+FROM cand
+WHERE CAST({_duckdb_dot('emb_a', 'emb_b')} AS DOUBLE) / (norm_a * norm_b)
+      >= {NEAR_DUP_THRESHOLD}
+"""
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk_for(load_table(spark, sf_dir, "embeddings"))
 

@@ -17,32 +17,73 @@ from etl_addresses_spark.sources.tables import load_table
 
 
 def hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct part/supplier estimates per return flag, alongside
-    the exact counts (the sketch error is asserted in pytest)."""
+    """HLL distinct part/supplier estimates per return flag, checked
+    against the exact counts IN-QUERY: the output carries the exact
+    distincts plus booleans asserting each sketch estimate lies within
+    5% relative error (DataSketches HLL at default lgK=12 guarantees
+    ~1.6% at 3 sigma; 5% is generous).  The DuckDB oracle computes the
+    same exact counts and expects TRUE — a sketch drifting out of its
+    error contract hash-mismatches instead of hiding behind a
+    rows-only check."""
     li = load_table(spark, sf_dir, "lineitem")
+    approx_parts = F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))")
+    approx_supps = F.approx_count_distinct("l_suppkey")
+    exact_parts = F.countDistinct("l_partkey")
+    exact_supps = F.countDistinct("l_suppkey")
     return li.groupBy("l_returnflag").agg(
-        F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").alias(
-            "approx_parts"
-        ),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_supps_hllpp"),
-        F.countDistinct("l_suppkey").alias("exact_supps"),
+        exact_parts.alias("exact_parts"),
+        exact_supps.alias("exact_supps"),
+        (
+            F.abs(approx_parts.cast("double") - exact_parts.cast("double"))
+            <= F.lit(0.05) * exact_parts.cast("double")
+        ).alias("hll_parts_within_5pct"),
+        (
+            F.abs(approx_supps.cast("double") - exact_supps.cast("double"))
+            <= F.lit(0.05) * exact_supps.cast("double")
+        ).alias("hllpp_supps_within_5pct"),
     )
+
+
+HLL_DISTINCT_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       count(DISTINCT l_suppkey) AS exact_supps,
+       TRUE AS hll_parts_within_5pct,
+       TRUE AS hllpp_supps_within_5pct
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def hll_mergeable_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch mergeability: per-group HLL sketches unioned into a global
     estimate WITHOUT touching the raw data again — the property that
-    makes sketches pre-aggregable in a rollup cube."""
+    makes sketches pre-aggregable in a rollup cube.  Same in-query
+    bound check as hll_distinct_parts: the merged estimate must land
+    within 5% of the exact global distinct."""
     li = load_table(spark, sf_dir, "lineitem")
     per_group = li.groupBy("l_returnflag").agg(
         F.expr("hll_sketch_agg(l_partkey)").alias("sketch")
     )
-    return per_group.agg(
-        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias(
-            "approx_global_parts"
-        )
+    merged = per_group.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("approx")
     )
+    exact = li.agg(
+        F.countDistinct("l_partkey").cast("double").alias("exact_global_parts")
+    )
+    return merged.crossJoin(exact).select(
+        "exact_global_parts",
+        (
+            F.abs(F.col("approx").cast("double") - F.col("exact_global_parts"))
+            <= F.lit(0.05) * F.col("exact_global_parts")
+        ).alias("hll_union_within_5pct"),
+    )
+
+
+HLL_UNION_SQL = """
+SELECT CAST(count(DISTINCT l_partkey) AS DOUBLE) AS exact_global_parts,
+       TRUE AS hll_union_within_5pct
+FROM lineitem
+"""
 
 
 def approx_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

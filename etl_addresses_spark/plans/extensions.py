@@ -45,10 +45,11 @@ EXTENSION_QUERIES = {
         similarity.DOCS_WITH_EMBEDDINGS_SQL,
     ),
     "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
-    # HLL sketches are engine-specific approximations: rows-only checks
-    # with pytest error-bound/mergeability assertions.
-    "hll_distinct_parts": (sketches.hll_distinct_parts, None),
-    "hll_mergeable_union": (sketches.hll_mergeable_union, None),
+    # HLL estimates are engine-specific, but their ERROR CONTRACT is
+    # not: exact counts + in-query bound booleans make both
+    # oracle-checkable (the oracle expects TRUE).
+    "hll_distinct_parts": (sketches.hll_distinct_parts, sketches.HLL_DISTINCT_SQL),
+    "hll_mergeable_union": (sketches.hll_mergeable_union, sketches.HLL_UNION_SQL),
     # Exact disc percentiles + in-query approx bound check: oracle-able.
     "approx_quantiles_orders": (
         sketches.approx_quantiles_orders,
@@ -72,4 +73,14 @@ EXTENSION_QUERIES = {
     ),
     "token_count_bpe": (curation.token_count_bpe, curation.TOKEN_COUNT_BPE_SQL),
     "curate_corpus": (curation.curate_corpus, curation.CURATE_CORPUS_SQL),
+    # Cosine LSH over embeddings (banded sign-random-projection) and the
+    # deterministic corpus split — both pure column expressions.
+    "embedding_srp_lsh_pairs": (
+        similarity.embedding_srp_lsh_pairs,
+        similarity.embedding_srp_lsh_sql(),
+    ),
+    "split_train_val_test": (
+        curation.split_train_val_test,
+        curation.SPLIT_TVT_SQL,
+    ),
 }

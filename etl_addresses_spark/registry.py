@@ -169,16 +169,17 @@ DRIVER_WINDOW: list[str] = [
     "transform_relations",
     "transform_logs",
     "relation_degrees",
+    # -- new this round: no driver row exists yet -------------------
+    "stream_session_windows",
+    "stream_stateful_user_totals",
+    "embedding_srp_lsh_pairs",
+    "split_train_val_test",
     # -- one representative per family ------------------------------
     "agg_pricing_summary",
     "window_topk_per_group",
     "events_sessionize",
     "dedup_exact",
-    "cosine_topk_fast",
-    "ann_ivf_topk",
     "multimodal_decode",
-    "st_contains_join",
-    "stream_dedup_keys",
 ]
 
 REGISTRY: dict[str, Entry] = {

@@ -86,3 +86,22 @@ def test_sample_fixed_k_exact_counts(spark):
     n_sources = load_table(spark, SF_ORACLE, "documents").select("source").distinct().count()
     assert len(per) == n_sources
     assert all(n == curation.SAMPLE_K for n in per.values())
+
+
+def test_split_train_val_test_stable_and_proportioned(spark):
+    out = curation.split_train_val_test(spark, SF_ORACLE)
+    rows = {r.doc_id: r.split for r in out.collect()}
+    n = len(rows)
+    shares = {
+        s: sum(1 for v in rows.values() if v == s) / n
+        for s in ("train", "val", "test")
+    }
+    # hash-bucket split: 79.7 / 10.2 / 10.2 expected, loose bounds for
+    # a 500-doc sample
+    assert 0.70 < shares["train"] < 0.90
+    assert 0.04 < shares["val"] < 0.18
+    assert 0.04 < shares["test"] < 0.18
+    # determinism: a second run assigns every doc identically
+    rerun = {r.doc_id: r.split for r in
+             curation.split_train_val_test(spark, SF_ORACLE).collect()}
+    assert rerun == rows

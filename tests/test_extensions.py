@@ -158,3 +158,17 @@ def test_dedup_substring_blocks_semantics(spark):
     # reassembly is the identity on fully-kept docs
     for d in full_kept[:50]:
         assert rows[d].text_dedup == texts[d]
+
+
+def test_srp_lsh_pairs_verified_and_band_local(spark):
+    from etl_addresses_spark.operators import similarity
+
+    pairs = similarity.embedding_srp_lsh_pairs(spark, SF_ORACLE).collect()
+    assert pairs, "LSH should surface candidate near-dups"
+    for r in pairs:
+        # precision is exact: every emitted pair passed verification
+        assert r.cosine >= similarity.NEAR_DUP_THRESHOLD
+        assert r.vec_a < r.vec_b
+    # no duplicate pairs across bands
+    keys = [(r.vec_a, r.vec_b) for r in pairs]
+    assert len(keys) == len(set(keys))
