@@ -91,6 +91,13 @@ def main() -> None:
     # JIT + shuffle-path warmup that the sf0.001 warmup cannot
     # amortize — measured 17 s -> 6 s -> 3 s -> 2.9 s for
     # ngram_jaccard); two repeats still left ±2x noise in the min.
+    #
+    # clearCache between queries: several operators cache intermediates
+    # (shingle sets, oriented edge lists) that would otherwise stay
+    # resident for the REST of the bench — the round-2 bisect
+    # (SCALE.md) traced most of an apparent 1.37x regression to
+    # exactly this cross-query cache/GC pressure, not to plans.
+    spark.catalog.clearCache()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].query
@@ -100,6 +107,7 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        spark.catalog.clearCache()
 
     sf_token = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:

@@ -145,3 +145,53 @@ def test_triangle_count_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
     # the single crossJoin of two 1-row aggregates is the only BNLJ
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_srp_lsh_band_join_is_hash_join(spark):
+    # candidate generation must equi-join on (band_idx, band) — an LSH
+    # that degenerates into a cartesian pair scan defeats its purpose
+    from etl_addresses_spark.operators import similarity
+
+    plan = _plan(similarity.embedding_srp_lsh_pairs(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # SMJ / SHJ / BHJ on the band keys
+
+
+def test_split_train_val_test_no_shuffle(spark):
+    # hash-bucket split is a pure map-side projection
+    from etl_addresses_spark.operators import curation
+
+    plan = _plan(curation.split_train_val_test(spark, SF_SMALL))
+    assert "Exchange" not in plan
+
+
+def test_knn_grid_no_unbounded_cross_join(spark):
+    # the grid-prefiltered strict-parity kNN: its only nested-loop
+    # operand is the escalation residue (anti-joined point set), never
+    # the full point x segment product of the validation mode
+    from etl_addresses_spark.plans import flagship
+
+    plan = _plan(
+        flagship.spatiotemporal_join(spark, SF_SMALL, "reference_knn_grid")
+    )
+    assert "CartesianProduct" not in plan
+    # the block-local candidate join on cell ids must be a hash join
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_minhash_banding_no_rehash_explosion(spark):
+    # each shingle is md5-hashed exactly twice (h1/h2) BEFORE the 64x
+    # seed explode; the per-seed permutation is pure arithmetic on
+    # (h1, h2).  If any md5 call took the exploded seed as input, the
+    # hash work would multiply 64x (the round-2 regression shape).
+    import re
+
+    from etl_addresses_spark.operators import dedup
+
+    plan = _optimized(dedup.minhash_lsh_pairs(spark, SF_SMALL))
+    assert "md5" in plan  # portable hashing is present...
+    # ...but the per-seed min aggregates pure (h1, h2) arithmetic —
+    # the round-2 shape md5(concat_ws(':', seed, shingle)) is gone
+    assert re.search(r"min\(\(\(h1#\d+L \+", plan)
+    assert "concat_ws(:, cast(seed" not in plan
