@@ -106,8 +106,12 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            # each repeat builds NEW DataFrame objects, so its .cache()s
+            # can never be reused by the next repeat — stale copies only
+            # add memory pressure (3 resident copies of the shingle set
+            # by repeat 3).  JIT/codegen warmth survives clearCache.
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
-        spark.catalog.clearCache()
 
     sf_token = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:

@@ -17,6 +17,8 @@ Operators:
                         (banding is the 100 TB path: candidates per
                         bucket, never all-pairs)
 * SimHash             — 60-bit sign-sum fingerprint over token hashes
+* keep-best           — cluster representative selection (longest text,
+                        min-id ties) over the connected components
 
 At 100 TB: every step is explode + hash-shuffle + agg on bounded keys;
 shingle/bucket skew is handled by AQE skew-join splitting.
@@ -705,5 +707,65 @@ SELECT doc_id,
        ) AS text_dedup
 FROM ranked
 GROUP BY doc_id
+"""
+)
+
+
+# --- cluster representative selection ------------------------------------
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation finisher on top of the dedup stack: every document gets
+    a cluster label (its connected-component label when it has
+    duplicates, its own id otherwise) and each cluster keeps ONE
+    representative — the longest text, ties to the smallest doc_id.
+
+    The argmax rides a max(struct(len, -doc_id)) aggregation —
+    map-side combinable (unlike a window sort), the same shape as the
+    flagship's argmin.  At 100 TB this adds one broadcast-joinable
+    label lookup and one groupBy to the cluster pipeline."""
+    c = corpus_df(spark, sf_dir)
+    labels = dedup_clusters_for(c)
+    lens = c.select("doc_id", F.length("text").alias("len"))
+    labeled = lens.join(labels, "doc_id", "left").select(
+        "doc_id",
+        "len",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("len"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("b"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("b.neg_id")).alias("rep_doc_id"),
+            F.col("b.len").alias("rep_len"),
+            "n_members",
+        )
+    )
+
+
+DEDUP_KEEP_BEST_SQL = (
+    "WITH labels AS MATERIALIZED (" + DEDUP_CLUSTERS_SQL + "),\n"
+    + CORPUS_CTE.strip()
+    + """,
+lens AS (SELECT doc_id, length(text) AS len FROM corpus),
+labeled AS (
+  SELECT l.doc_id, l.len, coalesce(lb.cluster_id, l.doc_id) AS cluster_id
+  FROM lens l LEFT JOIN labels lb ON lb.doc_id = l.doc_id
+),
+ranked AS (
+  SELECT cluster_id, doc_id, len,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY len DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM labeled
+)
+SELECT cluster_id, doc_id AS rep_doc_id, len AS rep_len, n_members
+FROM ranked WHERE rn = 1
 """
 )

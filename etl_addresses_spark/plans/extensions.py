@@ -83,4 +83,6 @@ EXTENSION_QUERIES = {
         curation.split_train_val_test,
         curation.SPLIT_TVT_SQL,
     ),
+    # Curation finisher: one representative per duplicate cluster.
+    "dedup_keep_best": (dedup.dedup_keep_best, dedup.DEDUP_KEEP_BEST_SQL),
 }

@@ -174,11 +174,11 @@ DRIVER_WINDOW: list[str] = [
     "stream_stateful_user_totals",
     "embedding_srp_lsh_pairs",
     "split_train_val_test",
+    "dedup_keep_best",
     # -- one representative per family ------------------------------
     "agg_pricing_summary",
     "window_topk_per_group",
     "events_sessionize",
-    "dedup_exact",
     "multimodal_decode",
 ]
 

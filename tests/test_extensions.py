@@ -172,3 +172,18 @@ def test_srp_lsh_pairs_verified_and_band_local(spark):
     # no duplicate pairs across bands
     keys = [(r.vec_a, r.vec_b) for r in pairs]
     assert len(keys) == len(set(keys))
+
+
+def test_dedup_keep_best_partitions_corpus(spark):
+    from etl_addresses_spark.operators import dedup
+
+    out = dedup.dedup_keep_best(spark, SF_ORACLE).collect()
+    corpus_n = dedup.corpus_df(spark, SF_ORACLE).count()
+    # clusters partition the corpus: membership counts add up exactly
+    assert sum(r.n_members for r in out) == corpus_n
+    # every multi-member cluster keeps exactly one rep; exact copies
+    # (doc_id % 4 == 0 -> +20000000) must never win over the original
+    multi = [r for r in out if r.n_members > 1]
+    assert multi
+    for r in multi:
+        assert r.rep_doc_id < 20000000
