@@ -198,13 +198,24 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    a, b = li.alias("a"), li.alias("b")
+    # Per-order pair generation: ONE groupBy shuffle collects each
+    # order's (small, k<=7) part set, and the k*(k-1)/2 pairs are
+    # generated locally with higher-order functions — replacing the
+    # earlier lineitem self-join, which shuffled the fact table twice
+    # and built the same pairs through a join (measured 11.3 s -> see
+    # SCALE.md; pair count is identical).  At 100 TB the per-key state
+    # is one order's part set — bounded by order size, not corpus.
     # edges feeds the degree count twice (u side, v side) and the
-    # orientation join once; cache so the lineitem self-join+distinct
-    # runs a single time during the `oriented` materialization.
+    # orientation join once; cache so the build runs once.
+    per_order = li.groupBy("ok").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    pair_expr = F.expr(
+        "explode(flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps) - i - 1), "
+        "y -> struct(x AS u, y AS v)))))"
+    )
     edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        per_order.select(pair_expr.alias("e"))
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .distinct()
         .cache()
     )
