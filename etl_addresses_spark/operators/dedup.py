@@ -210,20 +210,48 @@ def phash60_sql(expr: str) -> str:
     return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
 
 
-def phash52(col) -> "F.Column":
-    """52-bit variant (13 md5 hex chars) — small enough that
-    seed * phash52 never overflows a signed int64 for seed < 64."""
-    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 13), 16, 10).cast(
-        "long"
-    )
+# --- 2-universal per-permutation hashing (MLlib MinHashLSH scheme) -------
+#
+# Each shingle gets ONE portable base hash x < P (md5 prefix mod P);
+# permutation s applies h_s(x) = (a_s * x + b_s) mod P with coefficients
+# derived deterministically from md5 in PYTHON and embedded as literals
+# in both engines' plans.  P is a 31-bit prime (the one Spark MLlib's
+# MinHashLSH uses), so a_s * x < 2^62 never overflows a signed int64.
+#
+# Why 2-universal and not a cheap linear mix: an earlier
+# (h1 + seed*h2) mod M scheme made adjacent permutations nearly
+# parallel as linear maps, so per-band minima CORRELATED across seeds
+# and the band join produced 10x the candidates of an independent hash
+# (339k vs 34k on the 26.7k-doc stress corpus) — all of them paid for
+# in exact-Jaccard verification.  (a_s, b_s) random per seed restores
+# pairwise independence; candidates match the xxhash64 baseline
+# exactly (34k).
+MINHASH_PRIME = 2038074743
 
 
-def phash52_sql(expr: str) -> str:
-    return f"CAST('0x' || substring(md5({expr}), 1, 13) AS BIGINT)"
+def _minhash_coeffs() -> tuple[list[int], list[int]]:
+    import hashlib
+
+    a = [
+        int(hashlib.md5(f"mh-a:{s}".encode()).hexdigest()[:8], 16)
+        % (MINHASH_PRIME - 1)
+        + 1
+        for s in range(MINHASH_PERMS)
+    ]
+    b = [
+        int(hashlib.md5(f"mh-b:{s}".encode()).hexdigest()[:8], 16)
+        % MINHASH_PRIME
+        for s in range(MINHASH_PERMS)
+    ]
+    return a, b
 
 
-# 2^61 - 1 (Mersenne): modulus of the per-seed double-hashing mix.
-MINHASH_MOD = 2305843009213693951
+def _coeff_sql_a() -> str:
+    return "[" + ", ".join(map(str, _minhash_coeffs()[0])) + "]"
+
+
+def _coeff_sql_b() -> str:
+    return "[" + ", ".join(map(str, _minhash_coeffs()[1])) + "]"
 
 
 # --- MinHash + LSH -------------------------------------------------------
@@ -236,35 +264,39 @@ def _minhash_long(sh: DataFrame) -> DataFrame:
     evaluation (measured ~3x slower); this shape stays codegen'd and
     map-side combinable.
 
-    Each shingle is md5-hashed exactly TWICE (h1: 60-bit, h2: 52-bit),
-    BEFORE the 64x seed explode; the per-seed permutation is the cheap
-    double-hashing mix (h1 + seed·h2) mod (2^61-1) — the
-    Kirsch-Mitzenmacher construction.  Hashing 64x per shingle instead
-    costs ~2.2 s extra at sf0.1 (measured), and md5+hex-parse is the
-    price of engine-portable oracles; seed·h2 stays < 2^58, so the mix
-    never overflows a signed int64 even under ANSI arithmetic.
+    Each shingle is md5-hashed ONCE into a base value x < P before the
+    64x seed explode; permutation s is (a_s·x + b_s) mod P with
+    literal 2-universal coefficients (see MINHASH_PRIME above for why
+    independence matters here).
 
     The pre-repartition by doc_id makes the partial aggregation
     collapse the 64x-exploded rows to exactly 64 per doc per partition
     before the shuffle — without it every partition carries partials
     for nearly every doc and the combine saves nothing (measured 17M
     shuffled rows vs <1M)."""
-    hashed = sh.repartition("doc_id").select(
-        "doc_id",
-        phash60(F.col("shingle")).alias("h1"),
-        phash52(F.concat(F.col("shingle"), F.lit("#"))).alias("h2"),
+    ca, cb = _minhash_coeffs()
+    arr_a = F.array(*[F.lit(v) for v in ca])
+    arr_b = F.array(*[F.lit(v) for v in cb])
+    x = (
+        F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(MINHASH_PRIME)
     )
+    hashed = sh.repartition("doc_id").select("doc_id", x.alias("x"))
     return (
         hashed.select(
             "doc_id",
             F.explode(F.sequence(F.lit(0), F.lit(MINHASH_PERMS - 1))).alias("seed"),
-            "h1",
-            "h2",
+            "x",
         )
         .groupBy("doc_id", "seed")
         .agg(
             F.min(
-                (F.col("h1") + F.col("seed") * F.col("h2")) % F.lit(MINHASH_MOD)
+                (
+                    F.element_at(arr_a, F.col("seed") + 1) * F.col("x")
+                    + F.element_at(arr_b, F.col("seed") + 1)
+                )
+                % F.lit(MINHASH_PRIME)
             ).alias("minh")
         )
     )
@@ -300,35 +332,31 @@ def minhash_lsh_pairs_for(corpus: DataFrame) -> DataFrame:
     # candidate verification below
     sh = _shingles(corpus).cache()
     long = _minhash_long(sh)
-    # band id = seed div 4; bucket = md5 of the band's 4 minima joined
-    # in seed order (sort_array over (seed, minh) structs is
-    # deterministic) — portable: DuckDB's
-    # md5(string_agg(minh, ',' ORDER BY seed)) is the same string.
-    banded = (
-        long.groupBy(
-            "doc_id", (F.col("seed") - (F.col("seed") % LSH_ROWS)).alias("band")
-        )
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("seed", "minh"))),
-                        lambda s: s.getField("minh").cast("string"),
-                    ),
-                ).cast("binary")
-            ).alias("bucket")
-        )
+    # band id = seed div 4; the band's 4 minima pivot into four LONG
+    # columns (4 conditional-min aggregates — far below any codegen
+    # limit) and the bucket join is plain multi-column long equality.
+    # This replaced an md5-of-concatenated-strings bucket, which spent
+    # more time building strings than the join it fed (measured 6.4 s
+    # -> 1.3 s for the banding stage on the 26.7k-doc stress corpus);
+    # band equality on (m0..m3) is EXACTLY bucket equality, minus the
+    # hashing.
+    banded = long.groupBy(
+        "doc_id", (F.col("seed") - (F.col("seed") % LSH_ROWS)).alias("band")
+    ).agg(
+        *[
+            F.min(
+                F.when(F.col("seed") % LSH_ROWS == k, F.col("minh"))
+            ).alias(f"m{k}")
+            for k in range(LSH_ROWS)
+        ]
     )
     a = banded.alias("a")
     b = banded.alias("b")
+    band_eq = (F.col("a.band") == F.col("b.band"))
+    for k in range(LSH_ROWS):
+        band_eq = band_eq & (F.col(f"a.m{k}") == F.col(f"b.m{k}"))
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, band_eq & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
@@ -376,24 +404,32 @@ sh AS (
   FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
 ),
 hashed AS (
-  SELECT doc_id, {phash60_sql("shingle")} AS h1,
-         {phash52_sql("shingle || '#'")} AS h2
+  SELECT doc_id,
+         CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT)
+           % {MINHASH_PRIME} AS x
   FROM sh
 ),
 hs AS (
-  SELECT doc_id, seed, min((h1 + seed * h2) % {MINHASH_MOD}) AS minh
+  SELECT doc_id, seed,
+         min((({_coeff_sql_a()})[seed + 1] * x
+              + ({_coeff_sql_b()})[seed + 1]) % {MINHASH_PRIME}) AS minh
   FROM hashed, UNNEST(generate_series(0, {MINHASH_PERMS - 1})) AS s(seed)
   GROUP BY doc_id, seed
 ),
 banded AS (
   SELECT doc_id, seed - (seed % {LSH_ROWS}) AS band,
-         md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed)) AS bucket
+         min(CASE WHEN seed % {LSH_ROWS} = 0 THEN minh END) AS m0,
+         min(CASE WHEN seed % {LSH_ROWS} = 1 THEN minh END) AS m1,
+         min(CASE WHEN seed % {LSH_ROWS} = 2 THEN minh END) AS m2,
+         min(CASE WHEN seed % {LSH_ROWS} = 3 THEN minh END) AS m3
   FROM hs GROUP BY doc_id, band
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a
-  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  JOIN banded b ON a.band = b.band
+               AND a.m0 = b.m0 AND a.m1 = b.m1
+               AND a.m2 = b.m2 AND a.m3 = b.m3
                AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),

@@ -191,7 +191,7 @@ def test_minhash_banding_no_rehash_explosion(spark):
 
     plan = _optimized(dedup.minhash_lsh_pairs(spark, SF_SMALL))
     assert "md5" in plan  # portable hashing is present...
-    # ...but the per-seed min aggregates pure (h1, h2) arithmetic —
-    # the round-2 shape md5(concat_ws(':', seed, shingle)) is gone
-    assert re.search(r"min\(\(\(h1#\d+L \+", plan)
-    assert "concat_ws(:, cast(seed" not in plan
+    # ...but never takes the exploded seed as input: permutations are
+    # (a_s*x + b_s) mod p arithmetic over literal coefficient arrays
+    assert not re.search(r"md5\([^)]*seed", plan)
+    assert "element_at" in plan
