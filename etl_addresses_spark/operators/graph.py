@@ -180,16 +180,29 @@ _ORD_BASE = 1_000_000_000
 
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count triangles in the parts-bought-together graph with the
-    degree-ordered edge orientation (the node-iterator++ / Latapy
-    scheme every distributed triangle counter uses).
+    degree-ordered orientation + adjacency-intersection ("compact
+    forward" / Latapy) scheme.
 
     Each undirected edge is oriented from its lower-(degree, id) node
-    to its higher one, so every triangle is enumerated exactly once at
-    its lowest vertex AND the join fan-out per node is bounded by
-    out-degree <= O(sqrt(m)) even on power-law graphs — orienting by id
-    alone would put a hub's whole neighborhood on one key.  Two
-    self-joins on the oriented edge set; no driver data path.  Output
-    is one audit row (edges, oriented wedges, triangles, closure rate).
+    to its higher one, so every triangle is enumerated exactly once AND
+    every out-adjacency list is bounded by O(sqrt(m)) even on power-law
+    graphs — orienting by id alone would put a hub's whole neighborhood
+    on one key.  Triangles are then counted WITHOUT materializing the
+    wedge set: for each oriented edge (u, v), the closing third edges
+    are exactly N+(u) ∩ N+(v), so one pass over the edges joined with
+    the (sorted-array) adjacency of both endpoints and an
+    `array_intersect` size-sum gives the count.  The earlier
+    wedge-join formulation materialized and re-shuffled every oriented
+    wedge (41 M rows at sf0.1 for 1.2 M edges) only to probe them
+    against the edge set; intersecting bounded adjacency arrays does
+    the same probe with zero wedge shuffle — measured 8.5 s -> 3.1 s
+    warm best-of-3 at sf0.1 (see SCALE.md).  The wedge COUNT still
+    appears in the audit row, computed for free as C(out_deg, 2).
+    Adjacency rows are dimension-keyed (one per part) and join by
+    plain equi-join — AQE broadcasts them while they fit and falls
+    back to shuffle join at scale; per-row size stays O(sqrt(m)) by
+    the orientation bound.  Output is one audit row (edges, oriented
+    wedges, triangles, closure rate).
     """
     from etl_addresses_spark.sources.tables import load_table
 
@@ -241,34 +254,47 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ord_u") < F.col("ord_v"), F.col("v"))
             .otherwise(F.col("u"))
             .alias("dst"),
-            F.greatest("ord_u", "ord_v").alias("dst_ord"),
         )
     )
-    # `oriented` feeds three join operands and the edge count feeds a
-    # fourth branch; caching collapses what would otherwise be four
-    # full recomputations of the build pipeline into one (same hygiene
-    # as pagerank's cached edge set — without it the physical plan
-    # replicates the join subtree per branch, ~100 exchanges).
+    # `oriented` feeds the adjacency build and the probe side; caching
+    # collapses what would otherwise be repeated recomputations of the
+    # whole edge-build pipeline (same hygiene as pagerank's cached
+    # edge set).
     oriented = oriented.cache()
-    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
-    # wedge + triangle counts ride ONE aggregation: a wedge closes into
-    # a triangle iff the (b, c) edge exists, so a left join and a
-    # conditional count measure both in a single pass.
-    wedges = e1.join(
-        e2,
-        (F.col("e1.src") == F.col("e2.src"))
-        & (F.col("e1.dst_ord") < F.col("e2.dst_ord")),
-    ).select(F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c"))
-    closed = wedges.join(
-        e3,
-        (F.col("b") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst")),
-        "left",
-    ).agg(
-        F.count(F.lit(1)).alias("n_oriented_wedges"),
-        F.count(F.col("e3.src")).alias("n_triangles"),
+    adj = (
+        oriented.groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+        .cache()
     )
-    n_edges = oriented.agg(F.count(F.lit(1)).alias("n_edges"))
-    return n_edges.crossJoin(closed).selectExpr(
+    au = adj.select(F.col("src").alias("u_"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("src").alias("v_"), F.col("nbrs").alias("nv"))
+    # edge + wedge counts ride ONE aggregation over the adjacency:
+    # sum of out-degrees is the edge count, sum of C(out_deg, 2) is
+    # exactly the oriented-wedge count the wedge-join formulation
+    # materialized row-by-row.
+    stats = adj.agg(
+        F.sum(F.size("nbrs")).alias("n_edges"),
+        F.sum(F.expr("size(nbrs) * (size(nbrs) - 1) div 2")).alias(
+            "n_oriented_wedges"
+        ),
+    )
+    # v may have no out-edges (top of the order): its adjacency row is
+    # absent, the intersection is empty — the left join + empty-array
+    # coalesce keeps the edge contributing 0 rather than dropping it.
+    tri = (
+        oriented.join(au, F.col("src") == F.col("u_"))
+        .join(av, F.col("dst") == F.col("v_"), "left")
+        .agg(
+            F.sum(
+                F.size(
+                    F.array_intersect(
+                        F.col("nu"), F.coalesce(F.col("nv"), F.array())
+                    )
+                )
+            ).alias("n_triangles")
+        )
+    )
+    return stats.crossJoin(tri).selectExpr(
         "n_edges",
         "n_oriented_wedges",
         "n_triangles",
