@@ -57,6 +57,11 @@ HEADLINE = [
     "dedup_substring_blocks",
     "bloom_prune_join",
     "triangle_count",
+    # round-3 additions: PQ ANN (encode + LUT scan), the pixel-decode
+    # Arrow kernel, and the phrase-repetition projection
+    "ann_pq_topk",
+    "multimodal_pixel_stats",
+    "repetition_ngram_score",
 ]
 
 # Bisect/pinning hook: SPARK_GRAFT_BENCH_QUERIES="a,b,c" restricts the

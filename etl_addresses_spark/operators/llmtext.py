@@ -437,6 +437,94 @@ LIMIT {_BM25_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# Within-document n-gram repetition (the Gopher "repetition" section,
+# word-level): fraction of duplicate bigrams/trigrams plus the share of
+# the single most-repeated bigram.  Complements quality_gopher_flags's
+# unigram dup_ratio — machine-generated spam repeats PHRASES, which
+# unigram stats miss entirely.
+# ---------------------------------------------------------------------------
+
+
+def repetition_ngram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document phrase-repetition signals as pure column
+    expressions: no shuffle, no UDF — the whole computation is one
+    map-side projection inside codegen, embarrassingly parallel at any
+    scale.  The per-row cost of the top-bigram share is
+    O(distinct * total) over a single document's bigrams, bounded by
+    document length, not corpus size.  Thresholds calibrated so the
+    fixture corpus fails a non-trivial minority of docs (dup-bigram
+    p90 is 0.065)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+    bg = (
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1)))"
+    )
+    tg = (
+        f"transform(sequence(1, size({toks}) - 2), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1), "
+        f"' ', element_at({toks}, i + 2)))"
+    )
+    base = d.select(
+        "doc_id", F.expr(bg).alias("bg"), F.expr(tg).alias("tg")
+    )
+    dup_bg = F.lit(1.0) - (
+        F.size(F.array_distinct(F.col("bg"))).cast("double")
+        / F.size(F.col("bg"))
+    )
+    dup_tg = F.lit(1.0) - (
+        F.size(F.array_distinct(F.col("tg"))).cast("double")
+        / F.size(F.col("tg"))
+    )
+    top_bg = F.expr(
+        "cast(array_max(transform(array_distinct(bg), "
+        "x -> size(filter(bg, y -> y = x)))) as double) / size(bg)"
+    )
+    return base.select(
+        "doc_id",
+        dup_bg.alias("dup_bigram_frac"),
+        dup_tg.alias("dup_trigram_frac"),
+        top_bg.alias("top_bigram_frac"),
+        (dup_bg <= 0.1).alias("ok_rep_bigram"),
+        (dup_tg <= 0.05).alias("ok_rep_trigram"),
+        (top_bg <= 0.1).alias("ok_top_bigram"),
+        ((dup_bg <= 0.1) & (dup_tg <= 0.05) & (top_bg <= 0.1)).alias(
+            "keep"
+        ),
+    )
+
+
+REPETITION_NGRAM_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+b AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, len(toks) - 1),
+      i -> toks[i] || ' ' || toks[i+1]) AS bg,
+    list_transform(generate_series(1, len(toks) - 2),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+    1.0e0 - (CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)) AS dup_bigram_frac,
+    1.0e0 - (CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)) AS dup_trigram_frac,
+    CAST(list_max(list_transform(list_distinct(bg),
+      x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg) AS top_bigram_frac
+  FROM b
+)
+SELECT doc_id, dup_bigram_frac, dup_trigram_frac, top_bigram_frac,
+  (dup_bigram_frac <= 0.1e0) AS ok_rep_bigram,
+  (dup_trigram_frac <= 0.05e0) AS ok_rep_trigram,
+  (top_bigram_frac <= 0.1e0) AS ok_top_bigram,
+  (dup_bigram_frac <= 0.1e0 AND dup_trigram_frac <= 0.05e0
+    AND top_bigram_frac <= 0.1e0) AS keep
+FROM m
+"""
+
+
 QUERIES_LLMDATA = {
     "decontaminate_ngram": (decontaminate_ngram, DECONTAMINATE_NGRAM_SQL),
     "chunk_documents": (chunk_documents, CHUNK_DOCUMENTS_SQL),
@@ -444,4 +532,5 @@ QUERIES_LLMDATA = {
     "pii_redact": (pii_redact, PII_REDACT_SQL),
     "quality_gopher_flags": (quality_gopher_flags, QUALITY_GOPHER_SQL),
     "bm25_topk": (bm25_topk, BM25_TOPK_SQL),
+    "repetition_ngram_score": (repetition_ngram_score, REPETITION_NGRAM_SQL),
 }

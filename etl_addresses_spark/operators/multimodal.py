@@ -182,3 +182,364 @@ SELECT doc_id, source,
   octet_length(encode(text)) >= 256 AS decode_worthy
 FROM documents
 """
+
+
+def _pixel_stats(p: bytes) -> tuple[int, int, int, float, float, float, int, int, int]:
+    """FULL pixel decode: zlib-decompress the IDAT stream, strip the
+    per-row filter bytes (the generator writes filter type 0), and
+    compute per-channel means plus a 2x nearest-neighbor downsample.
+    Any stride/offset bug pulls 0x00 filter bytes into the pixel plane
+    and shifts the means — the oracle would hash-mismatch."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if p[:8] != PNG_SIG or p[12:16] != b"IHDR":
+        raise ValueError("not a PNG")
+    width = int.from_bytes(p[16:20], "big")
+    height = int.from_bytes(p[20:24], "big")
+    # walk chunks to collect IDAT data (the generator emits one, but a
+    # real file may split it)
+    idat = b""
+    off = 8
+    while off < len(p):
+        (ln,) = struct.unpack(">I", p[off : off + 4])
+        tag = p[off + 4 : off + 8]
+        if tag == b"IDAT":
+            idat += p[off + 8 : off + 8 + ln]
+        off += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = 1 + 3 * width
+    if len(raw) != height * stride:
+        raise ValueError("bad IDAT length")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+    if rows[:, 0].any():
+        raise ValueError("unsupported PNG filter")
+    px = rows[:, 1:].reshape(height, width, 3)
+    means = px.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+    rh, rw = max(1, height // 2), max(1, width // 2)
+    small = px[::2, ::2][:rh, :rw]  # nearest-neighbor downsample
+    return (
+        width,
+        height,
+        width * height,
+        float(means[0]),
+        float(means[1]),
+        float(means[2]),
+        rw,
+        rh,
+        int(small.sum(dtype=np.int64)),
+    )
+
+
+def _pixel_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        s = pdf["payload"].map(_pixel_stats)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": s.map(lambda m: m[0]).astype("int32"),
+                "height": s.map(lambda m: m[1]).astype("int32"),
+                "n_pixels": s.map(lambda m: m[2]).astype("int64"),
+                "mean_r": s.map(lambda m: m[3]),
+                "mean_g": s.map(lambda m: m[4]),
+                "mean_b": s.map(lambda m: m[5]),
+                "resized_w": s.map(lambda m: m[6]).astype("int32"),
+                "resized_h": s.map(lambda m: m[7]).astype("int32"),
+                "resized_sum": s.map(lambda m: m[8]).astype("int64"),
+            }
+        )
+
+
+PIXEL_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, n_pixels bigint, "
+    "mean_r double, mean_g double, mean_b double, "
+    "resized_w int, resized_h int, resized_sum bigint"
+)
+
+
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level decode + resize over the binary image column — the
+    feature-extract stage of a multimodal pipeline, Arrow-batched
+    through mapInPandas like the header decoder.  Narrow transformation
+    (no shuffle); the only Python data path in the repo beyond the PNG
+    codec itself, justified the same way: the decode genuinely cannot
+    be a JVM column expression.
+
+    Oracle: the generator fills every pixel with doc_id % 256 at
+    doc_id-derived dimensions, so per-channel means, resize dims, and
+    the downsampled pixel sum are all closed-form in SQL — while the
+    Spark side computes them from the actual decompressed bytes."""
+    return binary_images(spark, sf_dir).mapInPandas(
+        _pixel_stats_batches, schema=PIXEL_STATS_SCHEMA
+    )
+
+
+MULTIMODAL_PIXEL_STATS_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+    CAST(8 + doc_id % 56 AS INTEGER) AS width,
+    CAST(8 + (doc_id * 3) % 56 AS INTEGER) AS height,
+    CAST(doc_id % 256 AS BIGINT) AS fill
+  FROM documents
+)
+SELECT doc_id, width, height,
+  CAST(width AS BIGINT) * height AS n_pixels,
+  CAST(fill AS DOUBLE) AS mean_r,
+  CAST(fill AS DOUBLE) AS mean_g,
+  CAST(fill AS DOUBLE) AS mean_b,
+  CAST(width // 2 AS INTEGER) AS resized_w,
+  CAST(height // 2 AS INTEGER) AS resized_h,
+  fill * (width // 2) * (height // 2) * 3 AS resized_sum
+FROM dims
+"""
+
+
+# ---------------------------------------------------------------------------
+# Audio: WAV (RIFF/PCM16) synth + feature extraction.
+# ---------------------------------------------------------------------------
+
+_WAV_RATE = 8000
+
+
+def _wav_payload(doc_id: int) -> bytes:
+    """A valid mono 16-bit PCM WAV built from the stdlib: RIFF header,
+    fmt chunk, data chunk.  The waveform is the deterministic integer
+    sequence x[i] = ((doc_id + 7 i) mod 256 - 128) * 64, so every
+    feature the decoder extracts has a closed-form SQL replay."""
+    import struct
+
+    n = 200 + doc_id % 100
+    samples = bytes()
+    pcm = struct.pack(
+        "<%dh" % n,
+        *(((doc_id + 7 * i) % 256 - 128) * 64 for i in range(n)),
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+    data_sz = len(pcm)
+    riff_sz = 4 + (8 + len(fmt)) + (8 + data_sz)
+    return (
+        b"RIFF"
+        + struct.pack("<I", riff_sz)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", data_sz)
+        + pcm
+    )
+
+
+def _encode_wav_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(lambda i: _wav_payload(int(i))),
+            }
+        )
+
+
+def binary_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synthetic WAV blob per document row — the audio-column
+    stand-in, real RIFF bytes parseable by any WAV reader."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _encode_wav_batches, schema="doc_id bigint, payload binary"
+    )
+
+
+def _audio_features(p: bytes) -> tuple[int, int, float, int, int]:
+    """Real WAV parse: walk RIFF chunks to the data chunk, decode PCM16
+    via numpy, extract duration, sum of squares (the exact integer core
+    of RMS), zero-crossing count, and peak amplitude."""
+    import struct
+
+    import numpy as np
+
+    if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    off = 12
+    rate, pcm = None, None
+    while off + 8 <= len(p):
+        tag = p[off : off + 4]
+        (ln,) = struct.unpack("<I", p[off + 4 : off + 8])
+        body = p[off + 8 : off + 8 + ln]
+        if tag == b"fmt ":
+            rate = struct.unpack("<HHIIHH", body)[2]
+        elif tag == b"data":
+            pcm = np.frombuffer(body, dtype="<i2")
+        off += 8 + ln + (ln & 1)
+    if rate is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    x = pcm.astype(np.int64)
+    zc = int(((x[:-1] < 0) != (x[1:] < 0)).sum())
+    return (
+        len(x),
+        rate,
+        float(np.sum(x * x)),
+        zc,
+        int(np.abs(x).max()),
+    )
+
+
+def _audio_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        s = pdf["payload"].map(_audio_features)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_samples": s.map(lambda m: m[0]).astype("int64"),
+                "sample_rate": s.map(lambda m: m[1]).astype("int32"),
+                "sum_sq": s.map(lambda m: m[2]),
+                "zero_crossings": s.map(lambda m: m[3]).astype("int64"),
+                "peak": s.map(lambda m: m[4]).astype("int64"),
+            }
+        )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, n_samples bigint, sample_rate int, sum_sq double, "
+    "zero_crossings bigint, peak bigint"
+)
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over binary WAV payloads — RIFF chunk
+    walk + PCM16 decode + vectorized numpy features per Arrow batch.
+    Same sanctioned mapInPandas shape as the PNG kernel.  The oracle
+    replays the deterministic waveform arithmetic in SQL (sum over
+    generate_series), so a parser mis-reading byte order, chunk
+    offsets, or sample width diverges immediately."""
+    return binary_audio(spark, sf_dir).mapInPandas(
+        _audio_feature_batches, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+MULTIMODAL_AUDIO_SQL = f"""
+WITH d AS (
+  SELECT doc_id, 200 + doc_id % 100 AS n FROM documents
+),
+w AS (
+  SELECT doc_id, n,
+    list_transform(generate_series(0, n - 1),
+      i -> ((doc_id + 7 * i) % 256 - 128) * 64) AS x
+  FROM d
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_samples,
+  {_WAV_RATE} AS sample_rate,
+  CAST(list_reduce(list_transform(x, v -> CAST(v AS DOUBLE) * v),
+    (a, b) -> a + b) AS DOUBLE) AS sum_sq,
+  CAST(len(list_filter(generate_series(2, n),
+    i -> (x[i - 1] < 0) <> (x[i] < 0))) AS BIGINT) AS zero_crossings,
+  CAST(list_max(list_transform(x, v -> abs(v))) AS BIGINT) AS peak
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# Video: concatenated-PNG frame container + every-2nd frame sampling.
+# ---------------------------------------------------------------------------
+
+
+def _video_payload(doc_id: int) -> bytes:
+    """A 'video' container: 3 + doc_id % 4 PNG frames back-to-back
+    (frame f is the PNG for doc_id + f) — enough structure to exercise
+    real frame-boundary walking without an ffmpeg dependency."""
+    n_frames = 3 + doc_id % 4
+    return b"".join(_png_payload(doc_id + f) for f in range(n_frames))
+
+
+def _encode_video_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(lambda i: _video_payload(int(i))),
+            }
+        )
+
+
+def binary_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _encode_video_batches, schema="doc_id bigint, payload binary"
+    )
+
+
+def _sample_frames(p: bytes) -> list[tuple[int, int, int]]:
+    """Walk PNG frame boundaries (signature .. IEND chunk) and decode
+    the IHDR of every SECOND frame — the frame-sampling stage of a
+    video pipeline (1 -> N row expansion inside the Arrow batch)."""
+    import struct
+
+    frames = []
+    off = 0
+    while off < len(p):
+        if p[off : off + 8] != PNG_SIG:
+            raise ValueError("bad frame boundary")
+        start = off
+        off += 8
+        while True:
+            (ln,) = struct.unpack(">I", p[off : off + 4])
+            tag = p[off + 4 : off + 8]
+            off += 12 + ln
+            if tag == b"IEND":
+                break
+        frames.append((start, off))
+    out = []
+    for idx in range(0, len(frames), 2):
+        s, _ = frames[idx]
+        width = int.from_bytes(p[s + 16 : s + 20], "big")
+        height = int.from_bytes(p[s + 20 : s + 24], "big")
+        out.append((idx, width, height))
+    return out
+
+
+def _frame_sample_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for idx, w, h in _sample_frames(payload):
+                rows.append((int(doc_id), idx, w, h))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_idx", "width", "height"]
+        )
+
+
+FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_idx int, width int, height int"
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary video payloads: boundary walk +
+    every-2nd-frame IHDR decode, expanding each container row into one
+    row per sampled frame inside the Arrow batch (mapInPandas is the
+    right API precisely because output cardinality != input
+    cardinality).  Oracle: frame f of doc d is the PNG for d + f, so
+    sampled dims are closed-form over generate_series."""
+    return binary_video(spark, sf_dir).mapInPandas(
+        _frame_sample_batches, schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
+MULTIMODAL_FRAME_SAMPLE_SQL = """
+SELECT doc_id,
+  CAST(f AS INTEGER) AS frame_idx,
+  CAST(8 + (doc_id + f) % 56 AS INTEGER) AS width,
+  CAST(8 + ((doc_id + f) * 3) % 56 AS INTEGER) AS height
+FROM documents, UNNEST(generate_series(0, 2 + doc_id % 4)) AS u(f)
+WHERE f % 2 = 0
+"""

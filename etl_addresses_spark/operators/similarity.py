@@ -618,3 +618,251 @@ SELECT d.doc_id,
   sqrt(CAST({_duckdb_dot('e.embedding', 'e.embedding')} AS DOUBLE)) AS embedding_norm
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization (PQ) ANN: the memory-compression tier.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64-dim embeddings -> 8 dims per subspace)
+PQ_SUB = EMB_DIM // PQ_M
+
+
+def _sq_l2_seq(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential-fold squared L2 distance (same parity contract as
+    `_pair_dot_seq`: per-element doubles, left fold)."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. PQ/ADC): each vector is
+    stored as 8 small codes — one per 8-dim subspace, the index of its
+    nearest codeword — and queries score candidates by looking the
+    codes up in a per-query distance table instead of touching the
+    original floats.
+
+    This is the 100 TB MEMORY play, complementary to IVF's candidate
+    pruning: the corpus compresses from 64 floats (256 B) to 8 codes
+    (8 B) per vector, so the scan side streams 32x less data and the
+    per-pair math is 8 array lookups instead of a 64-term dot.  The
+    codebook is the same deterministic pseudo-centroid subset the IVF
+    tier uses (vec_id % 100 == 0), dense-ranked so codes index plain
+    arrays.
+
+    Everything is bit-reproducible, so even this doubly-approximate
+    index is fully oracle-checked: encode argmin ties break on the
+    dense centroid rank, every per-pair sum is a SEQUENTIAL fold over
+    m = 1..8 (a plain groupBy sum over the 8 partial rows would be
+    partition-order-dependent), and the LUT/code arrays are built
+    with sort_array(collect_list(struct(...))) so their element order
+    is canonical regardless of shuffle order.  Scoring approximates
+    cosine as adc_dot / (|q| * |reconstruction|).
+
+    queries() surface over `embeddings`; recall vs the exact top-k is
+    asserted in pytest like the other approximate tiers.
+    """
+    return ann_pq_topk_for(load_table(spark, sf_dir, "embeddings"))
+
+
+def ann_pq_topk_for(e: DataFrame, centroid_mod: int = 100) -> DataFrame:
+    sub_expr = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), "
+        f"m -> slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB}))"
+    )
+    # codebook: dense rank over cent_id -> (m, cidx, codeword) rows,
+    # M * k of them; broadcast everywhere it is used.
+    cents = (
+        e.filter(F.col("vec_id") % centroid_mod == 0)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            sub_expr.alias("subs"),
+        )
+        .withColumn(
+            "cidx",
+            F.row_number()
+            .over(W.orderBy(F.asc("cent_id")))
+            .cast("long"),
+        )
+        .select(
+            "cidx",
+            F.posexplode("subs").alias("m", "cw"),
+        )
+        .withColumn("cw_norm2", _pair_dot_seq(F.col("cw"), F.col("cw")))
+    )
+    # encode: nearest codeword per (vector, subspace); min(struct)
+    # argmin with the dense rank as tie-break, then per-vector sorted
+    # reassembly into a codes array + reconstruction norm.
+    subvecs = e.select(
+        "vec_id", F.posexplode(sub_expr).alias("m", "sv")
+    )
+    best = (
+        subvecs.join(F.broadcast(cents), "m")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(
+                    _sq_l2_seq(F.col("sv"), F.col("cw")).alias("dist"),
+                    F.col("cidx").alias("cidx"),
+                    F.col("cw_norm2").alias("cw_norm2"),
+                )
+            ).alias("b")
+        )
+    )
+    codes = best.groupBy("vec_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("m"), F.col("b.cidx").alias("c")))
+            ),
+            lambda s: s.getField("c"),
+        ).alias("codes"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("m"), F.col("b.cw_norm2").alias("n2"))
+                    )
+                ),
+                lambda s: s.getField("n2"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("recon_norm2"),
+    )
+    # per-query LUT: luts[m][cidx] = dot(q_sub[m], codeword[m][cidx]),
+    # nested arrays in canonical (m, cidx) order.
+    queries = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(sub_expr).alias("m", "qsv"),
+        _norm_col(F.col("embedding")).alias("q_norm"),
+    )
+    lut_m = (
+        queries.join(F.broadcast(cents), "m")
+        .groupBy("query_id", "q_norm", "m")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("cidx"),
+                            _pair_dot_seq(F.col("qsv"), F.col("cw")).alias(
+                                "qdot"
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s.getField("qdot"),
+            ).alias("row")
+        )
+    )
+    luts = lut_m.groupBy("query_id", "q_norm").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("m"), F.col("row")))),
+            lambda s: s.getField("row"),
+        ).alias("luts")
+    )
+    # ADC scan: every candidate's 8 codes looked up in the broadcast
+    # per-query tables; the fold over m is sequential by construction.
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(PQ_M)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at(F.col("luts"), m.cast("int")),
+            F.element_at(F.col("codes"), m.cast("int")).cast("int"),
+        ),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(luts))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            (adc / (F.col("q_norm") * F.sqrt(F.col("recon_norm2")))).alias(
+                "pq_cosine"
+            ),
+        )
+    )
+    return _rank_topk(scored, "pq_cosine")
+
+
+def _duckdb_sq_l2(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+ANN_PQ_TOPK_SQL = f"""
+WITH subbed AS (
+  SELECT vec_id,
+    list_transform(generate_series(0, {PQ_M - 1}),
+      m -> embedding[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}]) AS subs,
+    sqrt(CAST({_duckdb_dot('embedding', 'embedding')} AS DOUBLE)) AS vnorm
+  FROM embeddings
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) AS cidx, subs
+  FROM subbed WHERE vec_id % 100 = 0
+),
+codebook AS (
+  SELECT cidx, m, cents.subs[m] AS cw,
+    {_duckdb_dot('cents.subs[m]', 'cents.subs[m]')} AS cw_norm2
+  FROM cents, UNNEST(generate_series(1, {PQ_M})) AS u(m)
+),
+subvecs AS (
+  SELECT vec_id, m, subbed.subs[m] AS sv
+  FROM subbed, UNNEST(generate_series(1, {PQ_M})) AS u(m)
+),
+best AS (
+  SELECT vec_id, m, cidx, cw_norm2 FROM (
+    SELECT s.vec_id, s.m, cb.cidx, cb.cw_norm2,
+      row_number() OVER (PARTITION BY s.vec_id, s.m
+        ORDER BY {_duckdb_sq_l2('s.sv', 'cb.cw')} ASC, cb.cidx ASC) AS r
+    FROM subvecs s JOIN codebook cb ON s.m = cb.m)
+  WHERE r = 1
+),
+codes AS (
+  SELECT vec_id,
+    list(cidx ORDER BY m) AS codes,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cw_norm2 ORDER BY m)),
+      (x, y) -> x + y) AS recon_norm2
+  FROM best GROUP BY vec_id
+),
+qsub AS (
+  SELECT vec_id AS query_id, m, subbed.subs[m] AS qsv, vnorm AS q_norm
+  FROM subbed, UNNEST(generate_series(1, {PQ_M})) AS u(m)
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+lut_m AS (
+  SELECT q.query_id, q.q_norm, q.m,
+    list({_duckdb_dot('q.qsv', 'cb.cw')} ORDER BY cb.cidx) AS "row"
+  FROM qsub q JOIN codebook cb ON q.m = cb.m
+  GROUP BY q.query_id, q.q_norm, q.m
+),
+luts AS (
+  SELECT query_id, q_norm, list("row" ORDER BY m) AS luts
+  FROM lut_m GROUP BY query_id, q_norm
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(generate_series(1, {PQ_M}),
+          m -> q.luts[m][c.codes[m]])),
+      (x, y) -> x + y)
+      / (q.q_norm * sqrt(c.recon_norm2)) AS pq_cosine
+  FROM codes c CROSS JOIN luts q
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, rank, cand_id, pq_cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY pq_cosine DESC, cand_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {TOPK_K}
+"""

@@ -39,6 +39,23 @@ EXTENSION_QUERIES = {
         multimodal.multimodal_decode,
         multimodal.MULTIMODAL_DECODE_SQL,
     ),
+    # Full pixel decode + 2x resize (zlib IDAT, filter strip, channel
+    # means) — the feature-extract stage, oracle-closed-form.
+    "multimodal_pixel_stats": (
+        multimodal.multimodal_pixel_stats,
+        multimodal.MULTIMODAL_PIXEL_STATS_SQL,
+    ),
+    # Audio feature extraction (RIFF/PCM16 parse) and video frame
+    # sampling (PNG-frame boundary walk, 1->N expansion) — the
+    # remaining multimodal stages, same sanctioned Arrow path.
+    "multimodal_audio_features": (
+        multimodal.multimodal_audio_features,
+        multimodal.MULTIMODAL_AUDIO_SQL,
+    ),
+    "multimodal_frame_sample": (
+        multimodal.multimodal_frame_sample,
+        multimodal.MULTIMODAL_FRAME_SAMPLE_SQL,
+    ),
     "ann_quantized_topk": (similarity.quantized_topk, similarity.QUANTIZED_TOPK_SQL),
     "docs_with_embeddings": (
         similarity.docs_with_embeddings,
@@ -85,4 +102,8 @@ EXTENSION_QUERIES = {
     ),
     # Curation finisher: one representative per duplicate cluster.
     "dedup_keep_best": (dedup.dedup_keep_best, dedup.DEDUP_KEEP_BEST_SQL),
+    # PQ/ADC: the memory-compression ANN tier (8-byte codes, per-query
+    # LUT scan) — deterministic codebook + sequential folds keep even
+    # this doubly-approximate index fully oracle-checked.
+    "ann_pq_topk": (similarity.ann_pq_topk, similarity.ANN_PQ_TOPK_SQL),
 }

@@ -61,6 +61,43 @@ GROUP BY 1, 2
 """
 
 
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked sliding-window aggregation (10-minute windows every
+    5 minutes), drained to batch.  Each event contributes to exactly
+    two overlapping windows."""
+    stream = event_stream.read_events_stream(spark, sf_dir)
+    out = event_stream.run_to_memory(
+        event_stream.sliding_counts(stream), "q_stream_slide"
+    )
+    return out.select(
+        F.date_format("window_start", _TS_FMT).alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+# The oracle materializes the two sliding starts per event explicitly:
+# an event at t belongs to the windows starting at bucket5(t) and
+# bucket5(t) - 5min (window length 10 >= slide 5 covers both).
+STREAM_SLIDING_SQL = f"""
+WITH starts AS (
+  SELECT
+    unnest([time_bucket(INTERVAL 5 MINUTES, CAST(ts AS TIMESTAMP)),
+            time_bucket(INTERVAL 5 MINUTES, CAST(ts AS TIMESTAMP))
+              - INTERVAL 5 MINUTES]) AS window_start,
+    event_type, value
+  FROM events
+)
+SELECT strftime(window_start, '{_DUCK_FMT}') AS window_start,
+  event_type,
+  count(*) AS n,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM starts
+GROUP BY 1, 2
+"""
+
+
 def stream_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (purchases to same-user views within
     the preceding 30 minutes), drained to batch."""
@@ -210,6 +247,7 @@ FROM events GROUP BY user_id
 STREAMING_QUERIES = {
     "stream_dedup_keys": (stream_dedup_keys, STREAM_DEDUP_SQL),
     "stream_windowed_counts": (stream_windowed_counts, STREAM_WINDOWED_SQL),
+    "stream_sliding_windows": (stream_sliding_windows, STREAM_SLIDING_SQL),
     "stream_purchase_view_join": (stream_purchase_view_join, STREAM_SSJ_SQL),
     "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_ENRICH_SQL),
     "stream_session_windows": (stream_session_windows, STREAM_SESSION_SQL),

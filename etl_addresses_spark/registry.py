@@ -175,10 +175,13 @@ DRIVER_WINDOW: list[str] = [
     "embedding_srp_lsh_pairs",
     "split_train_val_test",
     "dedup_keep_best",
+    "ann_pq_topk",
+    "repetition_ngram_score",
     # -- one representative per family ------------------------------
+    # (window_topk_per_group / events_sessionize rotated out after
+    # their r02 green rows to make room for the round-3 additions;
+    # they stay covered by pytest + CORRECTNESS_FULL.)
     "agg_pricing_summary",
-    "window_topk_per_group",
-    "events_sessionize",
     "multimodal_decode",
 ]
 

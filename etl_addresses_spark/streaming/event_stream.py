@@ -240,3 +240,30 @@ def run_with_checkpoint(
     finally:
         q.stop()
     return stream_df.sparkSession.read.parquet(out_dir)
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """Watermarked SLIDING windows (10-minute length, 5-minute slide)
+    per event type: every event lands in exactly two overlapping
+    windows.  Same state-bounding watermark as the tumbling variant —
+    the state store holds one extra generation of open windows per
+    slide, still O(windows x types), independent of stream length."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

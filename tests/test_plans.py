@@ -195,3 +195,25 @@ def test_minhash_banding_no_rehash_explosion(spark):
     # (a_s*x + b_s) mod p arithmetic over literal coefficient arrays
     assert not re.search(r"md5\([^)]*seed", plan)
     assert "element_at" in plan
+
+
+def test_pq_scan_is_broadcast_lut_not_cartesian(spark):
+    # the ADC scan must be a broadcast of the tiny per-query LUT side
+    # streamed over the codes (a BNLJ on the broadcast side is the
+    # documented PQ scan shape); a CartesianProduct (both sides
+    # materialized) would break at corpus scale.  Encode/LUT joins on m
+    # must stay hash joins.
+    from etl_addresses_spark.operators import similarity
+
+    plan = _plan(similarity.ann_pq_topk(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_repetition_score_is_single_projection(spark):
+    # pure map-side column math: any Exchange means someone added an
+    # accidental shuffle to a per-row projection
+    from etl_addresses_spark.operators import llmtext
+
+    plan = _plan(llmtext.repetition_ngram_score(spark, SF_SMALL))
+    assert "Exchange" not in plan
