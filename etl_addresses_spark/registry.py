@@ -18,6 +18,7 @@ from etl_addresses_spark.operators import (
     dedup,
     graph,
     llmtext,
+    lmquality,
     polygon,
     scalepatterns,
 )
@@ -94,6 +95,10 @@ _ALL: dict[str, Entry] = {
         name: Entry(fn, sql)
         for name, (fn, sql) in scalepatterns.QUERIES_SCALE.items()
     },
+    **{
+        name: Entry(fn, sql)
+        for name, (fn, sql) in lmquality.QUERIES_LMQUALITY.items()
+    },
     "triangle_count": Entry(graph.triangle_count, graph.TRIANGLE_COUNT_SQL),
     "dedup_substring_blocks": Entry(
         dedup.dedup_substring_blocks, dedup.DEDUP_SUBSTRING_SQL
@@ -162,14 +167,15 @@ DRIVER_WINDOW: list[str] = [
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "simhash_near_pairs",
-    # -- reference surface: re-confirm every round ------------------
+    # -- reference surface: the flagship re-confirms every round; the
+    # knn variant changed plans this round (grid-prefiltered strict
+    # parity) so its re-proof is mandatory.  The transform trio /
+    # agg_pricing_summary / multimodal_decode rotated out after their
+    # r02 green rows (unchanged code, still covered by pytest +
+    # CORRECTNESS_FULL) to free slots for never-driver-checked entries.
     "spatiotemporal_join",
     "spatiotemporal_join_knn",
-    "transform_objects",
-    "transform_relations",
-    "transform_logs",
-    "relation_degrees",
-    # -- new this round: no driver row exists yet -------------------
+    # -- new round 3: no driver row exists yet ----------------------
     "stream_session_windows",
     "stream_stateful_user_totals",
     "embedding_srp_lsh_pairs",
@@ -177,12 +183,13 @@ DRIVER_WINDOW: list[str] = [
     "dedup_keep_best",
     "ann_pq_topk",
     "repetition_ngram_score",
-    # -- one representative per family ------------------------------
-    # (window_topk_per_group / events_sessionize rotated out after
-    # their r02 green rows to make room for the round-3 additions;
-    # they stay covered by pytest + CORRECTNESS_FULL.)
-    "agg_pricing_summary",
-    "multimodal_decode",
+    "lm_bigram_logprob",
+    "quality_classifier_score",
+    "vocab_oov_rate",
+    "semantic_dedup",
+    # -- the last two entries with no driver row from rounds 1-2 ----
+    "hll_distinct_parts",
+    "hll_mergeable_union",
 ]
 
 REGISTRY: dict[str, Entry] = {

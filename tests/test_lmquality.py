@@ -1,0 +1,131 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from conftest import SF_ORACLE, assert_frames_match
+
+from etl_addresses_spark.operators.lmquality import (
+    QUERIES_LMQUALITY,
+    SEMDEDUP_THRESHOLD,
+    VOCAB_K,
+    lm_bigram_logprob,
+    quality_classifier_score,
+    semantic_dedup,
+    vocab_oov_rate,
+)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES_LMQUALITY))
+def test_lmquality_oracle(name, spark, ddb):
+    fn, sql = QUERIES_LMQUALITY[name]
+    assert_frames_match(fn(spark, SF_ORACLE), ddb.sql(sql))
+
+
+def test_lm_bigram_scores_are_sane(spark):
+    rows = lm_bigram_logprob(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        # log-probs are strictly negative (smoothed P < 1), ppl > 1
+        assert r.avg_logprob < 0
+        assert r.ppl > 1
+        assert math.isclose(r.ppl, math.exp(-r.avg_logprob), rel_tol=1e-12)
+        assert r.n_bigrams >= 1
+
+
+def test_lm_bigram_repetitive_doc_scores_higher(spark, tmp_path):
+    # A doc made of ONE repeated corpus-frequent bigram must out-score
+    # a doc of corpus-rare transitions: its bigram counts dominate.
+    import pyspark.sql.functions as F
+
+    from etl_addresses_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    corpus = d.select("doc_id", "text").limit(200)
+    rep = spark.createDataFrame(
+        [(900001, " ".join(["join hash"] * 30)), (900002, "zq xv qj vx kz jx")],
+        ["doc_id", "text"],
+    )
+    out_dir = str(tmp_path / "docs")
+    corpus.unionByName(rep).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    scores = {
+        r.doc_id: r.avg_logprob
+        for r in lm_bigram_logprob(spark, out_dir).collect()
+        if r.doc_id in (900001, 900002)
+    }
+    assert scores[900001] > scores[900002]
+
+
+def test_classifier_score_is_logistic_of_logit(spark):
+    rows = quality_classifier_score(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.score < 1.0
+        assert math.isclose(r.score, 1.0 / (1.0 + math.exp(-r.logit)), rel_tol=1e-12)
+        assert r.keep == (r.logit >= 0)
+    # hashed weights must not collapse to one side
+    keeps = [r.keep for r in rows]
+    assert any(keeps) and not all(keeps)
+
+
+def test_vocab_oov_rate_bounds(spark):
+    rows = vocab_oov_rate(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_toks
+        assert math.isclose(r.oov_rate, r.n_oov / r.n_toks, rel_tol=1e-12)
+    # K=20 of the fixture's 31 tokens: OOV must be non-trivial overall
+    assert any(r.n_oov > 0 for r in rows)
+    assert any(r.n_oov == 0 or r.oov_rate < 1.0 for r in rows)
+
+
+def test_semantic_dedup_keeps_min_id_representative(spark):
+    rows = semantic_dedup(spark, SF_ORACLE).collect()
+    assert rows
+    by_id = {r.vec_id: r for r in rows}
+    # every vector appears exactly once
+    assert len(by_id) == len(rows)
+    # a dropped vector has >= 1 smaller-id near-dup; a kept one has 0
+    for r in rows:
+        assert r.keep == (r.n_smaller_dups == 0)
+    # the minimum vec_id of every cluster can never be dropped
+    min_per_cluster: dict[int, int] = {}
+    for r in rows:
+        min_per_cluster[r.list_id] = min(
+            min_per_cluster.get(r.list_id, r.vec_id), r.vec_id
+        )
+    for cl, vid in min_per_cluster.items():
+        assert by_id[vid].keep, f"cluster {cl} min id {vid} was dropped"
+
+
+def test_semantic_dedup_respects_threshold(spark):
+    # cross-check one dropped vector: it really has a smaller-id
+    # cluster member with cosine >= threshold
+    import pyspark.sql.functions as F
+
+    from etl_addresses_spark.operators.similarity import _pair_dot_seq
+    from etl_addresses_spark.sources.tables import load_table
+
+    out = semantic_dedup(spark, SF_ORACLE)
+    dropped = out.filter(~F.col("keep")).limit(1).collect()
+    if not dropped:
+        pytest.skip("fixture produced no semantic dups at this SF")
+    victim = dropped[0]
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    member_ids = [r.vec_id for r in out.filter(F.col("list_id") == victim.list_id).collect()]
+    vecs = {r.vec_id: r.embedding for r in e.filter(F.col("vec_id").isin(member_ids)).collect()}
+    v = vecs[victim.vec_id]
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(x) ** 2 for x in b))
+        return dot / (na * nb)
+
+    assert any(
+        vid < victim.vec_id and cos(v, vec) >= SEMDEDUP_THRESHOLD - 1e-9
+        for vid, vec in vecs.items()
+        if vid != victim.vec_id
+    )
