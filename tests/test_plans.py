@@ -217,3 +217,44 @@ def test_repetition_score_is_single_projection(spark):
 
     plan = _plan(llmtext.repetition_ngram_score(spark, SF_SMALL))
     assert "Exchange" not in plan
+
+
+def test_quality_classifier_zero_shuffle(spark):
+    # the hashed classifier is one fused projection; an Exchange means
+    # someone broke the no-vocabulary-table property that makes it the
+    # cheapest quality gate at corpus scale
+    from etl_addresses_spark.operators import lmquality
+
+    plan = _plan(lmquality.quality_classifier_score(spark, SF_SMALL))
+    assert "Exchange" not in plan
+
+
+def test_vocab_oov_topk_and_broadcast(spark):
+    # top-K vocab must be per-partition heaps (TakeOrderedAndProject),
+    # never a global sort; the K-row membership join must broadcast
+    from etl_addresses_spark.operators import lmquality
+
+    plan = _plan(lmquality.vocab_oov_rate(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_pairs_are_cluster_local(spark):
+    # the only nested-loop product allowed is the broadcast centroid
+    # assignment (corpus x k); the pair join must be an equi-join on
+    # list_id so the quadratic stays inside a cluster
+    from etl_addresses_spark.operators import lmquality
+
+    plan = _plan(lmquality.semantic_dedup(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    joins = [l for l in plan.splitlines() if "Join" in l and "list_id" in l]
+    assert joins, "pair join must key on list_id"
+
+
+def test_lm_bigram_count_joins_not_cartesian(spark):
+    # the token stream joins two vocabulary-sized count dimensions and
+    # one 1-row scalar; none of them may degrade to a cartesian product
+    from etl_addresses_spark.operators import lmquality
+
+    plan = _plan(lmquality.lm_bigram_logprob(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
