@@ -130,6 +130,65 @@ WHERE p.event_type = 'purchase' AND v.event_type = 'view'
 """
 
 
+def stream_purchase_view_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join drained to batch.  The
+    oracle replays Spark's null-emission rule: matched pairs emit
+    unconditionally; an unmatched purchase emits its null row only if
+    the final global watermark (ms-truncated max event time minus the
+    40-minute view delay) has passed its timestamp — later purchases
+    are still in state when the drain ends, so the oracle excludes
+    them with the same predicate."""
+    stream = event_stream.read_events_stream(spark, sf_dir)
+    out = event_stream.run_to_memory(
+        event_stream.purchases_with_optional_views(stream),
+        "q_stream_ssj_left",
+        mode="append",
+    )
+    return out.select(
+        "purchase_event_id",
+        "user_id",
+        F.date_format("purchase_ts", _TS_FMT).alias("purchase_ts"),
+        "view_event_id",
+        F.date_format("view_ts", _TS_FMT).alias("view_ts"),
+    )
+
+
+STREAM_SSJ_LEFT_SQL = f"""
+WITH mx AS (
+  SELECT date_trunc('milliseconds', max(CAST(ts AS TIMESTAMP)))
+         - INTERVAL 40 MINUTES AS wm
+  FROM events
+),
+p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'view'
+)
+SELECT
+  p.event_id AS purchase_event_id,
+  p.user_id AS user_id,
+  strftime(p.ts, '{_DUCK_FMT}') AS purchase_ts,
+  v.event_id AS view_event_id,
+  strftime(v.ts, '{_DUCK_FMT}') AS view_ts
+FROM p
+JOIN v ON v.user_id = p.user_id
+      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTES
+UNION ALL
+SELECT
+  p.event_id, p.user_id, strftime(p.ts, '{_DUCK_FMT}'),
+  CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+FROM p
+WHERE NOT EXISTS (
+    SELECT 1 FROM v
+    WHERE v.user_id = p.user_id
+      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTES)
+  AND p.ts < (SELECT wm FROM mx)
+"""
+
+
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment: the streaming purchase feed
     joined per micro-batch to the static customer dimension (user_id
@@ -249,6 +308,10 @@ STREAMING_QUERIES = {
     "stream_windowed_counts": (stream_windowed_counts, STREAM_WINDOWED_SQL),
     "stream_sliding_windows": (stream_sliding_windows, STREAM_SLIDING_SQL),
     "stream_purchase_view_join": (stream_purchase_view_join, STREAM_SSJ_SQL),
+    "stream_purchase_view_left_join": (
+        stream_purchase_view_left_join,
+        STREAM_SSJ_LEFT_SQL,
+    ),
     "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_ENRICH_SQL),
     "stream_session_windows": (stream_session_windows, STREAM_SESSION_SQL),
     "stream_stateful_user_totals": (

@@ -167,15 +167,17 @@ DRIVER_WINDOW: list[str] = [
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "simhash_near_pairs",
-    # -- reference surface: the flagship re-confirms every round; the
-    # knn variant changed plans this round (grid-prefiltered strict
-    # parity) so its re-proof is mandatory.  The transform trio /
-    # agg_pricing_summary / multimodal_decode rotated out after their
-    # r02 green rows (unchanged code, still covered by pytest +
-    # CORRECTNESS_FULL) to free slots for never-driver-checked entries.
-    "spatiotemporal_join",
+    # -- reference surface: the knn variant changed plans this round
+    # (grid-prefiltered strict parity) so its re-proof is mandatory.
+    # The flagship grid variant itself rotated out after two green
+    # rounds on an unchanged plan — the driver still smoke-runs it via
+    # entry() every round, pytest + CORRECTNESS_FULL keep it checked,
+    # and the knn row exercises the same predicate stack.  The
+    # transform trio / agg_pricing_summary / multimodal_decode rotated
+    # out the same way to free slots for never-driver-checked entries.
     "spatiotemporal_join_knn",
     # -- new round 3: no driver row exists yet ----------------------
+    "stream_purchase_view_left_join",
     "stream_session_windows",
     "stream_stateful_user_totals",
     "embedding_srp_lsh_pairs",

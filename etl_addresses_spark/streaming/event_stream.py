@@ -192,6 +192,50 @@ def purchases_with_recent_views(events: DataFrame) -> DataFrame:
     )
 
 
+def purchases_with_optional_views(events: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase emits —
+    matched pairs eagerly, and the null-padded row only once the
+    watermark proves no matching view can still arrive.  This is the
+    semantics plain batch left-join cannot give an unbounded stream:
+    "unmatched" is only decidable when the view-side watermark passes
+    the end of the purchase's 30-minute lookback window, so the
+    unmatched row for purchase p materializes when
+    global_watermark (= min over inputs of max-event-time - delay,
+    ms-truncated) passes p.ts.  Purchases inside the final watermark
+    horizon stay in state, emitted by a later batch on a live stream —
+    exactly the rows the oracle's watermark predicate excludes."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_event_id"),
+        )
+        .withWatermark("view_ts", "40 minutes")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_event_id"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+    )
+    return purchases.join(views, cond, "leftOuter").select(
+        "purchase_event_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "view_event_id",
+        "view_ts",
+    )
+
+
 def run_foreach_batch_overwrite(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> DataFrame:
