@@ -374,3 +374,54 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM documents
 """
+
+
+WEIGHTED_SAMPLE_K = 50
+_POW60 = float(1 << 60)  # 2^60, exactly representable
+
+
+def sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES): every document draws a deterministic hash-uniform
+    u in (0, 1] and is ranked by ln(u)/w (the log-space form of the
+    classic u^(1/w) key — same ordering, one transcendental instead of
+    two); the global top-{K} by key IS a weighted sample without
+    replacement, with inclusion probability proportional to weight.
+
+    This is how a training-data mixer upsamples high-quality documents
+    at corpus scale: the key is a map-side projection (no rand(), so
+    backfills reproduce the exact sample), and the top-K executes as
+    TakeOrderedAndProject — per-partition heaps + a K-row driver merge,
+    never a global sort.  Weight here is n_chars (bigger docs more
+    likely); any positive quality score plugs in unchanged.
+
+    Float parity: u is an exact dyadic rational (60-bit hash / 2^60),
+    identical in both engines; ln() may differ by 1 ulp but adjacent
+    keys differ by ~1e-3, so the top-K membership cannot flip.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u = F.expr(
+        "(cast(conv(substring(md5(concat('ws:', cast(doc_id as string))), 1, 15), "
+        "16, 10) as double) + 1.0d) / cast(1152921504606846976 as double)"
+    )
+    key = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(WEIGHTED_SAMPLE_K)
+    )
+
+
+SAMPLE_WEIGHTED_K_SQL = f"""
+SELECT doc_id, n_chars AS weight,
+  ln((CAST(CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        AS BIGINT) AS DOUBLE) + 1.0e0) / CAST(1152921504606846976 AS DOUBLE))
+    / CAST(n_chars AS DOUBLE) AS sample_key
+FROM documents
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT {WEIGHTED_SAMPLE_K}
+"""

@@ -100,6 +100,10 @@ EXTENSION_QUERIES = {
         curation.split_train_val_test,
         curation.SPLIT_TVT_SQL,
     ),
+    "sample_weighted_k": (
+        curation.sample_weighted_k,
+        curation.SAMPLE_WEIGHTED_K_SQL,
+    ),
     # Curation finisher: one representative per duplicate cluster.
     "dedup_keep_best": (dedup.dedup_keep_best, dedup.DEDUP_KEEP_BEST_SQL),
     # PQ/ADC: the memory-compression ANN tier (8-byte codes, per-query

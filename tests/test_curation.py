@@ -105,3 +105,28 @@ def test_split_train_val_test_stable_and_proportioned(spark):
     rerun = {r.doc_id: r.split for r in
              curation.split_train_val_test(spark, SF_ORACLE).collect()}
     assert rerun == rows
+
+
+def test_sample_weighted_k_is_deterministic_topk(spark):
+    from etl_addresses_spark.operators.curation import (
+        WEIGHTED_SAMPLE_K,
+        sample_weighted_k,
+    )
+
+    a = sample_weighted_k(spark, SF_ORACLE).collect()
+    b = sample_weighted_k(spark, SF_ORACLE).collect()
+    assert a == b, "hash-derived keys must reproduce the exact sample"
+    assert len(a) == WEIGHTED_SAMPLE_K
+    for r in a:
+        assert r.weight > 0
+        assert r.sample_key <= 0  # ln(u in (0,1]) / w is never positive
+    # the sample is genuinely weighted, not just the biggest docs: it
+    # must differ from the top-K by weight alone
+    top_by_weight = {
+        row.doc_id
+        for row in spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .orderBy("n_chars", ascending=False)
+        .limit(WEIGHTED_SAMPLE_K)
+        .collect()
+    }
+    assert {r.doc_id for r in a} != top_by_weight
