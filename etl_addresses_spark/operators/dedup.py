@@ -315,6 +315,30 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _banded(long: DataFrame) -> DataFrame:
+    """Pivot the long-format signature into (doc_id, band, m0..m3):
+    4 conditional-min aggregates per band — see minhash_lsh_pairs_for
+    for why this beats string buckets."""
+    return long.groupBy(
+        "doc_id", (F.col("seed") - (F.col("seed") % LSH_ROWS)).alias("band")
+    ).agg(
+        *[
+            F.min(
+                F.when(F.col("seed") % LSH_ROWS == k, F.col("minh"))
+            ).alias(f"m{k}")
+            for k in range(LSH_ROWS)
+        ]
+    )
+
+
+def _band_eq():
+    """Join condition for band-bucket equality between aliases a/b."""
+    eq = F.col("a.band") == F.col("b.band")
+    for k in range(LSH_ROWS):
+        eq = eq & (F.col(f"a.m{k}") == F.col(f"b.m{k}"))
+    return eq
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_for(corpus_df(spark, sf_dir))
 
@@ -340,21 +364,10 @@ def minhash_lsh_pairs_for(corpus: DataFrame) -> DataFrame:
     # -> 1.3 s for the banding stage on the 26.7k-doc stress corpus);
     # band equality on (m0..m3) is EXACTLY bucket equality, minus the
     # hashing.
-    banded = long.groupBy(
-        "doc_id", (F.col("seed") - (F.col("seed") % LSH_ROWS)).alias("band")
-    ).agg(
-        *[
-            F.min(
-                F.when(F.col("seed") % LSH_ROWS == k, F.col("minh"))
-            ).alias(f"m{k}")
-            for k in range(LSH_ROWS)
-        ]
-    )
+    banded = _banded(long)
     a = banded.alias("a")
     b = banded.alias("b")
-    band_eq = (F.col("a.band") == F.col("b.band"))
-    for k in range(LSH_ROWS):
-        band_eq = band_eq & (F.col(f"a.m{k}") == F.col(f"b.m{k}"))
+    band_eq = _band_eq()
     cand = (
         a.join(b, band_eq & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
@@ -805,3 +818,177 @@ SELECT cluster_id, doc_id AS rep_doc_id, len AS rep_len, n_members
 FROM ranked WHERE rn = 1
 """
 )
+
+
+# --- incremental LSH dedup (admission of a new batch vs the index) ------
+
+
+def new_batch_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incoming batch for the incremental-dedup scenario: the
+    corpus_df duplicate injections (near-dup at +10M, exact at +20M)
+    plus genuinely NOVEL documents at +30M (every doc_id % 5 == 0 with
+    its word order reversed — reversal destroys 3-shingles, so these
+    must be admitted)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" nd"), (F.col("doc_id") % 97).cast("string")
+        ).alias("text"),
+    )
+    exact = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"), F.col("text")
+    )
+    novel = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 30000000).alias("doc_id"),
+        F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
+    )
+    return near.unionByName(exact).unionByName(novel)
+
+
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup: admit or reject an incoming batch
+    against the already-indexed corpus WITHOUT comparing the index to
+    itself — the production shape for a continuously-ingesting corpus,
+    where re-running all-pairs dedup per batch would be O(corpus)
+    instead of O(batch).
+
+    Both sides share one signature pipeline; the band-bucket join is
+    ASYMMETRIC (index x new only), candidates verify with exact shingle
+    Jaccard, and each new doc keeps its best match (max jaccard, tie
+    min index id).  New docs with no candidate — including docs too
+    short to shingle — are admitted.  At 100 TB the index-side band
+    table is a precomputed, bucketed artifact; the per-batch cost is
+    hashing the BATCH plus one bucket join, never an index self-join.
+    """
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = new_batch_df(spark, sf_dir)
+    sh = _shingles(base.unionByName(new)).cache()
+    banded = _banded(_minhash_long(sh))
+    a = banded.filter(F.col("doc_id") < 10000000).alias("a")  # index side
+    b = banded.filter(F.col("doc_id") >= 10000000).alias("b")  # new batch
+    cand = (
+        a.join(b, _band_eq())
+        .select(
+            F.col("b.doc_id").alias("new_id"), F.col("a.doc_id").alias("idx_id")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("new_id"), "shingle"), "new_id")
+        .join(
+            sh.select(F.col("doc_id").alias("idx_id"), "shingle"),
+            ["idx_id", "shingle"],
+        )
+        .groupBy("new_id", "idx_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sn = sizes.select(F.col("doc_id").alias("new_id"), F.col("sz").alias("sz_n"))
+    si = sizes.select(F.col("doc_id").alias("idx_id"), F.col("sz").alias("sz_i"))
+    scored = (
+        common.join(sn, "new_id")
+        .join(si, "idx_id")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz_n") + F.col("sz_i") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("idx_id"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", "idx_id", "jaccard")
+    )
+    return (
+        new.select(F.col("doc_id").alias("new_doc_id"))
+        .join(best, F.col("new_doc_id") == F.col("new_id"), "left")
+        .select(
+            "new_doc_id",
+            F.col("idx_id").alias("best_match_id"),
+            F.col("jaccard").alias("best_jaccard"),
+            F.col("idx_id").isNull().alias("admit"),
+        )
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH newdocs AS (
+  SELECT doc_id + 10000000 AS doc_id,
+         text || ' nd' || CAST(doc_id % 97 AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 20000000, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 30000000,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ')
+  FROM documents WHERE doc_id % 5 = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM newdocs
+),
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+),
+hashed AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT)
+           % {MINHASH_PRIME} AS x
+  FROM sh
+),
+hs AS (
+  SELECT doc_id, seed,
+         min((({_coeff_sql_a()})[seed + 1] * x
+              + ({_coeff_sql_b()})[seed + 1]) % {MINHASH_PRIME}) AS minh
+  FROM hashed, UNNEST(generate_series(0, {MINHASH_PERMS - 1})) AS s(seed)
+  GROUP BY doc_id, seed
+),
+banded AS (
+  SELECT doc_id, seed - (seed % {LSH_ROWS}) AS band,
+         min(CASE WHEN seed % {LSH_ROWS} = 0 THEN minh END) AS m0,
+         min(CASE WHEN seed % {LSH_ROWS} = 1 THEN minh END) AS m1,
+         min(CASE WHEN seed % {LSH_ROWS} = 2 THEN minh END) AS m2,
+         min(CASE WHEN seed % {LSH_ROWS} = 3 THEN minh END) AS m3
+  FROM hs GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS idx_id
+  FROM banded a
+  JOIN banded b ON a.band = b.band
+    AND a.m0 = b.m0 AND a.m1 = b.m1 AND a.m2 = b.m2 AND a.m3 = b.m3
+  WHERE a.doc_id < 10000000 AND b.doc_id >= 10000000
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.new_id, c.idx_id, count(*) AS common
+  FROM cand c
+  JOIN sh n ON n.doc_id = c.new_id
+  JOIN sh i ON i.doc_id = c.idx_id AND i.shingle = n.shingle
+  GROUP BY c.new_id, c.idx_id
+),
+scored AS (
+  SELECT cm.new_id, cm.idx_id,
+         CAST(cm.common AS DOUBLE) / (sn.sz + si.sz - cm.common) AS jaccard
+  FROM common cm
+  JOIN sizes sn ON sn.doc_id = cm.new_id
+  JOIN sizes si ON si.doc_id = cm.idx_id
+  WHERE CAST(cm.common AS DOUBLE) / (sn.sz + si.sz - cm.common)
+        >= {JACCARD_THRESHOLD}
+),
+best AS (
+  SELECT new_id, idx_id, jaccard FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY new_id ORDER BY jaccard DESC, idx_id ASC) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT n.doc_id AS new_doc_id, b.idx_id AS best_match_id,
+       b.jaccard AS best_jaccard, (b.idx_id IS NULL) AS admit
+FROM newdocs n LEFT JOIN best b ON b.new_id = n.doc_id
+"""

@@ -84,8 +84,14 @@ def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Token array materialized in its own projection: Spark does not
     # CSE a split() inside a lambda, so inlining TOKS here would re-run
     # the regex split per element_at (see repetition_ngram_score).
+    # Guard BEFORE the sequence: Spark's sequence(1, 0) is the
+    # DESCENDING [1, 0] (not empty like DuckDB's generate_series), so a
+    # 1-token document would hit element_at(toks, 0) and error where
+    # the oracle just produces no bigrams.  The filter makes both
+    # engines drop it the same way.
     ex = (
         d.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
         .select(
             "doc_id",
             F.explode(

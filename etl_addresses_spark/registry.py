@@ -103,6 +103,9 @@ _ALL: dict[str, Entry] = {
     "dedup_substring_blocks": Entry(
         dedup.dedup_substring_blocks, dedup.DEDUP_SUBSTRING_SQL
     ),
+    "dedup_incremental_lsh": Entry(
+        dedup.dedup_incremental_lsh, dedup.DEDUP_INCREMENTAL_SQL
+    ),
     # Iterative float ops: the FIXED iteration counts (10 power
     # iterations, 3 Lloyd rounds) unroll into chained CTEs, so all
     # three are fully oracle-checked since round 3 — ulp-level

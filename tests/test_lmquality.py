@@ -129,3 +129,33 @@ def test_semantic_dedup_respects_threshold(spark):
         for vid, vec in vecs.items()
         if vid != victim.vec_id
     )
+
+
+def test_incremental_lsh_admission_semantics(spark):
+    # exact copies and near-dups must be rejected against the index;
+    # word-reversed novels must be admitted
+    from etl_addresses_spark.operators.dedup import dedup_incremental_lsh
+
+    rows = dedup_incremental_lsh(spark, SF_ORACLE).collect()
+    assert rows
+    by_band = {"near": [], "exact": [], "novel": []}
+    for r in rows:
+        if r.new_doc_id >= 30000000:
+            by_band["novel"].append(r)
+        elif r.new_doc_id >= 20000000:
+            by_band["exact"].append(r)
+        else:
+            by_band["near"].append(r)
+    # every exact copy matches its source with jaccard 1.0
+    for r in by_band["exact"]:
+        assert not r.admit
+        assert r.best_match_id == r.new_doc_id - 20000000
+        assert r.best_jaccard == 1.0
+    # near-dups are rejected with high jaccard against their source
+    rejected_near = [r for r in by_band["near"] if not r.admit]
+    assert len(rejected_near) >= 0.9 * len(by_band["near"])
+    for r in rejected_near:
+        assert r.best_jaccard >= 0.5
+    # word reversal destroys shingles: novels are admitted
+    admitted_novel = [r for r in by_band["novel"] if r.admit]
+    assert len(admitted_novel) >= 0.9 * len(by_band["novel"])
