@@ -66,6 +66,8 @@ HEADLINE = [
     # SemDeDup intra-cluster pair join are the two shuffle-bearing ones
     "lm_bigram_logprob",
     "semantic_dedup",
+    # round-3 incremental dedup: asymmetric LSH admission join
+    "dedup_incremental_lsh",
 ]
 
 # Bisect/pinning hook: SPARK_GRAFT_BENCH_QUERIES="a,b,c" restricts the

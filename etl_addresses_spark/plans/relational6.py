@@ -347,6 +347,46 @@ FROM active a JOIN sizes s ON a.cohort_day = s.cohort_day
 
 
 
+def window_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF gap-fill (last-observation-carried-forward): every event
+    carries the user's most recent purchase value — the canonical
+    time-series forward-fill (sensor readings, price marks, feature
+    snapshots for training data).  `last(..., ignorenulls=True)` over a
+    ROWS running frame; (ts, event_id) ordering makes the pick unique,
+    and the filled value is copied (never computed), so cross-engine
+    equality is exact.  One shuffle on user_id; per-partition state is
+    a single carried value — scales to any history length."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us, F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        us.alias("ts_us"),
+        "event_type",
+        F.last(purchase_val, ignorenulls=True).over(w).alias(
+            "last_purchase_value"
+        ),
+    )
+
+
+WINDOW_LOCF_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS last_purchase_value
+FROM events
+"""
+
+
 QUERIES6 = {
     "skew_salted_distinct": (skew_salted_distinct, SKEW_SALTED_DISTINCT_SQL),
     "q20_dominant_suppliers": (q20_dominant_suppliers, Q20_SQL),
@@ -355,4 +395,5 @@ QUERIES6 = {
     "funnel_conversion": (funnel_conversion, FUNNEL_CONVERSION_SQL),
     "incremental_agg_merge": (incremental_agg_merge, INCREMENTAL_AGG_SQL),
     "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
+    "window_locf_fill": (window_locf_fill, WINDOW_LOCF_SQL),
 }
