@@ -323,13 +323,25 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the scale story of semantic dedup: clustering makes the
     O(n^2) pairwise cosine LOCAL to a cluster (sizes ~n/k), so the
     pair join is an equi-join on list_id — never all-pairs across the
-    corpus.  At 100 TB, k grows with n to hold cluster sizes constant,
-    the centroid set stays a broadcast dimension, and AQE splits any
-    skewed cluster.  All cosines are sequential-fold dots, bit-equal in
-    both engines, so the threshold boolean cannot flip.
+    corpus.  The cost balance is measured in SCALE.md: with k ∝ n
+    (fixed centroid_mod) the broadcast ASSIGNMENT crossJoin is the
+    n x k quadratic term; with k fixed the intra-cluster pair join is.
+    The production setting is k ∝ sqrt(n) (both terms n^1.5), and past
+    broadcastable k the assignment swaps to the SRP-LSH bucketing
+    (`similarity.embedding_srp_lsh_pairs`) — same output contract.
+    All cosines are sequential-fold dots, bit-equal in both engines, so
+    the threshold boolean cannot flip.
     """
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = e.filter(F.col("vec_id") % SEMDEDUP_CENTROID_MOD == 0).select(
+    return semantic_dedup_for(
+        load_table(spark, sf_dir, "embeddings"), SEMDEDUP_CENTROID_MOD
+    )
+
+
+def semantic_dedup_for(
+    e: DataFrame, centroid_mod: int = SEMDEDUP_CENTROID_MOD
+) -> DataFrame:
+    e = e.select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") % centroid_mod == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cent_emb"),
         _norm_col(F.col("embedding")).alias("cent_norm"),
