@@ -992,3 +992,111 @@ SELECT n.doc_id AS new_doc_id, b.idx_id AS best_match_id,
        b.jaccard AS best_jaccard, (b.idx_id IS NULL) AS admit
 FROM newdocs n LEFT JOIN best b ON b.new_id = n.doc_id
 """
+
+
+# --- large-star/small-star connected components --------------------------
+
+
+def connected_components_star(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    rounds (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond" — algorithm shape reimplemented from the paper's
+    definitions): each round every node points its larger neighbors
+    (large-star), then its smaller neighbors and itself (small-star),
+    at the minimum of its closed neighborhood.  The edge set converges
+    to disjoint STARS rooted at component minima in O(log^2 n) rounds —
+    unlike min-label propagation, whose round count is the component
+    DIAMETER.  This is the dedup_clusters fallback the propagation
+    loop's convergence error message points at, now implemented and
+    equivalence-tested.
+
+    Per round: two groupBy(min) aggregations + two equi-joins, each
+    keyed on node ids — no step ever materializes anything larger than
+    the (shrinking) edge set, and `localCheckpoint` truncates lineage
+    so the plan stays round-sized.  Input: (doc_a, doc_b) undirected
+    pairs; output: (node, label) with label = component minimum.
+    """
+    e = (
+        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    for _ in range(max_rounds):
+        # large-star: for every u, each strictly-larger neighbor points
+        # at m = min(closed neighborhood of u)
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient each edge from its larger endpoint; that
+        # endpoint and all its smaller neighbors point at the minimum
+        o = ls.select(
+            F.greatest("u", "v").alias("gu"), F.least("u", "v").alias("gv")
+        )
+        smins = o.groupBy("gu").agg(F.min("gv").alias("m"))
+        ss = (
+            o.join(smins, "gu")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("gv").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("gu").alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("p")
+            )
+            .select("p.u", "p.v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint = edge set unchanged over a full LS+SS round
+        changed = (
+            ss.exceptAll(e).count() + e.exceptAll(ss).count()
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = ss
+        e = ss
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint in {max_rounds} rounds"
+        )
+    # stars: (child, root) edges; roots label themselves
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("label"))
+        .unionByName(
+            e.select(F.col("v").alias("node"), F.col("v").alias("label"))
+        )
+        .distinct()
+    )
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters on the large-star/small-star engine: identical
+    output contract (every near-dup component member labeled with the
+    component's min doc_id), hash-checked against the SAME
+    transitive-closure oracle — two independent algorithms, one
+    answer."""
+    corpus = corpus_df(spark, sf_dir)
+    pairs = (
+        ngram_jaccard_pairs_for(corpus)
+        .select("doc_a", "doc_b")
+        .unionByName(dedup_exact_pairs_for(corpus))
+        .distinct()
+    )
+    return connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

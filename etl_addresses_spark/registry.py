@@ -106,6 +106,12 @@ _ALL: dict[str, Entry] = {
     "dedup_incremental_lsh": Entry(
         dedup.dedup_incremental_lsh, dedup.DEDUP_INCREMENTAL_SQL
     ),
+    # same transitive-closure oracle as dedup_clusters: two independent
+    # algorithms (min-label propagation vs large-star/small-star), one
+    # hash-checked answer
+    "dedup_clusters_star": Entry(
+        dedup.dedup_clusters_star, dedup.DEDUP_CLUSTERS_SQL
+    ),
     # Iterative float ops: the FIXED iteration counts (10 power
     # iterations, 3 Lloyd rounds) unroll into chained CTEs, so all
     # three are fully oracle-checked since round 3 — ulp-level

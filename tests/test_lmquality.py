@@ -159,3 +159,25 @@ def test_incremental_lsh_admission_semantics(spark):
     # word reversal destroys shingles: novels are admitted
     admitted_novel = [r for r in by_band["novel"] if r.admit]
     assert len(admitted_novel) >= 0.9 * len(by_band["novel"])
+
+
+def test_star_cc_equals_propagation_and_handles_long_chains(spark):
+    from pyspark.sql import Row
+
+    from etl_addresses_spark.operators.dedup import (
+        connected_components_star,
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    a = sorted(map(tuple, dedup_clusters_star(spark, SF_ORACLE).collect()))
+    b = sorted(map(tuple, dedup_clusters(spark, SF_ORACLE).collect()))
+    assert a == b
+    # a diameter-99 path needs ~99 propagation rounds; the star
+    # algorithm must collapse it within its O(log^2 n) round budget
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], ["doc_a", "doc_b"]
+    )
+    rows = connected_components_star(edges).collect()
+    assert len(rows) == 100
+    assert all(r.label == 0 for r in rows)
