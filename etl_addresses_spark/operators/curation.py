@@ -425,3 +425,95 @@ FROM documents
 ORDER BY sample_key DESC, doc_id ASC
 LIMIT {WEIGHTED_SAMPLE_K}
 """
+
+
+def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture rebalancing (the training-mix step after quality
+    filtering): given per-source target WEIGHTS, downsample every
+    source so the surviving corpus hits the target proportions exactly,
+    without upsampling — the largest mix λ with λ·w_s <= n_s for all s
+    (the scarcest source is kept whole, every other source keeps
+    floor(λ·w_s) documents).
+
+    Selection is deterministic: documents rank within their source by
+    a hash key (never rand()), and rank <= quota keeps — a backfill
+    reproduces the exact mix.  Weights here derive from a portable hash
+    of the source name (1..3); a real mixer plugs in its learned
+    weights as a literal map, nothing else changes.
+
+    Plan: one per-source count aggregate, a 1-row λ broadcast, a
+    quota broadcast join, and ONE rank window per source partition.
+    At 100 TB the exact-rank window is a per-source sort; if that
+    dominates, the documented relaxation is rate-based hash
+    THRESHOLDING (keep iff u(doc) < λ·w_s/n_s — no sort, approximate
+    counts), same contract minus exactness.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w_expr = (
+        "(1 + CAST(conv(substring(md5(concat('mw:', source)), 1, 15), 16, 10) "
+        "AS BIGINT) % 3)"
+    )
+    counts = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .withColumn("w_s", F.expr(w_expr))
+    )
+    lam = counts.agg(
+        F.min(F.col("n_s").cast("double") / F.col("w_s").cast("double")).alias(
+            "lam"
+        )
+    )
+    quotas = counts.crossJoin(F.broadcast(lam)).select(
+        "source",
+        "n_s",
+        "w_s",
+        F.floor(F.col("lam") * F.col("w_s").cast("double")).alias("quota"),
+    )
+    from pyspark.sql import Window as W
+
+    key = F.expr(
+        "CAST(conv(substring(md5(concat('mx:', cast(doc_id as string))), 1, 15), "
+        "16, 10) AS BIGINT)"
+    )
+    w = W.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    ranked = d.select("doc_id", "source").withColumn(
+        "src_rank", F.row_number().over(w).cast("long")
+    )
+    return ranked.join(F.broadcast(quotas), "source").select(
+        "doc_id",
+        "source",
+        "src_rank",
+        "quota",
+        (F.col("src_rank") <= F.col("quota")).alias("keep"),
+    )
+
+
+MIXTURE_REBALANCE_SQL = """
+WITH w AS (
+  SELECT doc_id, source,
+    (1 + CAST(('0x' || substring(md5('mw:' || source), 1, 15)) AS BIGINT) % 3)
+      AS w_s
+  FROM documents
+),
+counts AS (
+  SELECT source, count(*) AS n_s, min(w_s) AS w_s FROM w GROUP BY source
+),
+lam AS (
+  SELECT min(CAST(n_s AS DOUBLE) / CAST(w_s AS DOUBLE)) AS lam FROM counts
+),
+quotas AS (
+  SELECT source, n_s, w_s,
+    CAST(floor(lam.lam * CAST(w_s AS DOUBLE)) AS BIGINT) AS quota
+  FROM counts CROSS JOIN lam
+),
+ranked AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY
+      CAST(('0x' || substring(md5('mx:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        AS BIGINT) ASC, doc_id ASC) AS src_rank
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.src_rank, q.quota,
+       (r.src_rank <= q.quota) AS keep
+FROM ranked r JOIN quotas q ON r.source = q.source
+"""

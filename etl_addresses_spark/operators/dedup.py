@@ -1023,6 +1023,7 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 25) -> DataFra
         .localCheckpoint(eager=True)
     )
     prev = None
+    prev_sig = None
     for _ in range(max_rounds):
         # large-star: for every u, each strictly-larger neighbor points
         # at m = min(closed neighborhood of u)
@@ -1060,16 +1061,28 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 25) -> DataFra
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # fixpoint = edge set unchanged over a full LS+SS round
-        changed = (
-            ss.exceptAll(e).count() + e.exceptAll(ss).count()
-        )
+        # fixpoint = edge set unchanged over a full LS+SS round.  The
+        # check is a MULTISET SIGNATURE (count + order-independent hash
+        # sum), one cheap aggregate job — the earlier exceptAll-based
+        # equality shuffled the full edge set twice per round and
+        # dominated the whole algorithm at 8x corpus scale (see
+        # SCALE.md).  Signature collision would only delay termination
+        # by a round, never corrupt output (the star edges themselves
+        # are exact).
+        sig = ss.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of 64-bit hashes overflows
+            # under ANSI mode; decimal(38,0) absorbs any edge count
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
         if prev is not None:
             prev.unpersist()
         prev = ss
         e = ss
-        if changed == 0:
+        if sig == prev_sig:
             break
+        prev_sig = sig
     else:
         raise RuntimeError(
             f"connected_components_star: no fixpoint in {max_rounds} rounds"

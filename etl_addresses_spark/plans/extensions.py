@@ -104,6 +104,10 @@ EXTENSION_QUERIES = {
         curation.sample_weighted_k,
         curation.SAMPLE_WEIGHTED_K_SQL,
     ),
+    "mixture_rebalance": (
+        curation.mixture_rebalance,
+        curation.MIXTURE_REBALANCE_SQL,
+    ),
     # Curation finisher: one representative per duplicate cluster.
     "dedup_keep_best": (dedup.dedup_keep_best, dedup.DEDUP_KEEP_BEST_SQL),
     # PQ/ADC: the memory-compression ANN tier (8-byte codes, per-query

@@ -130,3 +130,23 @@ def test_sample_weighted_k_is_deterministic_topk(spark):
         .collect()
     }
     assert {r.doc_id for r in a} != top_by_weight
+
+
+def test_mixture_rebalance_hits_exact_quotas(spark):
+    from collections import Counter
+
+    from etl_addresses_spark.operators.curation import mixture_rebalance
+
+    rows = mixture_rebalance(spark, SF_ORACLE).collect()
+    assert rows
+    kept = Counter(r.source for r in rows if r.keep)
+    quota = {r.source: r.quota for r in rows}
+    n_s = Counter(r.source for r in rows)
+    for src, q in quota.items():
+        # each source keeps exactly its quota, never more than it has
+        assert kept[src] == q <= n_s[src]
+    # the scarcest-per-weight source is kept whole (lambda tight)
+    assert any(kept[s] == n_s[s] for s in quota)
+    # deterministic: a second run keeps the identical doc set
+    again = {r.doc_id for r in mixture_rebalance(spark, SF_ORACLE).collect() if r.keep}
+    assert again == {r.doc_id for r in rows if r.keep}
