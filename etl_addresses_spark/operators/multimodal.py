@@ -543,3 +543,160 @@ SELECT doc_id,
 FROM documents, UNNEST(generate_series(0, 2 + doc_id % 4)) AS u(f)
 WHERE f % 2 = 0
 """
+
+
+# --- image perceptual-hash dedup ----------------------------------------
+#
+# The aHash pipeline needs CONTENT-derived pixels (the doc_id-derived
+# payloads above are dimension-varied but flat-filled, which collapses
+# every average-hash to the same value).  So the dedup corpus encodes an
+# 8x8 GRAYSCALE PNG whose pixels tile the md5 digest of the document
+# TEXT — identical texts produce identical images, and the average hash
+# is a closed-form function of the md5 hex that DuckDB can replay.
+
+
+def _png_gray8x8(digest: bytes) -> bytes:
+    """Valid 8-bit grayscale 8x8 PNG whose 64 pixels tile the 16-byte
+    digest 4x (stdlib only: struct + zlib)."""
+    import struct
+    import zlib
+
+    pixels = (digest * 4)[:64]
+    raw = b"".join(
+        b"\x00" + pixels[r * 8 : (r + 1) * 8] for r in range(8)
+    )  # filter 0 per row
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _encode_content_png_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["text"].map(
+                    lambda t: _png_gray8x8(hashlib.md5(t.encode()).digest())
+                ),
+            }
+        )
+
+
+def _ahash_bits(p: bytes) -> str:
+    """REAL decode + average hash: zlib-decompress the IDAT stream,
+    strip the per-row filter bytes, then emit the 64 pixel-above-mean
+    bits as a '0'/'1' string (row-major).  The mean divides by 64 (a
+    power of two), so the comparison is exact in both engines."""
+    import struct
+    import zlib
+
+    if p[:8] != PNG_SIG or p[12:16] != b"IHDR":
+        raise ValueError("not a PNG")
+    # IDAT begins after the 25-byte IHDR chunk; walk chunks properly
+    off = 8
+    idat = b""
+    while off < len(p):
+        ln = int.from_bytes(p[off : off + 4], "big")
+        tag = p[off + 4 : off + 8]
+        if tag == b"IDAT":
+            idat += p[off + 8 : off + 8 + ln]
+        off += 12 + ln
+    raw = zlib.decompress(idat)
+    pixels = [b for r in range(8) for b in raw[r * 9 + 1 : r * 9 + 9]]
+    mean = sum(pixels) / 64.0
+    return "".join("1" if px > mean else "0" for px in pixels)
+
+
+def _ahash_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "ahash": pdf["payload"].map(_ahash_bits),
+            }
+        )
+
+
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by perceptual (average) hash over the dup-injected
+    corpus: encode content-derived PNGs, REALLY decode them back
+    (zlib inflate + filter-byte strip), average-hash the pixels, and
+    group identical hashes — exact-copy documents produce byte-identical
+    images and collapse to one representative.
+
+    This is the image twin of `dedup_exact`: the dedup join operates on
+    a perceptual fingerprint computed from DECODED PIXELS, not file
+    bytes, which is what makes it extend to re-encoded/resized
+    duplicates with a real DCT pHash.  At 100 TB both kernels are
+    narrow Arrow-batched stages (no shuffle) and the final grouping is
+    one hash aggregation on a 64-bit-equivalent key.  Oracle: the
+    average hash is a closed-form function of md5(text) — DuckDB
+    recomputes every pixel, the mean, and the bit string; any decode
+    bug (wrong filter offset, wrong inflate) hash-mismatches."""
+    from etl_addresses_spark.operators.dedup import corpus_df
+
+    c = corpus_df(spark, sf_dir).select("doc_id", "text")
+    images = c.mapInPandas(
+        _encode_content_png_batches, schema="doc_id bigint, payload binary"
+    )
+    hashed = images.mapInPandas(
+        _ahash_batches, schema="doc_id bigint, ahash string"
+    )
+    return hashed.groupBy("ahash").agg(
+        F.min("doc_id").alias("rep_doc_id"),
+        F.count(F.lit(1)).alias("n_images"),
+    )
+
+
+MULTIMODAL_IMAGE_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         text || ' nd' || CAST(doc_id % 97 AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+),
+bytes AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 15),
+      i -> CAST(('0x' || substr(md5(text), 2 * i + 1, 2)) AS INTEGER))
+      AS dg
+  FROM corpus
+),
+px AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 63), i -> dg[(i % 16) + 1]) AS pixels
+  FROM bytes
+),
+ah AS (
+  SELECT doc_id,
+    array_to_string(
+      list_transform(pixels,
+        p -> CASE WHEN p > list_sum(pixels) / 64.0e0 THEN '1' ELSE '0' END),
+      '') AS ahash
+  FROM px
+)
+SELECT ahash, min(doc_id) AS rep_doc_id, count(*) AS n_images
+FROM ah GROUP BY ahash
+"""

@@ -41,6 +41,10 @@ EXTENSION_QUERIES = {
     ),
     # Full pixel decode + 2x resize (zlib IDAT, filter strip, channel
     # means) — the feature-extract stage, oracle-closed-form.
+    "multimodal_image_dedup": (
+        multimodal.multimodal_image_dedup,
+        multimodal.MULTIMODAL_IMAGE_DEDUP_SQL,
+    ),
     "multimodal_pixel_stats": (
         multimodal.multimodal_pixel_stats,
         multimodal.MULTIMODAL_PIXEL_STATS_SQL,

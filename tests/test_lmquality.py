@@ -181,3 +181,27 @@ def test_star_cc_equals_propagation_and_handles_long_chains(spark):
     rows = connected_components_star(edges).collect()
     assert len(rows) == 100
     assert all(r.label == 0 for r in rows)
+
+
+def test_image_dedup_groups_exact_copies(spark):
+    from etl_addresses_spark.operators.multimodal import (
+        _ahash_bits,
+        _png_gray8x8,
+        multimodal_image_dedup,
+    )
+
+    # kernel sanity on a known digest: pixels tile the digest, bits
+    # compare against the exact mean
+    digest = bytes(range(16))
+    bits = _ahash_bits(_png_gray8x8(digest))
+    pixels = (digest * 4)[:64]
+    mean = sum(pixels) / 64.0
+    assert bits == "".join("1" if p > mean else "0" for p in pixels)
+
+    rows = multimodal_image_dedup(spark, SF_ORACLE).collect()
+    assert rows
+    # every exact-copy injection (doc_id % 4 == 0 at +20M) must land in
+    # a group of >= 2 images
+    assert any(r.n_images >= 2 for r in rows)
+    # hashes are 64-bit strings
+    assert all(len(r.ahash) == 64 and set(r.ahash) <= {"0", "1"} for r in rows)
