@@ -517,3 +517,146 @@ SELECT r.doc_id, r.source, r.src_rank, q.quota,
        (r.src_rank <= q.quota) AS keep
 FROM ranked r JOIN quotas q ON r.source = q.source
 """
+
+
+def pipeline_curate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as ONE declarative plan —
+    quality gates -> exact dedup -> eval-set decontamination ->
+    train/val/test split -> per-split corpus stats — composed from the
+    same rules the individual operators expose, over the dup-injected
+    corpus so every stage actually removes something.
+
+    This is the "a user switches their pipeline to this engine" query:
+    four stages, and Catalyst fuses the quality projection into the
+    dedup shuffle, the decontamination semi-join broadcasts the
+    benchmark-sized eval shingle set, and the final stats are one
+    3-group aggregate.  Stage order (quality before dedup before
+    decontamination) is the production order: each stage shrinks the
+    input of the next, and all of it is integer arithmetic — the
+    oracle replays the full chain exactly.
+    """
+    from etl_addresses_spark.operators.dedup import corpus_df
+    from etl_addresses_spark.operators.llmtext import _EVAL_MOD, _STOPWORDS
+
+    c = corpus_df(spark, sf_dir)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    mean_wl = (F.length("text") - (n - 1)).cast("double") / n
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    stop_hits = F.size(
+        F.expr(f"filter(split(text, ' '), x -> x IN ({stop_list}))")
+    )
+    dup_ratio = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n
+    quality = c.filter(
+        (n >= 10)
+        & (n <= 100000)
+        & (mean_wl >= 2.0)
+        & (mean_wl <= 12.0)
+        & (stop_hits >= 1)
+        & (dup_ratio <= 0.5)
+    )
+    canon = (
+        quality.groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .agg(F.min(F.struct("doc_id", "text")).alias("r"))
+        .select(F.col("r.doc_id").alias("doc_id"), F.col("r.text").alias("text"))
+    )
+    # eval set = base documents with doc_id % 97 == 0; their 4-token
+    # shingles contaminate any survivor that shares one
+    sh_t = "transform(sequence(1, size(t) - 3), i -> array_join(slice(t, i, 4), ' '))"
+    eval_sh = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 4)
+        .select(F.explode(F.expr(sh_t)).alias("sh"))
+        .distinct()
+    )
+    canon_sh = (
+        canon.select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 4)
+        .select("doc_id", F.explode(F.expr(sh_t)).alias("sh"))
+    )
+    contaminated = (
+        canon_sh.join(F.broadcast(eval_sh), "sh").select("doc_id").distinct()
+    )
+    clean = canon.filter(
+        ~((F.col("doc_id") < 10000000) & (F.col("doc_id") % _EVAL_MOD == 0))
+    ).join(contaminated, "doc_id", "left_anti")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) AS INT)"
+    )
+    split = (
+        F.when(bucket < 204, F.lit("train"))
+        .when(bucket < 230, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        clean.select(split.alias("split"), F.size(F.split("text", " ")).alias("nt"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+PIPELINE_CURATE_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         text || ' nd' || CAST(doc_id % 97 AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+),
+q AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n,
+    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      / len(string_split(text, ' ')) AS mwl,
+    len(list_filter(string_split(text, ' '),
+        x -> x IN ('a', 'the', 'of', 'to', 'and'))) AS nstop,
+    1.0e0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      / len(string_split(text, ' ')) AS dup_ratio
+  FROM corpus
+),
+quality AS (
+  SELECT doc_id, text FROM q
+  WHERE n >= 10 AND n <= 100000 AND mwl >= 2.0e0 AND mwl <= 12.0e0
+    AND nstop >= 1 AND dup_ratio <= 0.5e0
+),
+canon AS (
+  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+  FROM quality GROUP BY md5(text)
+),
+ev AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+  WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 4
+),
+eval_sh AS (
+  SELECT DISTINCT array_to_string(t[i : i + 3], ' ') AS sh
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 3)) AS i FROM ev)
+),
+cs AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM canon
+        WHERE len(string_split(text, ' ')) >= 4)
+),
+contaminated AS (
+  SELECT DISTINCT cs.doc_id
+  FROM cs JOIN eval_sh e ON array_to_string(cs.t[cs.i : cs.i + 3], ' ') = e.sh
+),
+clean AS (
+  SELECT c.doc_id, c.text FROM canon c
+  WHERE NOT (c.doc_id < 10000000 AND c.doc_id % 97 = 0)
+    AND NOT EXISTS (SELECT 1 FROM contaminated x WHERE x.doc_id = c.doc_id)
+)
+SELECT
+  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 204
+       THEN 'train'
+       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 230
+       THEN 'val' ELSE 'test' END AS split,
+  count(*) AS n_docs,
+  sum(len(string_split(text, ' '))) AS total_tokens
+FROM clean GROUP BY 1
+"""

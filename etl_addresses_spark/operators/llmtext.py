@@ -35,9 +35,12 @@ from etl_addresses_spark.sources.tables import load_table
 _SHINGLE_N = 4
 _EVAL_MOD = 97
 
+# Operates on a pre-materialized token-array column `t` — inlining
+# split() here would re-run the regex split per slice() call inside the
+# lambda (Spark does not CSE across lambda boundaries; see SCALE.md).
 _SHINGLES_EXPR = (
-    "transform(sequence(1, size(split(text, ' ')) - {m}), "
-    "i -> array_join(slice(split(text, ' '), i, {n}), ' '))"
+    "transform(sequence(1, size(t) - {m}), "
+    "i -> array_join(slice(t, i, {n}), ' '))"
 ).format(m=_SHINGLE_N - 1, n=_SHINGLE_N)
 
 
@@ -54,7 +57,8 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     shingled = (
-        d.filter(F.size(F.split("text", " ")) >= _SHINGLE_N)
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= _SHINGLE_N)
         .select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("sh"))
     )
     eval_sh = (

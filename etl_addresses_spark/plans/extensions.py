@@ -112,6 +112,10 @@ EXTENSION_QUERIES = {
         curation.mixture_rebalance,
         curation.MIXTURE_REBALANCE_SQL,
     ),
+    "pipeline_curate_stats": (
+        curation.pipeline_curate_stats,
+        curation.PIPELINE_CURATE_SQL,
+    ),
     # Curation finisher: one representative per duplicate cluster.
     "dedup_keep_best": (dedup.dedup_keep_best, dedup.DEDUP_KEEP_BEST_SQL),
     # PQ/ADC: the memory-compression ANN tier (8-byte codes, per-query
