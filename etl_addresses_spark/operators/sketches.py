@@ -205,3 +205,89 @@ SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
 FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 10
 """
     )
+
+
+# --- exact-sum correlation matrix ---------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_DEC = "decimal(38,12)"
+
+
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the lineitem measures, computed
+    from EXACT decimal moment sums instead of Spark's corr() aggregate:
+    sum(x), sum(x*x), sum(x*y) accumulate as DECIMAL(38,12) — associative
+    and order-independent, so the result is bit-stable run-to-run and
+    engine-to-engine (a double Welford accumulation is neither).  The
+    whole matrix rides ONE aggregation (15 map-side-combinable sums,
+    one 1-row reduce); the 6 pair rows then unpivot from that single
+    row with stack() — at 100 TB this is a single scan + a scalar.
+
+    corr(x,y) = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²)),
+    evaluated in double from the exact sums — identical inputs, identical
+    association, identical output in both engines.
+    """
+    from itertools import combinations
+
+    from etl_addresses_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(F.col(c).cast(_CORR_DEC)).alias(f"s_{c}"))
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast(_CORR_DEC)).alias(f"q_{c}")
+        )
+    for a, b in combinations(_CORR_COLS, 2):
+        aggs.append(
+            F.sum((F.col(a) * F.col(b)).cast(_CORR_DEC)).alias(f"p_{a}_{b}")
+        )
+    m = li.agg(*aggs)
+
+    def corr_expr(a: str, b: str) -> str:
+        return (
+            f"(cast(n as double) * cast(p_{a}_{b} as double)"
+            f" - cast(s_{a} as double) * cast(s_{b} as double))"
+            f" / sqrt((cast(n as double) * cast(q_{a} as double)"
+            f" - cast(s_{a} as double) * cast(s_{a} as double))"
+            f" * (cast(n as double) * cast(q_{b} as double)"
+            f" - cast(s_{b} as double) * cast(s_{b} as double)))"
+        )
+
+    stack_args = ", ".join(
+        f"'{a}', '{b}', {corr_expr(a, b)}"
+        for a, b in combinations(_CORR_COLS, 2)
+    )
+    return m.selectExpr(
+        f"stack(6, {stack_args}) as (col_x, col_y, corr)"
+    )
+
+
+def _corr_duck(a: str, b: str) -> str:
+    return (
+        f"(CAST(n AS DOUBLE) * CAST(p_{a}_{b} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        f" / sqrt((CAST(n AS DOUBLE) * CAST(q_{a} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+        f" * (CAST(n AS DOUBLE) * CAST(q_{b} AS DOUBLE)"
+        f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+    )
+
+
+def _stats_correlation_sql() -> str:
+    from itertools import combinations
+
+    sums = ["count(*) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"sum(CAST({c} AS DECIMAL(38,12))) AS s_{c}")
+        sums.append(f"sum(CAST({c} * {c} AS DECIMAL(38,12))) AS q_{c}")
+    for a, b in combinations(_CORR_COLS, 2):
+        sums.append(f"sum(CAST({a} * {b} AS DECIMAL(38,12))) AS p_{a}_{b}")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, {_corr_duck(a, b)} AS corr FROM m"
+        for a, b in combinations(_CORR_COLS, 2)
+    )
+    return "WITH m AS (\n  SELECT " + ",\n    ".join(sums) + "\n  FROM lineitem\n)\n" + rows
+
+
+STATS_CORRELATION_SQL = _stats_correlation_sql()

@@ -71,6 +71,10 @@ EXTENSION_QUERIES = {
     # oracle-checkable (the oracle expects TRUE).
     "hll_distinct_parts": (sketches.hll_distinct_parts, sketches.HLL_DISTINCT_SQL),
     "hll_mergeable_union": (sketches.hll_mergeable_union, sketches.HLL_UNION_SQL),
+    "stats_correlation": (
+        sketches.stats_correlation,
+        sketches.STATS_CORRELATION_SQL,
+    ),
     # Exact disc percentiles + in-query approx bound check: oracle-able.
     "approx_quantiles_orders": (
         sketches.approx_quantiles_orders,

@@ -43,3 +43,30 @@ def test_simhash_near_pairs_find_injected_dups(spark):
     assert exact_copy_pairs
     # precision sanity: hamming never exceeds the verify threshold
     assert max(pairs.values()) <= 10
+
+
+def test_stats_correlation_matches_numpy(spark):
+    import numpy as np
+
+    from etl_addresses_spark.operators.sketches import (
+        _CORR_COLS,
+        stats_correlation,
+    )
+    from etl_addresses_spark.sources.tables import load_table
+
+    rows = {
+        (r.col_x, r.col_y): r.corr
+        for r in stats_correlation(spark, SF_ORACLE).collect()
+    }
+    assert len(rows) == 6
+    pdf = (
+        load_table(spark, SF_ORACLE, "lineitem")
+        .select(*_CORR_COLS)
+        .toPandas()
+    )
+    m = np.corrcoef(pdf.to_numpy().T)
+    idx = {c: i for i, c in enumerate(_CORR_COLS)}
+    for (a, b), v in rows.items():
+        assert abs(v - m[idx[a], idx[b]]) < 1e-9, (a, b, v, m[idx[a], idx[b]])
+    # a correlation is always in [-1, 1]
+    assert all(-1.0 <= v <= 1.0 for v in rows.values())
