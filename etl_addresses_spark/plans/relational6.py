@@ -397,3 +397,59 @@ QUERIES6 = {
     "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     "window_locf_fill": (window_locf_fill, WINDOW_LOCF_SQL),
 }
+
+
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: per (event_type, hour) OHLC bars over the
+    event value stream — open/close via min_by/max_by on a unique
+    monotone key (epoch micros scaled + event_id, DECIMAL so it never
+    overflows at any corpus size), high/low as plain min/max, volume as
+    an exact decimal sum.  Open/close are COPIED values and the key is
+    collision-free, so every output is engine-exact.
+
+    One hash aggregation with map-side combine — the canonical
+    downsample-to-bars step that turns a raw event firehose into
+    model-ready time-series features at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    key = (
+        F.expr("CAST(unix_micros(ts) AS DECIMAL(38,0)) * 1000000")
+        + F.col("event_id").cast("decimal(38,0)")
+    )
+    hour = F.expr("unix_micros(date_trunc('hour', ts))")
+    return (
+        e.select(
+            "event_type",
+            hour.alias("hour_us"),
+            "value",
+            key.alias("k"),
+        )
+        .groupBy("event_type", "hour_us")
+        .agg(
+            F.min_by("value", F.col("k")).alias("open"),
+            F.max_by("value", F.col("k")).alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("volume"),
+        )
+    )
+
+
+EVENTS_OHLC_SQL = """
+SELECT event_type,
+  epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
+  arg_min(value, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DECIMAL(38,0)) * 1000000
+                 + CAST(event_id AS DECIMAL(38,0))) AS open,
+  arg_max(value, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DECIMAL(38,0)) * 1000000
+                 + CAST(event_id AS DECIMAL(38,0))) AS close,
+  max(value) AS high,
+  min(value) AS low,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+FROM events
+GROUP BY 1, 2
+"""
+
+QUERIES6["events_ohlc_bars"] = (events_ohlc_bars, EVENTS_OHLC_SQL)
