@@ -68,6 +68,10 @@ HEADLINE = [
     "semantic_dedup",
     # round-3 incremental dedup: asymmetric LSH admission join
     "dedup_incremental_lsh",
+    # round-3 capstones: the composed curation pipeline and the
+    # single-scan exact-moment correlation matrix
+    "pipeline_curate_stats",
+    "stats_correlation",
 ]
 
 # Bisect/pinning hook: SPARK_GRAFT_BENCH_QUERIES="a,b,c" restricts the
