@@ -660,3 +660,58 @@ SELECT
   sum(len(string_split(text, ' '))) AS total_tokens
 FROM clean GROUP BY 1
 """
+
+
+def interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LARGE-LARGE tier of the interval-overlap join: both sides
+    explode into the fixed-width time bins they span, candidates form
+    by plain equi-join on the bin id, the exact overlap predicate
+    verifies them, and (session, window) pairs dedup before the final
+    aggregate.  Identical output to `interval_overlap_join` — the two
+    plans share ONE oracle (two physical strategies, one answer), the
+    same pattern as the flagship's grid-vs-broadcast tiers.
+
+    This is the plan that survives when BOTH interval sides are too
+    large to broadcast: shuffle volume is O(rows x bins-spanned)
+    instead of O(|A| x |B|), bin width trades duplication against
+    candidate selectivity, and AQE splits any hot bin.  Bin width here
+    = the 2-hour window length (every window spans <= 2 bins; sessions
+    are gap-bounded and span few)."""
+    from etl_addresses_spark.plans.relational import events_sessionize
+
+    sessions = events_sessionize(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    windows = (
+        e.select(
+            (F.unix_micros("ts") / F.lit(_SIX_H_US)).cast("long").alias("bucket")
+        )
+        .distinct()
+        .select(
+            (F.col("bucket") * _SIX_H_US).alias("win_start_us"),
+            (F.col("bucket") * _SIX_H_US + _TWO_H_US).alias("win_end_us"),
+        )
+    )
+    b = _TWO_H_US
+    s_b = sessions.withColumn(
+        "bin",
+        F.explode(F.expr(f"sequence(start_us div {b}, end_us div {b})")),
+    )
+    w_b = windows.withColumn(
+        "bin",
+        F.explode(
+            F.expr(f"sequence(win_start_us div {b}, win_end_us div {b})")
+        ),
+    )
+    overlap = (F.col("start_us") <= F.col("win_end_us")) & (
+        F.col("end_us") >= F.col("win_start_us")
+    )
+    pairs = (
+        s_b.join(w_b, "bin")
+        .filter(overlap)
+        .drop("bin")
+        .distinct()  # a pair can co-occupy several bins
+    )
+    return pairs.groupBy("win_start_us").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -120,6 +120,12 @@ EXTENSION_QUERIES = {
         curation.pipeline_curate_stats,
         curation.PIPELINE_CURATE_SQL,
     ),
+    # same oracle as interval_overlap_join: broadcast tier vs bucketed
+    # large-large tier, one answer
+    "interval_overlap_bucketed": (
+        curation.interval_overlap_bucketed,
+        curation.INTERVAL_OVERLAP_SQL,
+    ),
     # Curation finisher: one representative per duplicate cluster.
     "dedup_keep_best": (dedup.dedup_keep_best, dedup.DEDUP_KEEP_BEST_SQL),
     # PQ/ADC: the memory-compression ANN tier (8-byte codes, per-query

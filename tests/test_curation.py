@@ -150,3 +150,15 @@ def test_mixture_rebalance_hits_exact_quotas(spark):
     # deterministic: a second run keeps the identical doc set
     again = {r.doc_id for r in mixture_rebalance(spark, SF_ORACLE).collect() if r.keep}
     assert again == {r.doc_id for r in rows if r.keep}
+
+
+def test_interval_overlap_tiers_agree(spark):
+    # the broadcast tier and the bucketed large-large tier must produce
+    # the identical result (they share one oracle)
+    a = sorted(
+        map(tuple, curation.interval_overlap_bucketed(spark, SF_ORACLE).collect())
+    )
+    b = sorted(
+        map(tuple, curation.interval_overlap_join(spark, SF_ORACLE).collect())
+    )
+    assert a == b

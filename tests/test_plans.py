@@ -258,3 +258,13 @@ def test_lm_bigram_count_joins_not_cartesian(spark):
 
     plan = _plan(lmquality.lm_bigram_logprob(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_bucketed_is_equi_join(spark):
+    # the large-large tier must join on the bin key, never a
+    # nested-loop over the raw overlap predicate
+    from etl_addresses_spark.operators import curation
+
+    plan = _plan(curation.interval_overlap_bucketed(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
