@@ -303,6 +303,21 @@ FROM events GROUP BY user_id
 """
 
 
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC resampling drained to batch — shares the batch
+    resampler's oracle verbatim (same windows, same decimal pick key),
+    proving the stream/batch twin property for picked-value aggregates,
+    not just counts and sums."""
+    from etl_addresses_spark.plans.relational6 import EVENTS_OHLC_SQL  # noqa: F401
+
+    stream = event_stream.read_events_stream(spark, sf_dir)
+    return event_stream.run_to_memory(
+        event_stream.ohlc_bars(stream), "q_stream_ohlc", mode="complete"
+    )
+
+
+from etl_addresses_spark.plans.relational6 import EVENTS_OHLC_SQL as _OHLC_SQL
+
 STREAMING_QUERIES = {
     "stream_dedup_keys": (stream_dedup_keys, STREAM_DEDUP_SQL),
     "stream_windowed_counts": (stream_windowed_counts, STREAM_WINDOWED_SQL),
@@ -312,6 +327,7 @@ STREAMING_QUERIES = {
         stream_purchase_view_left_join,
         STREAM_SSJ_LEFT_SQL,
     ),
+    "stream_ohlc_bars": (stream_ohlc_bars, _OHLC_SQL),
     "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_ENRICH_SQL),
     "stream_session_windows": (stream_session_windows, STREAM_SESSION_SQL),
     "stream_stateful_user_totals": (

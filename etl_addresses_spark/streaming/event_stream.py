@@ -311,3 +311,40 @@ def sliding_counts(events: DataFrame) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def ohlc_bars(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch `events_ohlc_bars` resampler:
+    watermarked 1-hour tumbling windows emit per-(type, hour) OHLC bars
+    with open/close picked by min_by/max_by on the same collision-free
+    decimal (epoch-micros, event_id) key — so the drained stream is
+    value-identical to the batch aggregation and shares its oracle.
+    The watermark evicts closed hourly bars; state is O(open windows x
+    types) regardless of stream length."""
+    key = F.expr("CAST(unix_micros(ts) AS DECIMAL(38,0)) * 1000000") + F.col(
+        "event_id"
+    ).cast("decimal(38,0)")
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max_by("value", key).alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("volume"),
+        )
+        .select(
+            F.col("event_type"),
+            F.expr("unix_micros(win.start)").alias("hour_us"),
+            "open",
+            "close",
+            "high",
+            "low",
+            "n_events",
+            "volume",
+        )
+    )
