@@ -657,7 +657,10 @@ SELECT
        WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 230
        THEN 'val' ELSE 'test' END AS split,
   count(*) AS n_docs,
-  sum(len(string_split(text, ' '))) AS total_tokens
+  -- CAST: DuckDB sum() over integers yields HUGEINT, whose repr
+  -- diverges from Spark's bigint on pandas/Arrow fetch paths
+  -- (round-3 driver hash-mismatch root cause; tools/type_audit.py).
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
 FROM clean GROUP BY 1
 """
 

@@ -256,8 +256,14 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows), NOT a global sort, so the vocabulary step scales to any
     token count.  The K-row vocabulary is broadcast into the per-token
     membership left-join; the final per-doc aggregation is pure integer
-    counts with one exact division, so there is no float-order concern
-    at all.
+    counts.
+
+    Output is integer-pure (doc_id, n_toks, n_oov) since round 4: the
+    derived double rate is n_oov/n_toks, trivially recomputable, and
+    dropping it removes the only float from the output — driver parity
+    now rests entirely on bigint equality (round-3 driver-red fix; the
+    oracle also CASTs DuckDB's HUGEINT sum back to BIGINT, see
+    tools/type_audit.py for why the fetch path makes that matter).
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.expr(TOKS)).alias("tok"))
@@ -277,14 +283,7 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_oov"
             ),
         )
-        .select(
-            "doc_id",
-            "n_toks",
-            "n_oov",
-            (F.col("n_oov").cast("double") / F.col("n_toks").cast("double")).alias(
-                "oov_rate"
-            ),
-        )
+        .select("doc_id", "n_toks", "n_oov")
     )
 
 
@@ -302,9 +301,7 @@ j AS (
   FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
 )
 SELECT doc_id, count(*) AS n_toks,
-  sum(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) AS n_oov,
-  CAST(sum(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-    / CAST(count(*) AS DOUBLE) AS oov_rate
+  CAST(sum(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
 FROM j GROUP BY doc_id
 """
 

@@ -470,7 +470,11 @@ stats AS (
   WINDOW w AS (PARTITION BY user_id)
 )
 SELECT user_id, event_id, v_cents, n AS n_user_events,
-  (n * v_cents - s) AS n_dev
+  -- CAST back to BIGINT: DuckDB sum(BIGINT) is HUGEINT, so the bare
+  -- expression would be HUGEINT-typed, and HUGEINT reprs differently
+  -- than Spark's bigint on pandas/Arrow fetch paths (the round-3
+  -- driver hash-mismatch root cause; tools/type_audit.py guards this).
+  CAST(n * v_cents - s AS BIGINT) AS n_dev
 FROM stats
 WHERE n >= {_Z_MIN_EVENTS}
   AND (n * v_cents - s) * (n * v_cents - s) > 9 * (n * ss - s * s)

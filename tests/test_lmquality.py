@@ -75,10 +75,12 @@ def test_vocab_oov_rate_bounds(spark):
     assert rows
     for r in rows:
         assert 0 <= r.n_oov <= r.n_toks
-        assert math.isclose(r.oov_rate, r.n_oov / r.n_toks, rel_tol=1e-12)
+        # output is integer-pure since round 4 (driver-parity fix):
+        # doc_id / n_toks / n_oov only, no derived double
+        assert isinstance(r.n_oov, int) and isinstance(r.n_toks, int)
     # K=20 of the fixture's 31 tokens: OOV must be non-trivial overall
     assert any(r.n_oov > 0 for r in rows)
-    assert any(r.n_oov == 0 or r.oov_rate < 1.0 for r in rows)
+    assert any(r.n_oov < r.n_toks for r in rows)
 
 
 def test_semantic_dedup_keeps_min_id_representative(spark):
