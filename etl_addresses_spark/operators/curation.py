@@ -433,7 +433,13 @@ def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     source so the surviving corpus hits the target proportions exactly,
     without upsampling — the largest mix λ with λ·w_s <= n_s for all s
     (the scarcest source is kept whole, every other source keeps
-    floor(λ·w_s) documents).
+    floor(λ·w_s) documents).  Quotas are derived in EXACT integer
+    arithmetic — the argmin source (n*, w*) is selected by the scaled
+    integer key n_s·(6 div w_s) (6 = lcm of the 1..3 weight domain;
+    integer-weight generalization scales by the weights' lcm) and
+    quota_s = (n*·w_s) div w* — so the "scarcest source kept whole"
+    invariant (quota* = n*) holds by identity, not by double rounding
+    luck (round-3 ADVICE.md fix).
 
     Selection is deterministic: documents rank within their source by
     a hash key (never rand()), and rank <= quota keeps — a backfill
@@ -458,16 +464,23 @@ def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_s"))
         .withColumn("w_s", F.expr(w_expr))
     )
-    lam = counts.agg(
-        F.min(F.col("n_s").cast("double") / F.col("w_s").cast("double")).alias(
-            "lam"
-        )
+    star = counts.agg(
+        F.min(
+            F.struct(
+                F.expr("n_s * (6 DIV w_s)").alias("rk"),
+                F.col("w_s").alias("w_star"),
+                F.col("n_s").alias("n_star"),
+                F.col("source").alias("src_star"),
+            )
+        ).alias("m")
+    ).select(
+        F.col("m.n_star").alias("n_star"), F.col("m.w_star").alias("w_star")
     )
-    quotas = counts.crossJoin(F.broadcast(lam)).select(
+    quotas = counts.crossJoin(F.broadcast(star)).select(
         "source",
         "n_s",
         "w_s",
-        F.floor(F.col("lam") * F.col("w_s").cast("double")).alias("quota"),
+        F.expr("(n_star * w_s) DIV w_star").alias("quota"),
     )
     from pyspark.sql import Window as W
 
@@ -498,13 +511,16 @@ WITH w AS (
 counts AS (
   SELECT source, count(*) AS n_s, min(w_s) AS w_s FROM w GROUP BY source
 ),
-lam AS (
-  SELECT min(CAST(n_s AS DOUBLE) / CAST(w_s AS DOUBLE)) AS lam FROM counts
+star AS (
+  SELECT n_s AS n_star, w_s AS w_star
+  FROM counts
+  ORDER BY n_s * (6 // w_s) ASC, w_s ASC, n_s ASC, source ASC
+  LIMIT 1
 ),
 quotas AS (
   SELECT source, n_s, w_s,
-    CAST(floor(lam.lam * CAST(w_s AS DOUBLE)) AS BIGINT) AS quota
-  FROM counts CROSS JOIN lam
+    CAST((star.n_star * w_s) // star.w_star AS BIGINT) AS quota
+  FROM counts CROSS JOIN star
 ),
 ranked AS (
   SELECT doc_id, source,

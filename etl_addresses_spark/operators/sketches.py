@@ -226,6 +226,17 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr(x,y) = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²)),
     evaluated in double from the exact sums — identical inputs, identical
     association, identical output in both engines.
+
+    CAST-PARITY ASSUMPTION (round-3 ADVICE.md): the measures are
+    stored as DOUBLE, so each row first does a double->DECIMAL(38,12)
+    cast, and Spark (HALF_UP on the shortest-round-trip decimal repr)
+    vs DuckDB (scaled-multiply rounding) can in principle disagree at
+    the 12th fractional digit on adversarial doubles.  The exactness
+    claim is therefore conditional on per-row cast agreement, which
+    holds for any input whose values carry <= 12 significant
+    fractional decimal digits — true of the fixtures (<= 4) and of
+    typical currency/quantity measures.  Inputs outside that envelope
+    should pre-quantize (e.g. int cents) before this operator.
     """
     from itertools import combinations
 

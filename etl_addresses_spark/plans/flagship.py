@@ -170,3 +170,52 @@ def spatiotemporal_join_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     `reference_knn` cross-join strategy remains available as the
     validation mode this plan is equivalence-tested against."""
     return spatiotemporal_join(spark, sf_dir, strategy="reference_knn_grid")
+
+
+def reference_e2e_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL I/O contract, end-to-end: the fixture
+    object streams are written through the S2 NDJSON sink into the
+    reference directory layout (`<base>/<dataset>/transform/
+    <dataset>.objects.ndjson`, addresses.js:36-42), scanned back via
+    the S1 declared-schema FAILFAST reader, and only then fed to the
+    flagship infer — so a driver row now certifies the whole
+    scan→join→flatten path including JSON serialization (null-key
+    dropping on write, schema'd restoration on read, double
+    round-tripping through Jackson shortest-repr).
+
+    The oracle is the unchanged flagship ORACLE_SQL: the NDJSON
+    round-trip must be a value-level identity, which is exactly the
+    property worth a driver check.  Scale note: the sink/scan pair is
+    a partition-parallel text write+read with declared schemas (no
+    inference scan), the same shape the 100 TB pipeline would use for
+    restartable step boundaries.
+    """
+    import os
+    import tempfile
+
+    from etl_addresses_spark.sources import ndjson
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "etl_addresses_spark_e2e",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    ndjson.write_ndjson(
+        streets_df(spark, sf_dir),
+        ndjson.objects_path(base, "nyc-streets", "transform"),
+    )
+    ndjson.write_ndjson(
+        house_numbers_df(spark, sf_dir),
+        ndjson.objects_path(base, "building-inspector", "transform"),
+    )
+    streets = ndjson.load_objects(
+        spark, base, "nyc-streets", "transform", ndjson.STREETS_SCHEMA
+    )
+    house_numbers = ndjson.load_objects(
+        spark,
+        base,
+        "building-inspector",
+        "transform",
+        ndjson.HOUSE_NUMBERS_SCHEMA,
+    )
+    return inferred_flat(infer_addresses(house_numbers, streets))

@@ -193,9 +193,93 @@ WHERE rn = 1
 """
 
 
+# Threshold for the blocked tier: the fixture's per-supplier minimum
+# distance is exactly 5 (Supplier#/Customer# prefix edit), so 6 keeps
+# every supplier matched while exercising the threshold semantics.
+FUZZY_MAX_DIST = 6
+
+
+def fuzzy_name_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE tier of the fuzzy name match: argmin restricted to
+    pairs within levenshtein distance <= {FUZZY_MAX_DIST}, candidates
+    generated by a LOSSLESS length-band equi-join instead of a
+    cartesian product.
+
+    Blocking is the bin-explode shape (same pattern as
+    interval_overlap_bucketed): each supplier row explodes into the
+    2D+1 candidate lengths len(s_name)-D .. len(s_name)+D and
+    equi-joins customers on length(c_name).  Losslessness is the
+    levenshtein triangle-inequality length bound — ed(a, b) >=
+    |len(a) - len(b)| — so no pair within the threshold can be
+    pruned; the exact levenshtein verify after the join restores
+    exactness, which is why the oracle is the naive
+    cross-join-with-threshold expression of the SAME semantics.
+
+    NOTE the verdict's sketch added first-char equality blocking; on
+    this data that is not lossless (every supplier name starts with
+    'S', every customer with 'C', distance-5 pairs differ in char 1),
+    so it is deliberately NOT part of the key.  On the uniform 18-char
+    fixture names the length band keeps all pairs — pruning power is
+    data-dependent — but the PLAN is cartesian-free: a shuffle hash
+    join on the exploded length key whose worst case is the per-band
+    cross product (~1/L^2 of all-pairs for real name-length
+    distributions), and the argmin is the map-side-combinable
+    min(struct) aggregation rather than a window sort.
+    """
+    d = FUZZY_MAX_DIST
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.explode(
+            F.sequence(
+                F.length("s_name") - F.lit(d), F.length("s_name") + F.lit(d)
+            )
+        ).alias("blen"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.length("c_name").alias("blen")
+    )
+    best = (
+        s.join(c, "blen")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.levenshtein("s_name", "c_name").cast("long").alias("dist"),
+            "c_custkey",
+            "c_name",
+        )
+        .filter(F.col("dist") <= d)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.min(F.struct("dist", "c_custkey", "c_name")).alias("m"))
+    )
+    return best.select(
+        "s_suppkey",
+        "s_name",
+        F.col("m.c_custkey").alias("c_custkey"),
+        F.col("m.c_name").alias("c_name"),
+        F.col("m.dist").alias("dist"),
+    )
+
+
+FUZZY_NAME_MATCH_BLOCKED_SQL = f"""
+SELECT s_suppkey, s_name, c_custkey, c_name, dist FROM (
+  SELECT s_suppkey, s_name, c_custkey, c_name,
+    levenshtein(s_name, c_name) AS dist,
+    row_number() OVER (PARTITION BY s_suppkey
+                       ORDER BY levenshtein(s_name, c_name) ASC, c_custkey ASC) AS rn
+  FROM supplier CROSS JOIN customer
+  WHERE levenshtein(s_name, c_name) <= {FUZZY_MAX_DIST})
+WHERE rn = 1
+"""
+
+
 QUERIES3 = {
     "merge_upsert": (merge_upsert, MERGE_UPSERT_SQL),
     "scd2_history": (scd2_history, SCD2_HISTORY_SQL),
     "window_frames": (window_frames, WINDOW_FRAMES_SQL),
     "fuzzy_name_match": (fuzzy_name_match, FUZZY_NAME_MATCH_SQL),
+    "fuzzy_name_match_blocked": (
+        fuzzy_name_match_blocked,
+        FUZZY_NAME_MATCH_BLOCKED_SQL,
+    ),
 }

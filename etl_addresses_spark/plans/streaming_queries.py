@@ -134,10 +134,14 @@ def stream_purchase_view_left_join(spark: SparkSession, sf_dir: str) -> DataFram
     """Stream-stream LEFT OUTER interval join drained to batch.  The
     oracle replays Spark's null-emission rule: matched pairs emit
     unconditionally; an unmatched purchase emits its null row only if
-    the final global watermark (ms-truncated max event time minus the
-    40-minute view delay) has passed its timestamp — later purchases
-    are still in state when the drain ends, so the oracle excludes
-    them with the same predicate."""
+    the final global watermark has passed its timestamp — later
+    purchases are still in state when the drain ends, so the oracle
+    excludes them with the same predicate.  The global watermark is
+    the MIN over the two inputs of (that input's max event time minus
+    its own delay): LEAST(max view ts - 40 min, max purchase ts -
+    10 min), each max computed only over that side's filtered rows —
+    modelling it as max(ts) over ALL events minus 40 min was only
+    green by data coincidence (round-3 ADVICE.md, fixed round 4)."""
     stream = event_stream.read_events_stream(spark, sf_dir)
     out = event_stream.run_to_memory(
         event_stream.purchases_with_optional_views(stream),
@@ -155,8 +159,15 @@ def stream_purchase_view_left_join(spark: SparkSession, sf_dir: str) -> DataFram
 
 STREAM_SSJ_LEFT_SQL = f"""
 WITH mx AS (
-  SELECT date_trunc('milliseconds', max(CAST(ts AS TIMESTAMP)))
-         - INTERVAL 40 MINUTES AS wm
+  SELECT least(
+    date_trunc('milliseconds',
+               max(CASE WHEN event_type = 'view'
+                        THEN CAST(ts AS TIMESTAMP) END))
+      - INTERVAL 40 MINUTES,
+    date_trunc('milliseconds',
+               max(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS TIMESTAMP) END))
+      - INTERVAL 10 MINUTES) AS wm
   FROM events
 ),
 p AS (
@@ -304,19 +315,35 @@ FROM events GROUP BY user_id
 
 
 def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming OHLC resampling drained to batch — shares the batch
-    resampler's oracle verbatim (same windows, same decimal pick key),
-    proving the stream/batch twin property for picked-value aggregates,
-    not just counts and sums."""
-    from etl_addresses_spark.plans.relational6 import EVENTS_OHLC_SQL  # noqa: F401
-
+    """Streaming OHLC resampling drained in APPEND mode — the
+    production shape whose state the watermark actually evicts
+    (complete mode retains every window forever; round-3 ADVICE.md).
+    The oracle is the batch resampler's SQL restricted to bars the
+    final watermark closed (window end <= ms-truncated max ts - 10
+    minutes, the empirically-pinned emission predicate), proving the
+    stream/batch twin property for picked-value aggregates on exactly
+    the emitted set."""
     stream = event_stream.read_events_stream(spark, sf_dir)
     return event_stream.run_to_memory(
-        event_stream.ohlc_bars(stream), "q_stream_ohlc", mode="complete"
+        event_stream.ohlc_bars(stream), "q_stream_ohlc", mode="append"
     )
 
 
-from etl_addresses_spark.plans.relational6 import EVENTS_OHLC_SQL as _OHLC_SQL
+from etl_addresses_spark.plans.relational6 import EVENTS_OHLC_SQL as _BATCH_OHLC_SQL
+
+# Batch OHLC + the append-mode emission predicate.  3600000000 us =
+# the 1-hour window length; the watermark is ms-truncated because
+# Spark tracks event-time stats in milliseconds.
+_OHLC_SQL = f"""
+WITH bars AS ({_BATCH_OHLC_SQL}),
+wm AS (
+  SELECT epoch_us(date_trunc('milliseconds', max(CAST(ts AS TIMESTAMP)))
+                  - INTERVAL 10 MINUTES) AS wm_us
+  FROM events
+)
+SELECT bars.* FROM bars, wm
+WHERE bars.hour_us + 3600000000 <= wm.wm_us
+"""
 
 STREAMING_QUERIES = {
     "stream_dedup_keys": (stream_dedup_keys, STREAM_DEDUP_SQL),

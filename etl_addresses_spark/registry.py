@@ -127,80 +127,82 @@ _ALL: dict[str, Entry] = {
         graph.pagerank_relations, graph.pagerank_oracle_sql()
     ),
     "st_contains_join": Entry(polygon.st_contains_join, polygon.ST_CONTAINS_SQL),
+    # round 4: the reference's actual NDJSON I/O contract exercised
+    # end-to-end (S2 sink -> S1 declared-schema scan -> flagship
+    # infer); the oracle is the unchanged flagship SQL because the
+    # round-trip must be a value-level identity.
+    "reference_e2e_ndjson": Entry(
+        flagship.reference_e2e_ndjson, flagship.ORACLE_SQL
+    ),
 }
 
 # The grading driver cross-checks exactly the FIRST 50 registry entries
-# (dict order) against DuckDB each round.  Round 1 already recorded
-# green rows for the original head, so the window rotates: entries with
-# no driver row yet come first, then the reference-surface core plus
-# one representative per query family for round-over-round
-# re-confirmation.  `approx_quantiles_orders` is rows-only but kept
-# inside deliberately so its fixed (scalar-column) row replaces the
-# round-1 canonicalizer error.  Rows-only sketch/iterative entries sit
-# at the tail; tools/driver_sim.py still exercises the FULL registry.
+# (dict order) against DuckDB each round.  Round-4 rotation closes the
+# cumulative gap: the 15 entries that have NEVER had a driver row come
+# first, then this round's fixes/new queries, then the 25 entries whose
+# only green evidence is round 1 (the oldest in the ledger).  With this
+# window every registry entry has been driver-scored at least once and
+# nothing's latest evidence predates round 2.  tools/driver_sim.py
+# still exercises the FULL registry every round.
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-checked as of round 2 (VERDICT.md item 3) -----
-    "sample_stratified",
-    "sample_fixed_k",
-    "profile_columns",
-    "interval_overlap_join",
-    "token_count_bpe",
-    "curate_corpus",
-    "skew_salted_distinct",
-    "q20_dominant_suppliers",
-    "sql_grouping_sets",
-    "window_range_time",
-    "funnel_conversion",
-    "incremental_agg_merge",
-    "cohort_retention",
-    "stream_static_enrich",
-    "decontaminate_ngram",
-    "chunk_documents",
-    "pack_sequences",
-    "pii_redact",
-    "quality_gopher_flags",
-    "bm25_topk",
-    "zorder_extents",
-    "bloom_prune_join",
-    "cms_heavy_hitters",
+    # -- never driver-checked (added after the r3 window froze) -----
+    "stats_correlation",
+    "dedup_incremental_lsh",
+    "dedup_clusters_star",
+    "interval_overlap_bucketed",
+    "window_locf_fill",
+    "events_ohlc_bars",
+    "stream_ohlc_bars",
+    "stream_sliding_windows",
+    "sample_weighted_k",
+    "mixture_rebalance",
+    "pipeline_curate_stats",
+    "multimodal_image_dedup",
+    "multimodal_pixel_stats",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    # -- round-3 driver-red rows, root-caused and fixed this round
+    #    (HUGEINT oracle outputs; see tests/test_driver_parity_types)
     "anomaly_zscore_events",
-    "triangle_count",
-    "dedup_substring_blocks",
-    "kmeans_cluster_sizes",
-    "ann_ivf_lloyd_topk",
-    "pagerank_relations",
-    # -- fixed this round: prove the streaming ts fix + new oracles -
-    "stream_windowed_counts",
-    "stream_purchase_view_join",
-    "approx_quantiles_orders",
-    "minhash_lsh_pairs",
-    "simhash_fingerprints",
-    "simhash_near_pairs",
-    # -- reference surface: the knn variant changed plans this round
-    # (grid-prefiltered strict parity) so its re-proof is mandatory.
-    # The flagship grid variant itself rotated out after two green
-    # rounds on an unchanged plan — the driver still smoke-runs it via
-    # entry() every round, pytest + CORRECTNESS_FULL keep it checked,
-    # and the knn row exercises the same predicate stack.  The
-    # transform trio / agg_pricing_summary / multimodal_decode rotated
-    # out the same way to free slots for never-driver-checked entries.
-    "spatiotemporal_join_knn",
-    # -- new round 3: no driver row exists yet ----------------------
-    "stream_purchase_view_left_join",
-    "stream_session_windows",
-    "stream_stateful_user_totals",
-    "embedding_srp_lsh_pairs",
-    "split_train_val_test",
-    "dedup_keep_best",
-    "ann_pq_topk",
-    "repetition_ngram_score",
-    "lm_bigram_logprob",
-    "quality_classifier_score",
     "vocab_oov_rate",
-    "semantic_dedup",
-    # -- the last two entries with no driver row from rounds 1-2 ----
-    "hll_distinct_parts",
-    "hll_mergeable_union",
+    # -- round-2 verdict rotate-backs (two green rounds on unchanged
+    #    plans, returning for re-confirmation per the r3 verdict)
+    "transform_relations",
+    "transform_logs",
+    "relation_degrees",
+    "agg_pricing_summary",
+    "multimodal_decode",
+    # -- new round 4: no driver row exists yet ----------------------
+    "fuzzy_name_match_blocked",
+    "reference_e2e_ndjson",
+    # -- oracle corrected this round (watermark = min over inputs) --
+    "stream_purchase_view_left_join",
+    # -- latest green evidence is round 1: refresh the oldest rows --
+    "agg_cube",
+    "agg_distinct_counts",
+    "agg_percentiles",
+    "agg_pivot_case",
+    "agg_rollup",
+    "ann_quantized_topk",
+    "docs_with_embeddings",
+    "embedding_near_dup",
+    "events_window_agg",
+    "join_anti_customers",
+    "join_outer_order_counts",
+    "join_region_volume",
+    "join_semi_orders",
+    "multimodal_meta",
+    "scalar_json_extract",
+    "scalar_string_date",
+    "set_except_buyers",
+    "set_intersect_buyers",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_stats",
+    "text_tfidf_top_terms",
+    "window_lag_delta",
+    "window_running_total",
 ]
 
 REGISTRY: dict[str, Entry] = {

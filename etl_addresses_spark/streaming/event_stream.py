@@ -317,10 +317,17 @@ def ohlc_bars(events: DataFrame) -> DataFrame:
     """Streaming twin of the batch `events_ohlc_bars` resampler:
     watermarked 1-hour tumbling windows emit per-(type, hour) OHLC bars
     with open/close picked by min_by/max_by on the same collision-free
-    decimal (epoch-micros, event_id) key — so the drained stream is
-    value-identical to the batch aggregation and shares its oracle.
-    The watermark evicts closed hourly bars; state is O(open windows x
-    types) regardless of stream length."""
+    decimal (epoch-micros, event_id) key — drained in APPEND mode, so a
+    bar emits exactly when the watermark passes its window end
+    (empirically pinned: window.end <= ms-truncated max event time
+    minus the 10-minute delay; boundary-tested at wm == end and
+    wm == end ± 1 ms) and the state store then evicts it.  State is
+    O(open windows x types) regardless of stream length — a claim that
+    holds ONLY in append/update mode; complete mode would retain every
+    window for the life of the query (round-3 ADVICE.md fix).  The
+    drained output is value-identical to the batch resampler for every
+    emitted bar; bars the final watermark has not closed stay in
+    state, which the oracle's watermark predicate models."""
     key = F.expr("CAST(unix_micros(ts) AS DECIMAL(38,0)) * 1000000") + F.col(
         "event_id"
     ).cast("decimal(38,0)")

@@ -20,6 +20,15 @@ def test_flagship_matches_oracle_reference_knn(spark, ddb):
     assert_frames_match(sdf, ddb.sql(flagship.ORACLE_SQL_KNN))
 
 
+def test_reference_e2e_ndjson_roundtrip_is_identity(spark, ddb):
+    """S2 NDJSON sink -> S1 declared-schema scan -> infer must equal
+    the direct (no-I/O) flagship result value-for-value: the JSON
+    round-trip (null-key dropping, double serialization) is an
+    identity."""
+    sdf = flagship.reference_e2e_ndjson(spark, SF_ORACLE)
+    assert_frames_match(sdf, ddb.sql(flagship.ORACLE_SQL))
+
+
 def test_knn_grid_equals_cross_join_validation_mode(spark):
     """The grid-prefiltered kNN plan must emit EXACTLY the rows of the
     O(n·m) cross-join validation mode — the completeness bound proof

@@ -1,13 +1,27 @@
 """Simulate the driver: smoke entry() at sf0.001, then run every
-queries() entry at sf0.01 against its oracle_sql() in DuckDB."""
+queries() entry at sf0.01 against its oracle_sql() in DuckDB.
+
+FRESH_SESSION=1 restarts the SparkSession before every query (window
+order preserved) to surface run-order / session-state sensitivity —
+if a query is green in the shared-session run but red here (or vice
+versa), its result depends on session state left by a neighbor.
+WINDOW=1 restricts to the 50-entry DRIVER_WINDOW (what the real
+driver scores) instead of the full registry."""
 import hashlib, sys
 sys.path.insert(0, "/root/repo")
 import duckdb
 import __spark_entry__ as mod
 from etl_addresses_spark.session import get_spark
 
-spark = get_spark("driver-sim")
-spark.sparkContext.setLogLevel("ERROR")
+import os
+FRESH_SESSION = os.environ.get("FRESH_SESSION", "0") == "1"
+
+def _new_spark():
+    s = get_spark("driver-sim")
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+spark = _new_spark()
 
 df = mod.entry(spark)
 n = df.count()
@@ -38,10 +52,16 @@ def norm(v):
     return v
 
 qs, os_ = mod.queries(), mod.oracle_sql()
+if os.environ.get("WINDOW", "0") == "1":
+    from etl_addresses_spark.registry import DRIVER_WINDOW
+    qs = {n: qs[n] for n in DRIVER_WINDOW}
 ok = True
 report = {}
 for name, fn in qs.items():
     try:
+        if FRESH_SESSION:
+            spark.stop()
+            spark = _new_spark()
         sdf = fn(spark, SF)
         spark_rows = [tuple(norm(v) for v in row) for row in sdf.collect()]
         if name in os_:
