@@ -225,6 +225,16 @@ def fuzzy_name_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross product (~1/L^2 of all-pairs for real name-length
     distributions), and the argmin is the map-side-combinable
     min(struct) aggregation rather than a window sort.
+
+    Two measured bench fixes (45.2 s -> see SCALE.md at sf0.1):
+    (1) the probe side is round-robin repartitioned to the session
+    parallelism first — a dimension-sized parquet is ONE input split,
+    so without it a single task evaluates the whole candidate set
+    (broadcast joins parallelize by probe partitions, and a 1-MB file
+    gives exactly one); (2) levenshtein runs with the THRESHOLD
+    argument, switching Spark to the banded O(len*k) early-abandon
+    algorithm (-1 means beyond-threshold, filtered as dist >= 0 —
+    same candidate set, cheaper per pair).
     """
     d = FUZZY_MAX_DIST
     s = load_table(spark, sf_dir, "supplier").select(
@@ -236,19 +246,21 @@ def fuzzy_name_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("blen"),
     )
-    c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", F.length("c_name").alias("blen")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", F.length("c_name").alias("blen"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     best = (
         s.join(c, "blen")
         .select(
             "s_suppkey",
             "s_name",
-            F.levenshtein("s_name", "c_name").cast("long").alias("dist"),
+            F.levenshtein("s_name", "c_name", d).cast("long").alias("dist"),
             "c_custkey",
             "c_name",
         )
-        .filter(F.col("dist") <= d)
+        .filter(F.col("dist") >= 0)
         .groupBy("s_suppkey", "s_name")
         .agg(F.min(F.struct("dist", "c_custkey", "c_name")).alias("m"))
     )
