@@ -68,10 +68,13 @@ HEADLINE = [
     "semantic_dedup",
     # round-3 incremental dedup: asymmetric LSH admission join
     "dedup_incremental_lsh",
-    # round-4 additions: the cartesian-free fuzzy-match tier and the
-    # reference NDJSON I/O contract end-to-end (sink + scan + infer)
+    # round-4 additions: the cartesian-free fuzzy-match tier, the
+    # reference NDJSON I/O contract end-to-end (sink + scan + infer),
+    # and contrastive hard-negative mining (scored pass + dual-role
+    # window)
     "fuzzy_name_match_blocked",
     "reference_e2e_ndjson",
+    "contrastive_hard_negatives",
     # round-3 capstones: the composed curation pipeline and the
     # single-scan exact-moment correlation matrix
     "pipeline_curate_stats",

@@ -866,3 +866,115 @@ SELECT query_id, rank, cand_id, pq_cosine FROM (
   FROM scored)
 WHERE rank <= {TOPK_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Contrastive hard-negative mining (round 4).
+# ---------------------------------------------------------------------------
+
+HARD_NEG_K = 5
+
+
+def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine contrastive training pairs for every anchor vector
+    (vec_id % {QUERY_MOD} == 0): the POSITIVE is the highest-cosine
+    SAME-label candidate, and the HARD NEGATIVES are the top-
+    {HARD_NEG_K} highest-cosine DIFFERENT-label candidates — the
+    near-boundary examples a contrastive/embedding fine-tune actually
+    learns from (random negatives are trivially separable).
+
+    One scored pass (the shared bit-reproducible sequential-fold
+    cosine), then ONE window partitioned by (query_id, is_positive):
+    row_number ranks positives and negatives independently in the
+    same shuffle; rank 1 survives on the positive side, ranks
+    1..{HARD_NEG_K} on the negative side.  Ranking compares the
+    bit-identical cosine (strict census), so the mined SET is stable
+    across engines.
+
+    Scale path: anchors broadcast (batch-of-queries), corpus streamed
+    — same shape as cosine_topk_fast; past broadcast size the scoring
+    side swaps to the IVF candidate generator (`ann_ivf_topk_for`)
+    with identical window semantics.  Output is one row per mined
+    example: (query_id, role, rank, cand_id, cosine).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("cand_emb"),
+        _norm_col(F.col("embedding")).alias("cand_norm"),
+    )
+    anchors = (
+        e.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_emb"),
+            _norm_col(F.col("embedding")).alias("q_norm"),
+        )
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (F.col("cand_label") == F.col("q_label")).alias("is_pos"),
+            (
+                _pair_dot_seq(F.col("q_emb"), F.col("cand_emb"))
+                / (F.col("q_norm") * F.col("cand_norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id", "is_pos").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w).cast("long"))
+    return (
+        ranked.filter(
+            (F.col("is_pos") & (F.col("rank") == 1))
+            | (~F.col("is_pos") & (F.col("rank") <= HARD_NEG_K))
+        )
+        .select(
+            "query_id",
+            F.when(F.col("is_pos"), F.lit("positive"))
+            .otherwise(F.lit("negative"))
+            .alias("role"),
+            "rank",
+            "cand_id",
+            "cosine",
+        )
+    )
+
+
+CONTRASTIVE_HARD_NEG_SQL = f"""
+WITH sides AS (
+  SELECT vec_id, label,
+    sqrt(CAST({_duckdb_dot('embedding', 'embedding')} AS DOUBLE)) AS norm,
+    embedding
+  FROM embeddings
+),
+anchors AS (
+  SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb,
+         norm AS q_norm
+  FROM sides WHERE vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT a.query_id, c.vec_id AS cand_id,
+    (c.label = a.q_label) AS is_pos,
+    CAST({_duckdb_dot('a.q_emb', 'c.embedding')} AS DOUBLE)
+      / (a.q_norm * c.norm) AS cosine
+  FROM sides c CROSS JOIN anchors a
+  WHERE c.vec_id <> a.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id, is_pos ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id,
+  CASE WHEN is_pos THEN 'positive' ELSE 'negative' END AS role,
+  rank, cand_id, cosine
+FROM ranked
+WHERE (is_pos AND rank = 1) OR ((NOT is_pos) AND rank <= {HARD_NEG_K})
+"""

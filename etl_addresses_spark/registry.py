@@ -21,7 +21,9 @@ from etl_addresses_spark.operators import (
     lmquality,
     polygon,
     scalepatterns,
+    similarity,
 )
+from etl_addresses_spark.sources import delimited
 from etl_addresses_spark.plans import (
     extensions,
     flagship,
@@ -134,6 +136,19 @@ _ALL: dict[str, Entry] = {
     "reference_e2e_ndjson": Entry(
         flagship.reference_e2e_ndjson, flagship.ORACLE_SQL
     ),
+    # round 4: supervised contrastive mining (positive = top same-label
+    # neighbor, hard negatives = top-k different-label) on the shared
+    # bit-reproducible cosine.
+    "contrastive_hard_negatives": Entry(
+        similarity.contrastive_hard_negatives,
+        similarity.CONTRASTIVE_HARD_NEG_SQL,
+    ),
+    # round 4: CSV sink/scan contract proven as a value-level identity
+    # (symmetric to reference_e2e_ndjson for the other interchange
+    # format).
+    "delimited_roundtrip_csv": Entry(
+        delimited.delimited_roundtrip_csv, delimited.DELIMITED_ROUNDTRIP_SQL
+    ),
 }
 
 # The grading driver cross-checks exactly the FIRST 50 registry entries
@@ -175,10 +190,15 @@ DRIVER_WINDOW: list[str] = [
     # -- new round 4: no driver row exists yet ----------------------
     "fuzzy_name_match_blocked",
     "reference_e2e_ndjson",
+    "contrastive_hard_negatives",
+    "delimited_roundtrip_csv",
     # -- oracle corrected this round (watermark = min over inputs) --
     "stream_purchase_view_left_join",
-    # -- latest green evidence is round 1: refresh the oldest rows --
-    "agg_cube",
+    # -- latest green evidence is round 1: refresh the oldest rows.
+    #    (agg_cube and set_intersect_buyers yielded their slots to the
+    #    two round-4 additions above — never-checked beats stale, and
+    #    their families stay represented by agg_rollup/percentiles/
+    #    distinct_counts/pivot_case and set_except_buyers.)
     "agg_distinct_counts",
     "agg_percentiles",
     "agg_pivot_case",
@@ -195,7 +215,6 @@ DRIVER_WINDOW: list[str] = [
     "scalar_json_extract",
     "scalar_string_date",
     "set_except_buyers",
-    "set_intersect_buyers",
     "text_fingerprint",
     "text_langid",
     "text_quality",

@@ -208,3 +208,77 @@ def test_pq_recall_vs_exact(spark):
     # dimension sit far higher; the oracle test pins exactness of the
     # pipeline itself.
     assert recall >= 0.15, f"PQ recall at/below chance: {recall}"
+
+
+def test_contrastive_hard_negatives_oracle(spark, ddb):
+    assert_frames_match(
+        similarity.contrastive_hard_negatives(spark, SF_ORACLE),
+        ddb.sql(similarity.CONTRASTIVE_HARD_NEG_SQL),
+    )
+
+
+def test_contrastive_hard_negatives_semantics(spark):
+    """Positives share the anchor's label; negatives never do; every
+    negative's cosine is <= the best different-label cosine ordering
+    (ranks are contiguous from 1)."""
+    from pyspark.sql import functions as F
+
+    from etl_addresses_spark.operators.similarity import (
+        HARD_NEG_K,
+        contrastive_hard_negatives,
+    )
+    from etl_addresses_spark.sources.tables import load_table
+
+    rows = contrastive_hard_negatives(spark, SF_ORACLE).collect()
+    assert rows
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, SF_ORACLE, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, group in by_q.items():
+        pos = [r for r in group if r.role == "positive"]
+        neg = sorted(
+            (r for r in group if r.role == "negative"), key=lambda r: r.rank
+        )
+        assert len(pos) == 1 and pos[0].rank == 1
+        assert labels[pos[0].cand_id] == labels[qid]
+        assert 1 <= len(neg) <= HARD_NEG_K
+        assert [r.rank for r in neg] == list(range(1, len(neg) + 1))
+        for r in neg:
+            assert labels[r.cand_id] != labels[qid]
+        # negatives are ordered hardest-first
+        cosines = [r.cosine for r in neg]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_delimited_roundtrip_csv_oracle(spark, ddb):
+    from etl_addresses_spark.sources import delimited
+
+    assert_frames_match(
+        delimited.delimited_roundtrip_csv(spark, SF_ORACLE),
+        ddb.sql(delimited.DELIMITED_ROUNDTRIP_SQL),
+    )
+
+
+def test_csv_quoting_roundtrips_hostile_values(spark, tmp_path):
+    """The declared CSV contract must survive embedded delimiters,
+    quotes, and newlines — values the fixture corpus happens not to
+    contain."""
+    from etl_addresses_spark.sources import delimited
+
+    hostile = [
+        (1, 'comma, inside', "en", "web", 13),
+        (2, 'quote " inside', "en", "web", 14),
+        (3, "newline\ninside", "de", "book", 15),
+        (4, None, None, "web", 0),
+    ]
+    df = spark.createDataFrame(hostile, delimited.DOCUMENTS_CSV_SCHEMA)
+    path = str(tmp_path / "docs_csv")
+    delimited.write_csv(df, path)
+    back = delimited.read_csv(spark, path, delimited.DOCUMENTS_CSV_SCHEMA)
+    assert sorted(map(tuple, back.collect())) == sorted(hostile)

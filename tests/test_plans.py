@@ -268,3 +268,36 @@ def test_interval_overlap_bucketed_is_equi_join(spark):
     plan = _plan(curation.interval_overlap_bucketed(spark, SF_SMALL))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_blocked_no_cartesian_and_banded_levenshtein(spark):
+    """The blocked fuzzy tier must plan as an equi-join on the length
+    key (never a nested-loop product), carry the THRESHOLD levenshtein
+    (banded early-abandon variant), and aggregate with a partial_min
+    (map-side combine) instead of a window sort."""
+    from etl_addresses_spark.plans import relational3
+
+    df = relational3.fuzzy_name_match_blocked(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # executedPlan toString truncates long projections; the threshold
+    # argument (rendered as Some(6)) is asserted on the optimized plan
+    opt = _optimized(df)
+    assert "levenshtein" in opt and "Some(6)" in opt
+    assert "partial_min" in plan
+
+
+def test_contrastive_mining_single_window_pass(spark):
+    """One window over (query_id, is_pos) ranks positives and
+    negatives in the same shuffle — exactly one Window node and one
+    Exchange on the scored side."""
+    from etl_addresses_spark.operators import similarity
+
+    df = similarity.contrastive_hard_negatives(spark, SF_SMALL)
+    plan = _plan(df)
+    assert plan.count("Window") >= 1
+    # the anchor side is broadcast: no shuffle of the corpus for the join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # a single ranking pass, not one window per role
+    assert plan.count("row_number") == 1
