@@ -236,8 +236,21 @@ def fuzzy_name_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm (-1 means beyond-threshold, filtered as dist >= 0 —
     same candidate set, cheaper per pair).
     """
-    d = FUZZY_MAX_DIST
-    s = load_table(spark, sf_dir, "supplier").select(
+    return fuzzy_match_blocked_for(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"),
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+    )
+
+
+def fuzzy_match_blocked_for(
+    suppliers: DataFrame, customers: DataFrame, d: int = FUZZY_MAX_DIST
+) -> DataFrame:
+    """Core of `fuzzy_name_match_blocked` over supplied frames
+    (columns s_suppkey/s_name and c_custkey/c_name) — the seam the
+    hypothesis losslessness property drives with heterogeneous-length
+    names, where the length band actually prunes."""
+    spark = suppliers.sparkSession
+    s = suppliers.select(
         "s_suppkey",
         "s_name",
         F.explode(
@@ -247,7 +260,7 @@ def fuzzy_name_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("blen"),
     )
     c = (
-        load_table(spark, sf_dir, "customer")
+        customers
         .select("c_custkey", "c_name", F.length("c_name").alias("blen"))
         .repartition(spark.sparkContext.defaultParallelism)
     )

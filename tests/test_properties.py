@@ -159,3 +159,58 @@ def test_crosstrack_matches_python_reference(spark, cases):
         assert abs(r.km - want) <= max(1e-9, 1e-9 * abs(want)), (
             r.y1, r.x1, r.y2, r.x2, r.py, r.px
         )
+
+
+# --- blocked fuzzy match losslessness --------------------------------------
+
+NAME_ALPHA = "abcde"
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    st.lists(st.text(NAME_ALPHA, min_size=1, max_size=14), min_size=1,
+             max_size=8, unique=True),
+    st.lists(st.text(NAME_ALPHA, min_size=1, max_size=14), min_size=1,
+             max_size=12, unique=True),
+)
+@settings(max_examples=12, deadline=None)
+def test_fuzzy_blocked_matches_bruteforce_reference(spark, s_names, c_names):
+    """Losslessness of the length-band blocking on names of VARYING
+    length (where the band genuinely prunes): the blocked Spark plan
+    must return exactly the brute-force threshold-argmin, computed by
+    a plain-Python levenshtein over all pairs."""
+    from etl_addresses_spark.plans.relational3 import (
+        FUZZY_MAX_DIST,
+        fuzzy_match_blocked_for,
+    )
+
+    s_df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(s_names)], "s_suppkey long, s_name string"
+    )
+    c_df = spark.createDataFrame(
+        [(j, n) for j, n in enumerate(c_names)], "c_custkey long, c_name string"
+    )
+    got = {
+        r.s_suppkey: (r.c_custkey, r.c_name, r.dist)
+        for r in fuzzy_match_blocked_for(s_df, c_df).collect()
+    }
+    for i, sn in enumerate(s_names):
+        cands = sorted(
+            (_py_levenshtein(sn, cn), j, cn) for j, cn in enumerate(c_names)
+        )
+        dist, j, cn = cands[0]
+        if dist <= FUZZY_MAX_DIST:
+            assert got[i] == (j, cn, dist), (sn, cands[:3], got.get(i))
+        else:
+            assert i not in got, (sn, cands[:3], got.get(i))
