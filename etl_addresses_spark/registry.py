@@ -23,7 +23,7 @@ from etl_addresses_spark.operators import (
     scalepatterns,
     similarity,
 )
-from etl_addresses_spark.sources import delimited
+from etl_addresses_spark.sources import delimited, partitioned, rawtext
 from etl_addresses_spark.plans import (
     extensions,
     flagship,
@@ -149,6 +149,14 @@ _ALL: dict[str, Entry] = {
     "delimited_roundtrip_csv": Entry(
         delimited.delimited_roundtrip_csv, delimited.DELIMITED_ROUNDTRIP_SQL
     ),
+    # round 4: partition-pruned sink/scan and raw-text log ingestion
+    # proven as identity rows (same pattern as the NDJSON/CSV rows).
+    "partitioned_sink_prune": Entry(
+        partitioned.partitioned_sink_prune, partitioned.PARTITIONED_PRUNE_SQL
+    ),
+    "rawtext_log_roundtrip": Entry(
+        rawtext.rawtext_log_roundtrip, rawtext.RAWTEXT_LOG_SQL
+    ),
 }
 
 # The grading driver cross-checks exactly the FIRST 50 registry entries
@@ -192,16 +200,18 @@ DRIVER_WINDOW: list[str] = [
     "reference_e2e_ndjson",
     "contrastive_hard_negatives",
     "delimited_roundtrip_csv",
+    "partitioned_sink_prune",
+    "rawtext_log_roundtrip",
     # -- oracle corrected this round (watermark = min over inputs) --
     "stream_purchase_view_left_join",
     # -- latest green evidence is round 1: refresh the oldest rows.
-    #    (agg_cube and set_intersect_buyers yielded their slots to the
-    #    two round-4 additions above — never-checked beats stale, and
-    #    their families stay represented by agg_rollup/percentiles/
-    #    distinct_counts/pivot_case and set_except_buyers.)
+    #    (agg_cube, set_intersect_buyers, agg_pivot_case and
+    #    scalar_string_date yielded their slots to the four round-4
+    #    additions above — never-checked beats stale, and their
+    #    families stay represented by agg_rollup/percentiles/
+    #    distinct_counts, set_except_buyers and scalar_json_extract.)
     "agg_distinct_counts",
     "agg_percentiles",
-    "agg_pivot_case",
     "agg_rollup",
     "ann_quantized_topk",
     "docs_with_embeddings",
@@ -213,7 +223,6 @@ DRIVER_WINDOW: list[str] = [
     "join_semi_orders",
     "multimodal_meta",
     "scalar_json_extract",
-    "scalar_string_date",
     "set_except_buyers",
     "text_fingerprint",
     "text_langid",

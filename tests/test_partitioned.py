@@ -21,3 +21,30 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
 
     subdirs = [d for d in os.listdir(out) if d.startswith("event_type=")]
     assert "event_type=purchase" in subdirs and len(subdirs) == 5
+
+
+def test_partitioned_sink_prune_oracle(spark, ddb):
+    from conftest import SF_ORACLE, assert_frames_match
+
+    from etl_addresses_spark.sources.partitioned import (
+        PARTITIONED_PRUNE_SQL,
+        partitioned_sink_prune,
+    )
+
+    assert_frames_match(
+        partitioned_sink_prune(spark, SF_ORACLE),
+        ddb.sql(PARTITIONED_PRUNE_SQL),
+    )
+
+
+def test_rawtext_log_roundtrip_oracle(spark, ddb):
+    from conftest import SF_ORACLE, assert_frames_match
+
+    from etl_addresses_spark.sources.rawtext import (
+        RAWTEXT_LOG_SQL,
+        rawtext_log_roundtrip,
+    )
+
+    assert_frames_match(
+        rawtext_log_roundtrip(spark, SF_ORACLE), ddb.sql(RAWTEXT_LOG_SQL)
+    )
