@@ -200,6 +200,81 @@ WHERE NOT EXISTS (
 """
 
 
+def stream_purchase_view_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join drained to batch — the
+    last cell of the join-mode matrix (inner r3, left r3, full r4).
+    The oracle adds the view-side null rows under the empirically
+    pinned rule view_ts + 30min < wm (strict), alongside the left
+    join's purchase rule purchase_ts < wm; wm is the min-over-inputs
+    global watermark."""
+    stream = event_stream.read_events_stream(spark, sf_dir)
+    out = event_stream.run_to_memory(
+        event_stream.purchases_with_views_full_outer(stream),
+        "q_stream_ssj_full",
+        mode="append",
+    )
+    return out.select(
+        "purchase_event_id",
+        "user_id",
+        F.date_format("purchase_ts", _TS_FMT).alias("purchase_ts"),
+        "view_event_id",
+        F.date_format("view_ts", _TS_FMT).alias("view_ts"),
+    )
+
+
+STREAM_SSJ_FULL_SQL = f"""
+WITH mx AS (
+  SELECT least(
+    date_trunc('milliseconds',
+               max(CASE WHEN event_type = 'view'
+                        THEN CAST(ts AS TIMESTAMP) END))
+      - INTERVAL 40 MINUTES,
+    date_trunc('milliseconds',
+               max(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS TIMESTAMP) END))
+      - INTERVAL 10 MINUTES) AS wm
+  FROM events
+),
+p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'view'
+)
+SELECT
+  p.event_id AS purchase_event_id,
+  p.user_id AS user_id,
+  strftime(p.ts, '{_DUCK_FMT}') AS purchase_ts,
+  v.event_id AS view_event_id,
+  strftime(v.ts, '{_DUCK_FMT}') AS view_ts
+FROM p
+JOIN v ON v.user_id = p.user_id
+      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTES
+UNION ALL
+SELECT
+  p.event_id, p.user_id, strftime(p.ts, '{_DUCK_FMT}'),
+  CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+FROM p
+WHERE NOT EXISTS (
+    SELECT 1 FROM v
+    WHERE v.user_id = p.user_id
+      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTES)
+  AND p.ts < (SELECT wm FROM mx)
+UNION ALL
+SELECT
+  CAST(NULL AS BIGINT), v.user_id, CAST(NULL AS VARCHAR),
+  v.event_id, strftime(v.ts, '{_DUCK_FMT}')
+FROM v
+WHERE NOT EXISTS (
+    SELECT 1 FROM p
+    WHERE p.user_id = v.user_id
+      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTES)
+  AND v.ts + INTERVAL 30 MINUTES < (SELECT wm FROM mx)
+"""
+
+
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment: the streaming purchase feed
     joined per micro-batch to the static customer dimension (user_id
@@ -353,6 +428,10 @@ STREAMING_QUERIES = {
     "stream_purchase_view_left_join": (
         stream_purchase_view_left_join,
         STREAM_SSJ_LEFT_SQL,
+    ),
+    "stream_purchase_view_full_join": (
+        stream_purchase_view_full_join,
+        STREAM_SSJ_FULL_SQL,
     ),
     "stream_ohlc_bars": (stream_ohlc_bars, _OHLC_SQL),
     "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_ENRICH_SQL),

@@ -204,6 +204,8 @@ DRIVER_WINDOW: list[str] = [
     "rawtext_log_roundtrip",
     # -- oracle corrected this round (watermark = min over inputs) --
     "stream_purchase_view_left_join",
+    # -- round 4: full outer completes the stream-join-mode matrix --
+    "stream_purchase_view_full_join",
     # -- latest green evidence is round 1: refresh the oldest rows.
     #    (agg_cube, set_intersect_buyers, agg_pivot_case and
     #    scalar_string_date yielded their slots to the four round-4
@@ -216,7 +218,6 @@ DRIVER_WINDOW: list[str] = [
     "ann_quantized_topk",
     "docs_with_embeddings",
     "embedding_near_dup",
-    "events_window_agg",
     "join_anti_customers",
     "join_outer_order_counts",
     "join_region_volume",

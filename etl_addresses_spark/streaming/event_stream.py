@@ -236,6 +236,57 @@ def purchases_with_optional_views(events: DataFrame) -> DataFrame:
     )
 
 
+def purchases_with_views_full_outer(events: DataFrame) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the
+    inner/left/full join-mode matrix over the same condition (views
+    within the 30 minutes preceding a same-user purchase).  Both
+    null-emission rules are empirically pinned with boundary fixtures
+    (wm == bound and wm == bound ± 1 ms, like the OHLC predicate):
+
+      * unmatched PURCHASE emits its null-view row when
+        purchase_ts < global_wm   (strict; same rule the left join's
+        oracle uses), and
+      * unmatched VIEW emits its null-purchase row when
+        view_ts + 30 minutes < global_wm   (strict) — the instant the
+        watermark proves no purchase can still arrive inside the
+        view's forward join window,
+
+    where global_wm = min(ms-truncated max view_ts - 40 min,
+    ms-truncated max purchase_ts - 10 min) over each side's filtered
+    rows.  user_id is coalesced across sides so every output row
+    carries it."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_event_id"),
+        )
+        .withWatermark("view_ts", "40 minutes")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_event_id"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+    )
+    return purchases.join(views, cond, "fullOuter").select(
+        "purchase_event_id",
+        F.coalesce(F.col("p_user"), F.col("v_user")).alias("user_id"),
+        "purchase_ts",
+        "view_event_id",
+        "view_ts",
+    )
+
+
 def run_foreach_batch_overwrite(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> DataFrame:
