@@ -302,3 +302,79 @@ def _stats_correlation_sql() -> str:
 
 
 STATS_CORRELATION_SQL = _stats_correlation_sql()
+
+
+def stats_correlation_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented escape-hatch twin of :func:`stats_correlation`
+    (SCALE.md round-4 acceptance): the same 15-moment single-scan
+    correlation matrix with plain DOUBLE sums instead of
+    DECIMAL(38,12), published at 6 decimal digits.
+
+    Trade and contract, explicitly: double accumulation is
+    order-dependent, so run-to-run and engine-to-engine the raw sums
+    drift at ~1e-12 relative (measured across repartitionings in
+    tests/test_sketches.py).  After the cancellation in
+    n*Sxy - Sx*Sy (~1 decimal digit on these measures) the corr values
+    agree with the exact-decimal path to ~1e-11 absolute — five orders
+    of magnitude below the 6-digit publication precision and two below
+    the driver's 1e-9 canonicalization, so the hash-checked output is
+    stable anyway.  What is given up is BIT-reproducibility of the
+    intermediate sums; what is gained is the long-vectorized codegen
+    sum path (~40x: 0.11 s vs 4.4 s at sf0.1, SCALE.md).  Use this
+    tier when corr feeds thresholds/reports; keep the decimal tier
+    when moment sums themselves are published artifacts.
+    """
+    from itertools import combinations
+
+    from etl_addresses_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(F.col(c).cast("double")).alias(f"s_{c}"))
+        aggs.append(F.sum((F.col(c) * F.col(c)).cast("double")).alias(f"q_{c}"))
+    for a, b in combinations(_CORR_COLS, 2):
+        aggs.append(
+            F.sum((F.col(a) * F.col(b)).cast("double")).alias(f"p_{a}_{b}")
+        )
+    m = li.agg(*aggs)
+
+    def corr_expr(a: str, b: str) -> str:
+        return (
+            f"round((cast(n as double) * p_{a}_{b} - s_{a} * s_{b})"
+            f" / sqrt((cast(n as double) * q_{a} - s_{a} * s_{a})"
+            f" * (cast(n as double) * q_{b} - s_{b} * s_{b})), 6)"
+        )
+
+    stack_args = ", ".join(
+        f"'{a}', '{b}', {corr_expr(a, b)}"
+        for a, b in combinations(_CORR_COLS, 2)
+    )
+    return m.selectExpr(f"stack(6, {stack_args}) as (col_x, col_y, corr)")
+
+
+def _stats_correlation_double_sql() -> str:
+    from itertools import combinations
+
+    sums = ["count(*) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"sum(CAST({c} AS DOUBLE)) AS s_{c}")
+        sums.append(f"sum(CAST({c} * {c} AS DOUBLE)) AS q_{c}")
+    for a, b in combinations(_CORR_COLS, 2):
+        sums.append(f"sum(CAST({a} * {b} AS DOUBLE)) AS p_{a}_{b}")
+
+    def corr(a: str, b: str) -> str:
+        return (
+            f"round((CAST(n AS DOUBLE) * p_{a}_{b} - s_{a} * s_{b})"
+            f" / sqrt((CAST(n AS DOUBLE) * q_{a} - s_{a} * s_{a})"
+            f" * (CAST(n AS DOUBLE) * q_{b} - s_{b} * s_{b})), 6)"
+        )
+
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, {corr(a, b)} AS corr FROM m"
+        for a, b in combinations(_CORR_COLS, 2)
+    )
+    return "WITH m AS (\n  SELECT " + ",\n    ".join(sums) + "\n  FROM lineitem\n)\n" + rows
+
+
+STATS_CORRELATION_DOUBLE_SQL = _stats_correlation_double_sql()

@@ -75,6 +75,13 @@ EXTENSION_QUERIES = {
         sketches.stats_correlation,
         sketches.STATS_CORRELATION_SQL,
     ),
+    # round 5: the documented double-path escape hatch (SCALE.md) as
+    # its own hash-checked row — 6-digit publication precision, ~40x
+    # cheaper than the bit-reproducible decimal tier.
+    "stats_correlation_double": (
+        sketches.stats_correlation_double,
+        sketches.STATS_CORRELATION_DOUBLE_SQL,
+    ),
     # Exact disc percentiles + in-query approx bound check: oracle-able.
     "approx_quantiles_orders": (
         sketches.approx_quantiles_orders,

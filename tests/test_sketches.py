@@ -70,3 +70,47 @@ def test_stats_correlation_matches_numpy(spark):
         assert abs(v - m[idx[a], idx[b]]) < 1e-9, (a, b, v, m[idx[a], idx[b]])
     # a correlation is always in [-1, 1]
     assert all(-1.0 <= v <= 1.0 for v in rows.values())
+
+
+def test_stats_correlation_double_agrees_and_is_order_insensitive(spark):
+    """The double-path twin must (a) agree with the exact-decimal tier
+    far inside its 6-digit publication precision and (b) produce the
+    SAME published values under a different partitioning — the
+    order-dependence it trades away must stay below the contract."""
+    from etl_addresses_spark.operators.sketches import (
+        stats_correlation,
+        stats_correlation_double,
+    )
+
+    dec = {
+        (r.col_x, r.col_y): r.corr
+        for r in stats_correlation(spark, SF_ORACLE).collect()
+    }
+    dbl = {
+        (r.col_x, r.col_y): r.corr
+        for r in stats_correlation_double(spark, SF_ORACLE).collect()
+    }
+    assert dec.keys() == dbl.keys() and len(dbl) == 6
+    for k, v in dbl.items():
+        assert abs(v - dec[k]) <= 5e-7, (k, v, dec[k])
+
+    # same computation over a deliberately different partitioning:
+    # double sums associate differently, published values must not move.
+    import etl_addresses_spark.sources.tables as tables
+
+    orig = tables.load_table
+
+    def skewed(s, sf_dir, name):
+        df = orig(s, sf_dir, name)
+        return df.repartition(7) if name == "lineitem" else df
+
+    tables_load = tables.load_table
+    tables.load_table = skewed
+    try:
+        dbl7 = {
+            (r.col_x, r.col_y): r.corr
+            for r in stats_correlation_double(spark, SF_ORACLE).collect()
+        }
+    finally:
+        tables.load_table = tables_load
+    assert dbl7 == dbl
