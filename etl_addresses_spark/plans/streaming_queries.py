@@ -420,6 +420,77 @@ SELECT bars.* FROM bars, wm
 WHERE bars.hour_us + 3600000000 <= wm.wm_us
 """
 
+def stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop/restart against one checkpoint must reprocess NOTHING —
+    the exactly-once file-sink contract (r4 verdict item 5), proven as
+    a hash-checked registry row rather than claimed from the API docs.
+
+    Harness: the events table is split at its time midpoint into two
+    parquet batches in a scratch source dir.  Run 1 streams batch 1
+    through `run_with_checkpoint` (file source -> watermarked
+    streaming dedup -> parquet sink, availableNow) and STOPS.  Batch 2
+    is then added to the source dir and the SAME query restarts
+    against the SAME checkpoint.  The combined sink output is returned
+    as the keys of first arrivals; the oracle is plain
+    `SELECT DISTINCT user_id, event_type`.  Equality proves BOTH
+    halves of the contract at once:
+
+    - offset tracking: if the restart re-read batch 1's files, its
+      keys would appear twice in the append-only sink -> row-count and
+      hash mismatch;
+    - state recovery: if the dedup state store were lost on restart,
+      keys seen in batch 1 that re-arrive in batch 2 would be emitted
+      again -> same mismatch.  (The dedup horizon is set far above the
+      fixture's time span so no state is evicted between runs; eviction
+      semantics have their own row, `stream_dedup_keys`.)
+
+    The split is BY TIME (all batch-2 events >= all batch-1 events),
+    so the checkpointed watermark restored at restart never classifies
+    batch-2 rows as late — restart correctness is tested in isolation
+    from late-data policy."""
+    import os
+    import shutil
+
+    from etl_addresses_spark.sources.tables import load_table
+
+    base = os.path.join(
+        "/tmp",
+        f"spark_graft_restart_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt_dir = os.path.join(base, "ckpt")
+
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    events.filter(F.col("ts") <= F.lit(mid)).write.mode("overwrite").parquet(
+        src_dir
+    )
+
+    def restartable_query() -> DataFrame:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        deduped = event_stream.dedup_stream(stream, horizon="3650 days")
+        return deduped.select("user_id", "event_type")
+
+    # run 1: batch-1 files only, then a clean stop.
+    event_stream.run_with_checkpoint(restartable_query(), out_dir, ckpt_dir)
+    # batch 2 lands in the source dir; restart against the same checkpoint.
+    events.filter(F.col("ts") > F.lit(mid)).write.mode("append").parquet(src_dir)
+    event_stream.run_with_checkpoint(restartable_query(), out_dir, ckpt_dir)
+    return spark.read.parquet(out_dir).select("user_id", "event_type")
+
+
+STREAM_RESTART_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 STREAMING_QUERIES = {
     "stream_dedup_keys": (stream_dedup_keys, STREAM_DEDUP_SQL),
     "stream_windowed_counts": (stream_windowed_counts, STREAM_WINDOWED_SQL),
@@ -439,5 +510,9 @@ STREAMING_QUERIES = {
     "stream_stateful_user_totals": (
         stream_stateful_user_totals,
         STREAM_STATEFUL_SQL,
+    ),
+    "stream_restart_exactly_once": (
+        stream_restart_exactly_once,
+        STREAM_RESTART_SQL,
     ),
 }

@@ -108,7 +108,11 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    horizon: str = "10 minutes",
+) -> DataFrame:
     """Streaming deduplication with watermark-bounded state
     (`dropDuplicatesWithinWatermark`): the first arrival per key is
     emitted, re-arrivals within the watermark horizon are dropped, and
@@ -117,7 +121,7 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
     dedup feasible on an unbounded stream.  Contrast with plain
     `dropDuplicates` on a stream, whose state grows without bound."""
     keys = keys or ["user_id", "event_type"]
-    return events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+    return events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark(
         keys
     )
 
