@@ -1,0 +1,98 @@
+"""Stress the blocked fuzzy match where blocking actually PRUNES.
+
+The sf fixtures' names are uniform-length (18 chars), so the length
+band keeps every pair and the bench shows the plan shape but not the
+pruning (r4 verdict item 6).  This tool generates supplier/customer
+names with a REALISTIC skewed length distribution (5..34 chars,
+quadratic-skewed toward short — the shape of person/org name lengths),
+then measures:
+
+  - candidate pairs surviving the length-band equi-join vs all-pairs
+    (the pruning ratio the band buys on heterogeneous lengths), and
+  - wall time of the blocked tier vs the naive cross-join tier on the
+    same frames.
+
+    python tools/stress_fuzzy.py [n_suppliers [n_customers [max_dist]]]
+
+Results land in SCALE.md (round-5 section), mirroring stress_spatial.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_addresses_spark.plans.relational3 import fuzzy_match_blocked_for
+from etl_addresses_spark.session import get_spark
+
+
+def synth_names(spark, n: int, prefix: str, key: str, name: str):
+    """Deterministic names with skewed lengths: u = hash-uniform in
+    [0,1), len = 5 + floor(29 * u^2) — median ~12, tail to 34."""
+    i = F.col("id")
+    u = (i * F.lit(2654435761) % F.lit(1000003)) / F.lit(1000003.0)
+    ln = (F.lit(5) + F.floor(F.lit(29) * u * u)).cast("int")
+    body = F.substring(
+        F.repeat(F.md5(F.concat(F.lit(prefix), i.cast("string"))), 2), 1, 64
+    )
+    return spark.range(n).select(
+        i.alias(key),
+        F.concat(F.lit(prefix), F.substring(body, 1, ln)).alias(name),
+    )
+
+
+def main() -> None:
+    n_s = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    n_c = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+    d = int(sys.argv[3]) if len(sys.argv) > 3 else 6
+
+    spark = get_spark("stress-fuzzy")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sup = synth_names(spark, n_s, "S", "s_suppkey", "s_name").cache()
+    cus = synth_names(spark, n_c, "C", "c_custkey", "c_name").cache()
+    sup.count(), cus.count()
+
+    # pruning ratio: pairs surviving the length band (pre-levenshtein)
+    s_len = sup.groupBy(F.length("s_name").alias("ls")).count()
+    c_len = cus.groupBy(F.length("c_name").alias("lc")).count()
+    cand = (
+        s_len.join(c_len, F.abs(F.col("ls") - F.col("lc")) <= d)
+        .agg(F.sum(s_len["count"] * c_len["count"]))
+        .first()[0]
+    )
+    allp = n_s * n_c
+    print(
+        f"n={n_s}x{n_c} d={d}: band candidates={cand:,} all-pairs={allp:,} "
+        f"ratio={cand / allp:.3f}"
+    )
+
+    t0 = time.perf_counter()
+    blocked = fuzzy_match_blocked_for(sup, cus, d=d)
+    blocked.write.format("noop").mode("overwrite").save()
+    t_blocked = time.perf_counter() - t0
+    print(f"blocked tier: {t_blocked:.2f}s")
+
+    # naive tier (threshold-banded levenshtein but cartesian candidates)
+    t0 = time.perf_counter()
+    naive = (
+        sup.crossJoin(F.broadcast(cus))
+        .withColumn(
+            "dist", F.expr(f"levenshtein(s_name, c_name, {d})")
+        )
+        .filter(F.col("dist") >= 0)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.min(F.struct("dist", "c_custkey", "c_name")).alias("m"))
+    )
+    naive.write.format("noop").mode("overwrite").save()
+    t_naive = time.perf_counter() - t0
+    print(f"naive cross-join tier: {t_naive:.2f}s  speedup={t_naive / t_blocked:.1f}x")
+
+
+if __name__ == "__main__":
+    main()
