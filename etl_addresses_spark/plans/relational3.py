@@ -286,6 +286,143 @@ def fuzzy_match_blocked_for(
     )
 
 
+def fuzzy_name_match_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTENT-blocked tier of the fuzzy name match: PassJoin-style
+    segment pigeonhole (Li/Deng/Feng, VLDB'11 — public algorithm,
+    reimplemented on DataFrame HOFs) instead of the length band.
+
+    Pigeonhole: ed(s, c) <= d means at most d edit operations, so of
+    any d+1 contiguous segments of c at least one is UNTOUCHED and
+    appears in s as an exact substring, shifted by delta positions
+    where |delta| + |(len(s)-len(c)) - delta| <= d (edits before the
+    segment account for |delta|, edits after for the rest).  Candidate
+    generation is therefore an EQUI-join on (segment-index, len(c),
+    segment-string): the indexed side emits its d+1 segments, the
+    probe side emits every admissible (length, index, shift) substring
+    window — O(d^2) short keys per row, generated JVM-side with
+    nested transform/filter HOFs, zero UDFs.  The exact banded
+    levenshtein verify restores exactness, and the argmin
+    `min(struct)` absorbs duplicate candidates (a pair surviving via
+    several segments needs no pre-distinct — min over a multiset),
+    saving the dedup shuffle.
+
+    vs the length-band tier: banding prunes at best (2d+1)/spread
+    (~5x, measured in SCALE.md round 5); segment matching prunes by
+    CONTENT — candidates require an exact substring hit, orders of
+    magnitude rarer (measured with tools/stress_fuzzy.py --passjoin).
+    Same oracle as the other two tiers: three algorithms, one
+    hash-checked answer."""
+    return fuzzy_match_passjoin_for(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"),
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+    )
+
+
+def passjoin_candidates(
+    suppliers: DataFrame, customers: DataFrame, d: int = FUZZY_MAX_DIST
+) -> DataFrame:
+    """Candidate-pair generation of the PassJoin tier (pre-verify) —
+    exposed separately so tools/stress_fuzzy.py can measure candidate
+    volume directly.
+
+    Segment layout for a string of length L with d+1 segments: the
+    first L mod (d+1) segments have length L div (d+1) + 1, the rest
+    L div (d+1) (possibly 0 for very short strings — empty segments
+    keep the pigeonhole argument intact and degrade to (index, L)
+    blocking).  All positions are computed from (L, i) identically on
+    both sides, so the equi-key lines up by construction."""
+    spark = suppliers.sparkSession
+    D = d
+    # indexed side: the d+1 segments of each customer name.
+    seg_c = F.expr(
+        f"""
+        transform(sequence(0, {D}), i -> named_struct(
+          'i', i,
+          'lc', length(c_name),
+          'seg', substring(c_name,
+                   i * (length(c_name) div {D + 1})
+                     + least(i, length(c_name) % {D + 1}) + 1,
+                   (length(c_name) div {D + 1})
+                     + if(i < length(c_name) % {D + 1}, 1, 0))))
+        """
+    )
+    c = (
+        customers.select("c_custkey", "c_name", F.explode(seg_c).alias("k"))
+        .select("c_custkey", "c_name", "k.i", "k.lc", "k.seg")
+        .repartition(spark.sparkContext.defaultParallelism, "i", "lc", "seg")
+    )
+    # probe side: every admissible (candidate-length, segment, shift)
+    # window of each supplier name.  delta = shift of the segment's
+    # start; dl = len(s) - len(c).  Validity: the pigeonhole edit
+    # budget |delta| + |dl - delta| <= d, and the window must lie
+    # inside s (start >= 1, start + len - 1 <= len(s); start may be
+    # len(s)+1 only for an empty segment at the very end).
+    win_s = F.expr(
+        f"""
+        filter(
+          flatten(flatten(
+            transform(sequence(-{D}, {D}), dl ->
+              transform(sequence(0, {D}), i ->
+                transform(sequence(-{D}, {D}), delta ->
+                  if(length(s_name) - dl >= 1
+                     and abs(delta) + abs(dl - delta) <= {D}
+                     and i * ((length(s_name) - dl) div {D + 1})
+                         + least(i, (length(s_name) - dl) % {D + 1})
+                         + 1 + delta >= 1
+                     and i * ((length(s_name) - dl) div {D + 1})
+                         + least(i, (length(s_name) - dl) % {D + 1})
+                         + delta
+                         + ((length(s_name) - dl) div {D + 1})
+                         + if(i < (length(s_name) - dl) % {D + 1}, 1, 0)
+                         <= length(s_name),
+                     named_struct(
+                       'i', i,
+                       'lc', length(s_name) - dl,
+                       'seg', substring(s_name,
+                                i * ((length(s_name) - dl) div {D + 1})
+                                  + least(i, (length(s_name) - dl) % {D + 1})
+                                  + 1 + delta,
+                                ((length(s_name) - dl) div {D + 1})
+                                  + if(i < (length(s_name) - dl) % {D + 1}, 1, 0))),
+                     null)))))),
+          x -> x is not null)
+        """
+    )
+    s = suppliers.select(
+        "s_suppkey", "s_name", F.explode(win_s).alias("k")
+    ).select("s_suppkey", "s_name", "k.i", "k.lc", "k.seg")
+    return s.join(c, ["i", "lc", "seg"])
+
+
+def fuzzy_match_passjoin_for(
+    suppliers: DataFrame, customers: DataFrame, d: int = FUZZY_MAX_DIST
+) -> DataFrame:
+    """Core of `fuzzy_name_match_passjoin`: candidates via the segment
+    pigeonhole, exact banded-levenshtein verify, map-side-combinable
+    argmin (duplicate candidates are absorbed by min(struct), so no
+    pre-distinct shuffle)."""
+    best = (
+        passjoin_candidates(suppliers, customers, d)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.levenshtein("s_name", "c_name", d).cast("long").alias("dist"),
+            "c_custkey",
+            "c_name",
+        )
+        .filter(F.col("dist") >= 0)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.min(F.struct("dist", "c_custkey", "c_name")).alias("m"))
+    )
+    return best.select(
+        "s_suppkey",
+        "s_name",
+        F.col("m.c_custkey").alias("c_custkey"),
+        F.col("m.c_name").alias("c_name"),
+        F.col("m.dist").alias("dist"),
+    )
+
+
 FUZZY_NAME_MATCH_BLOCKED_SQL = f"""
 SELECT s_suppkey, s_name, c_custkey, c_name, dist FROM (
   SELECT s_suppkey, s_name, c_custkey, c_name,
@@ -305,6 +442,12 @@ QUERIES3 = {
     "fuzzy_name_match": (fuzzy_name_match, FUZZY_NAME_MATCH_SQL),
     "fuzzy_name_match_blocked": (
         fuzzy_name_match_blocked,
+        FUZZY_NAME_MATCH_BLOCKED_SQL,
+    ),
+    # round 5: third tier, same oracle — content blocking via segment
+    # pigeonhole (see fuzzy_name_match_passjoin docstring).
+    "fuzzy_name_match_passjoin": (
+        fuzzy_name_match_passjoin,
         FUZZY_NAME_MATCH_BLOCKED_SQL,
     ),
 }

@@ -214,3 +214,42 @@ def test_fuzzy_blocked_matches_bruteforce_reference(spark, s_names, c_names):
             assert got[i] == (j, cn, dist), (sn, cands[:3], got.get(i))
         else:
             assert i not in got, (sn, cands[:3], got.get(i))
+
+
+@given(
+    st.lists(st.text(NAME_ALPHA, min_size=1, max_size=14), min_size=1,
+             max_size=8, unique=True),
+    st.lists(st.text(NAME_ALPHA, min_size=1, max_size=14), min_size=1,
+             max_size=12, unique=True),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=12, deadline=None)
+def test_fuzzy_passjoin_matches_bruteforce_reference(
+    spark, s_names, c_names, d
+):
+    """Losslessness of the PassJoin segment pigeonhole at several
+    thresholds: whatever segment windows the probe generates, the
+    final answer must be exactly the brute-force threshold-argmin —
+    the tiny 5-letter alphabet maximizes both collisions (stress on
+    the verify) and near-matches (stress on losslessness)."""
+    from etl_addresses_spark.plans.relational3 import fuzzy_match_passjoin_for
+
+    s_df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(s_names)], "s_suppkey long, s_name string"
+    )
+    c_df = spark.createDataFrame(
+        [(j, n) for j, n in enumerate(c_names)], "c_custkey long, c_name string"
+    )
+    got = {
+        r.s_suppkey: (r.c_custkey, r.c_name, r.dist)
+        for r in fuzzy_match_passjoin_for(s_df, c_df, d=d).collect()
+    }
+    for i, sn in enumerate(s_names):
+        cands = sorted(
+            (_py_levenshtein(sn, cn), j, cn) for j, cn in enumerate(c_names)
+        )
+        dist, j, cn = cands[0]
+        if dist <= d:
+            assert got[i] == (j, cn, dist), (d, sn, cands[:3], got.get(i))
+        else:
+            assert i not in got, (d, sn, cands[:3], got.get(i))

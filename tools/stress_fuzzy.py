@@ -27,7 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from etl_addresses_spark.plans.relational3 import fuzzy_match_blocked_for
+from etl_addresses_spark.plans.relational3 import (
+    fuzzy_match_blocked_for,
+    fuzzy_match_passjoin_for,
+    passjoin_candidates,
+)
 from etl_addresses_spark.session import get_spark
 
 
@@ -71,6 +75,22 @@ def main() -> None:
         f"n={n_s}x{n_c} d={d}: band candidates={cand:,} all-pairs={allp:,} "
         f"ratio={cand / allp:.3f}"
     )
+
+    # content blocking: PassJoin segment-pigeonhole candidates
+    pj_cand = passjoin_candidates(sup, cus, d=d)
+    n_pj = pj_cand.count()
+    n_pj_pairs = pj_cand.select("s_suppkey", "c_custkey").distinct().count()
+    print(
+        f"passjoin candidates: rows={n_pj:,} distinct pairs={n_pj_pairs:,} "
+        f"pair-ratio={n_pj_pairs / allp:.6f}"
+    )
+
+    t0 = time.perf_counter()
+    fuzzy_match_passjoin_for(sup, cus, d=d).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t_pj = time.perf_counter() - t0
+    print(f"passjoin tier: {t_pj:.2f}s")
 
     t0 = time.perf_counter()
     blocked = fuzzy_match_blocked_for(sup, cus, d=d)
