@@ -734,3 +734,69 @@ def interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# --- deterministic epoch shuffle (training order) ------------------------
+
+TRAIN_SHUFFLE_EPOCH = 17
+
+
+def train_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, epoch-seeded GLOBAL shuffle order for training:
+    every document gets a unique position 1..N in the pseudorandom
+    order md5(epoch || doc_id) — rerunnable (same epoch -> same order,
+    next epoch -> independent order), which is what makes training
+    runs reproducible and resumable mid-epoch.
+
+    The scale problem is the global index: a row_number over a global
+    ORDER BY is a single-partition window.  Instead the HASH KEYSPACE
+    itself is the partitioner: bucket = first 2 hex chars of the hash
+    (256 ranges of equal expected mass; use 4 chars at 100 TB), so
+
+      pos = (rows in lower buckets) + rank within own bucket.
+
+    Per-bucket ranks need one hash shuffle on `bucket`; the offsets
+    are a 256-row aggregate cum-summed on the driver-side-tiny window
+    and broadcast back.  No range sampling, no single-partition sort,
+    and positions are exactly the global sort order because the
+    bucket prefix orders consistently with the full hash string.
+
+    Reference parity: the reference's ETL has no epoch shuffling
+    (SURVEY.md §2 extension surface) — this is the training-data
+    pipeline operator set, same family as sample_*/mixture_rebalance.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(
+        F.concat(F.lit(f"epoch{TRAIN_SHUFFLE_EPOCH}:"), F.col("doc_id").cast("string"))
+    )
+    keyed = d.select("doc_id", h.alias("h"), F.substring(h, 1, 2).alias("bucket"))
+    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    offsets = counts.select(
+        "bucket",
+        (
+            F.sum("n").over(
+                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+            )
+        ).alias("off"),
+    ).fillna(0, subset=["off"])
+    ranked = keyed.withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("bucket").orderBy("h", "doc_id")
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "bucket")
+        .select("doc_id", (F.col("off") + F.col("r")).cast("long").alias("pos"))
+    )
+
+
+TRAIN_ORDER_SHUFFLE_SQL = f"""
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY md5('epoch{TRAIN_SHUFFLE_EPOCH}:' || CAST(doc_id AS VARCHAR)),
+                  doc_id) AS pos
+FROM documents
+"""

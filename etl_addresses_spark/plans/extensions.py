@@ -98,6 +98,12 @@ EXTENSION_QUERIES = {
         curation.SAMPLE_STRATIFIED_SQL,
     ),
     "sample_fixed_k": (curation.sample_fixed_k, curation.SAMPLE_FIXED_K_SQL),
+    # round 5: deterministic epoch-seeded global training order with a
+    # bucketed-keyspace position assignment (no single-partition sort).
+    "train_order_shuffle": (
+        curation.train_order_shuffle,
+        curation.TRAIN_ORDER_SHUFFLE_SQL,
+    ),
     "profile_columns": (curation.profile_columns, curation.PROFILE_COLUMNS_SQL),
     "interval_overlap_join": (
         curation.interval_overlap_join,
