@@ -160,78 +160,70 @@ _ALL: dict[str, Entry] = {
 }
 
 # The grading driver cross-checks exactly the FIRST 50 registry entries
-# (dict order) against DuckDB each round.  Round-4 rotation closes the
-# cumulative gap: the 15 entries that have NEVER had a driver row come
-# first, then this round's fixes/new queries, then the 25 entries whose
-# only green evidence is round 1 (the oldest in the ledger).  With this
-# window every registry entry has been driver-scored at least once and
-# nothing's latest evidence predates round 2.  tools/driver_sim.py
-# still exercises the FULL registry every round.
+# (dict order) against DuckDB each round.  Round-5 rotation follows the
+# r4 verdict (item 3) and the mechanical ledger
+# (tools/coverage_ledger.py, built from the committed CORRECTNESS
+# artifacts): first the four entries whose latest DRIVER evidence is
+# still round 1, then this round's six new queries, then 40 of the 41
+# entries whose latest driver evidence is round 2 — restoring the
+# invariant "no entry's latest driver evidence older than N-2" at r6.
+# The one r2 entry left out is cosine_topk (superseded in practice by
+# cosine_topk_fast, which is in; both share the exact-cosine oracle
+# family and both are re-swept in CORRECTNESS_FULL_r05 at HEAD).
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-checked (added after the r3 window froze) -----
-    "stats_correlation",
-    "dedup_incremental_lsh",
-    "dedup_clusters_star",
-    "interval_overlap_bucketed",
-    "window_locf_fill",
-    "events_ohlc_bars",
-    "stream_ohlc_bars",
-    "stream_sliding_windows",
-    "sample_weighted_k",
-    "mixture_rebalance",
-    "pipeline_curate_stats",
-    "multimodal_image_dedup",
-    "multimodal_pixel_stats",
-    "multimodal_audio_features",
-    "multimodal_frame_sample",
-    # -- round-3 driver-red rows, root-caused and fixed this round
-    #    (HUGEINT oracle outputs; see tests/test_driver_parity_types)
-    "anomaly_zscore_events",
-    "vocab_oov_rate",
-    # -- round-2 verdict rotate-backs (two green rounds on unchanged
-    #    plans, returning for re-confirmation per the r3 verdict)
-    "transform_relations",
-    "transform_logs",
-    "relation_degrees",
-    "agg_pricing_summary",
-    "multimodal_decode",
-    # -- new round 4: no driver row exists yet ----------------------
-    "fuzzy_name_match_blocked",
-    "reference_e2e_ndjson",
-    "contrastive_hard_negatives",
-    "delimited_roundtrip_csv",
-    "partitioned_sink_prune",
-    "rawtext_log_roundtrip",
-    # -- oracle corrected this round (watermark = min over inputs) --
-    "stream_purchase_view_left_join",
-    # -- round 4: full outer completes the stream-join-mode matrix --
-    "stream_purchase_view_full_join",
-    # -- latest green evidence is round 1: refresh the oldest rows.
-    #    (agg_cube, set_intersect_buyers, agg_pivot_case and
-    #    scalar_string_date yielded their slots to the four round-4
-    #    additions above — never-checked beats stale, and their
-    #    families stay represented by agg_rollup/percentiles/
-    #    distinct_counts, set_except_buyers and scalar_json_extract.)
-    "agg_distinct_counts",
-    "agg_percentiles",
-    "agg_rollup",
-    "ann_quantized_topk",
-    "docs_with_embeddings",
-    "embedding_near_dup",
-    "join_anti_customers",
-    "join_outer_order_counts",
-    "join_region_volume",
-    "join_semi_orders",
-    "multimodal_meta",
-    "scalar_json_extract",
-    "set_except_buyers",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_stats",
-    "text_tfidf_top_terms",
-    "window_lag_delta",
-    "window_running_total",
+    # -- latest driver evidence is ROUND 1 (ledger-oldest) ----------
+    "agg_cube",
+    "agg_pivot_case",
+    "scalar_string_date",
+    "set_intersect_buyers",
+    # -- new round 5: no driver row exists yet ----------------------
+    "stats_correlation_double",
+    "stream_restart_exactly_once",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "fuzzy_name_match_passjoin",
+    "train_order_shuffle",
+    # -- latest driver evidence is ROUND 2 (ledger order) -----------
+    "ann_ivf_topk",
+    "asof_join_events",
+    "cosine_topk_fast",
+    "dedup_clusters",
+    "dedup_exact",
+    "events_sessionize",
+    "fuzzy_name_match",
+    "join_topk_order_revenue",
+    "merge_upsert",
+    "ngram_jaccard_pairs",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_priority_by_status",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q21_sole_late_supplier",
+    "q22_idle_customers",
+    "q2_min_cost_part",
+    "q4_late_shipments",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "scalar_array_funcs",
+    "scd2_history",
+    "set_union_buyers",
+    "sort_limit_global",
+    "spatiotemporal_join",
+    "st_contains_join",
+    "stream_dedup_keys",
+    "text_top_terms",
+    "transform_objects",
+    "unpivot_measures",
+    "window_frames",
+    "window_topk_per_group",
 ]
 
 REGISTRY: dict[str, Entry] = {
