@@ -79,6 +79,17 @@ HEADLINE = [
     # single-scan exact-moment correlation matrix
     "pipeline_curate_stats",
     "stats_correlation",
+    # round-5 additions: the double-path correlation twin (the 40x
+    # decimal-vs-double contrast now sits in one artifact), the two
+    # new TPC-H shapes, and the bucketed epoch-shuffle.  The passjoin
+    # fuzzy tier stays OUT (like the naive tier): at the fixture's
+    # d=6 / 18-char uniform names it is out of its selectivity regime
+    # by SCALE.md's tier rule — tools/stress_fuzzy.py is its perf
+    # evidence, in-regime.
+    "stats_correlation_double",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "train_order_shuffle",
 ]
 
 # Bisect/pinning hook: SPARK_GRAFT_BENCH_QUERIES="a,b,c" restricts the
