@@ -301,3 +301,63 @@ def test_contrastive_mining_single_window_pass(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # a single ranking pass, not one window per role
     assert plan.count("row_number") == 1
+
+
+def test_q3_pushes_filters_and_takeordered(spark):
+    from etl_addresses_spark.plans import relational4
+
+    plan = _plan(relational4.q3_shipping_priority(spark, SF_SMALL))
+    # top-10 must be TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    # the segment predicate must reach the customer parquet scan
+    cust_scan = next(
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "customer.parquet" in l
+    )
+    assert "c_mktsegment" in cust_scan
+
+
+def test_q5_broadcasts_dims_no_cartesian(spark):
+    from etl_addresses_spark.plans import relational4
+
+    plan = _plan(relational4.q5_local_supplier_volume(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region
+
+
+def test_passjoin_no_cartesian(spark):
+    from etl_addresses_spark.plans import relational3
+
+    plan = _plan(relational3.fuzzy_name_match_passjoin(spark, SF_SMALL))
+    # content blocking must be an equi-join on the segment key
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # and the argmin must partial-aggregate (map-side combine)
+    assert "partial_min" in plan
+
+
+def test_correlation_double_stays_off_decimal_path(spark):
+    from etl_addresses_spark.operators import sketches
+
+    plan = _plan(sketches.stats_correlation_double(spark, SF_SMALL))
+    # the whole point of the twin: no Decimal128 accumulation
+    assert "decimal(38,12)" not in plan
+    assert "partial_sum" in plan
+
+
+def test_train_shuffle_no_large_single_partition(spark):
+    from etl_addresses_spark.operators import curation
+
+    df = curation.train_order_shuffle(spark, SF_SMALL)
+    plan = _plan(df)
+    # ranks shuffle by bucket; offsets join back via broadcast
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the only SinglePartition exchange allowed is the 256-row offsets
+    # window — it must sit ABOVE a HashAggregate (bucket counts), never
+    # above a FileScan of the documents table
+    lines = plan.splitlines()
+    for idx, l in enumerate(lines):
+        if "Exchange SinglePartition" in l:
+            below = "\n".join(lines[idx:idx + 6])
+            assert "HashAggregate" in below, below
