@@ -453,3 +453,113 @@ GROUP BY 1, 2
 """
 
 QUERIES6["events_ohlc_bars"] = (events_ohlc_bars, EVENTS_OHLC_SQL)
+
+
+# --- snapshot reconciliation diff ----------------------------------------
+
+
+def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (anti-entropy table diff): given two
+    snapshots of a keyed table, emit one row per divergent key with
+    status added / removed / changed — the verification pass any
+    incremental-sync or CDC pipeline needs.
+
+    The "next" snapshot is derived deterministically from orders so
+    the row is oracle-checkable: keys %97==0 deleted, then of the
+    survivors %31==0 get o_totalprice bumped by 1.00, and %53==0 are
+    re-inserted under key+10^7 (simulating new arrivals).
+
+    Scale shape: each side reduces to (key, fingerprint) — the
+    fingerprint is md5 over explicitly-formatted columns (decimal
+    string for the price, strftime for the date), so wide rows never
+    travel; the diff is ONE full-outer hash join on the key with
+    status decided from null-ness + fingerprint inequality, and
+    unchanged keys (the overwhelming majority in practice) are
+    filtered before any further processing.  Explicit formatting
+    matters: float->string rendering is engine-specific, so
+    fingerprints are computed only over columns with a pinned textual
+    form (the cross-engine row-hash rule)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def fp(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("o_orderkey").alias("key"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderstatus"),
+                    F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd"),
+                    F.col("o_orderpriority"),
+                )
+            ).alias("fp"),
+        )
+
+    cur = fp(o)
+    survivors = o.filter(F.col("o_orderkey") % 97 != 0)
+    updated = survivors.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 31 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserted = survivors.filter(F.col("o_orderkey") % 53 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    nxt = fp(updated.unionByName(inserted))
+    diff = cur.alias("a").join(
+        nxt.alias("b"), F.col("a.key") == F.col("b.key"), "full_outer"
+    )
+    return (
+        diff.select(
+            F.coalesce(F.col("a.key"), F.col("b.key")).alias("o_orderkey"),
+            F.when(F.col("a.key").isNull(), F.lit("added"))
+            .when(F.col("b.key").isNull(), F.lit("removed"))
+            .when(F.col("a.fp") != F.col("b.fp"), F.lit("changed"))
+            .alias("status"),
+        )
+        .filter(F.col("status").isNotNull())
+    )
+
+
+TABLE_DIFF_SQL = """
+WITH cur AS (
+  SELECT o_orderkey AS key,
+         md5(concat_ws('|', o_orderstatus,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                       strftime(o_orderdate, '%Y-%m-%d'),
+                       o_orderpriority)) AS fp
+  FROM orders
+),
+survivors AS (SELECT * FROM orders WHERE o_orderkey % 97 != 0),
+nxt_rows AS (
+  SELECT o_orderkey,
+         o_orderstatus,
+         CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM survivors
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM survivors WHERE o_orderkey % 53 = 0
+),
+nxt AS (
+  SELECT o_orderkey AS key,
+         md5(concat_ws('|', o_orderstatus,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                       strftime(o_orderdate, '%Y-%m-%d'),
+                       o_orderpriority)) AS fp
+  FROM nxt_rows
+)
+SELECT coalesce(a.key, b.key) AS o_orderkey,
+       CASE WHEN a.key IS NULL THEN 'added'
+            WHEN b.key IS NULL THEN 'removed'
+            WHEN a.fp != b.fp THEN 'changed' END AS status
+FROM cur a FULL OUTER JOIN nxt b ON a.key = b.key
+WHERE (CASE WHEN a.key IS NULL THEN 'added'
+            WHEN b.key IS NULL THEN 'removed'
+            WHEN a.fp != b.fp THEN 'changed' END) IS NOT NULL
+"""
+
+QUERIES6["table_diff_snapshots"] = (table_diff_snapshots, TABLE_DIFF_SQL)

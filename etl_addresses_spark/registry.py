@@ -23,7 +23,7 @@ from etl_addresses_spark.operators import (
     scalepatterns,
     similarity,
 )
-from etl_addresses_spark.sources import delimited, partitioned, rawtext
+from etl_addresses_spark.sources import bucketing, delimited, partitioned, rawtext
 from etl_addresses_spark.plans import (
     extensions,
     flagship,
@@ -157,6 +157,11 @@ _ALL: dict[str, Entry] = {
     "rawtext_log_roundtrip": Entry(
         rawtext.rawtext_log_roundtrip, rawtext.RAWTEXT_LOG_SQL
     ),
+    # round 5: the bucketed-warehouse sink/scan contract as a
+    # value-identity row (the co-location genre's missing member).
+    "bucketed_join_colocated": Entry(
+        bucketing.bucketed_join_colocated, bucketing.BUCKETED_JOIN_SQL
+    ),
 }
 
 # The grading driver cross-checks exactly the FIRST 50 registry entries
@@ -167,9 +172,11 @@ _ALL: dict[str, Entry] = {
 # still round 1, then this round's six new queries, then 40 of the 41
 # entries whose latest driver evidence is round 2 — restoring the
 # invariant "no entry's latest driver evidence older than N-2" at r6.
-# The one r2 entry left out is cosine_topk (superseded in practice by
-# cosine_topk_fast, which is in; both share the exact-cosine oracle
-# family and both are re-swept in CORRECTNESS_FULL_r05 at HEAD).
+# The r2 entries left out (never-checked-beats-stale precedent, their
+# slots went to the eight round-5 additions): cosine_topk (superseded
+# in practice by cosine_topk_fast, which is in), set_union_buyers and
+# text_top_terms (both families have multiple r04-green members) —
+# all three re-swept green in CORRECTNESS_FULL_r05* at HEAD.
 DRIVER_WINDOW: list[str] = [
     # -- latest driver evidence is ROUND 1 (ledger-oldest) ----------
     "agg_cube",
@@ -183,6 +190,8 @@ DRIVER_WINDOW: list[str] = [
     "q5_local_supplier_volume",
     "fuzzy_name_match_passjoin",
     "train_order_shuffle",
+    "table_diff_snapshots",
+    "bucketed_join_colocated",
     # -- latest driver evidence is ROUND 2 (ledger order) -----------
     "ann_ivf_topk",
     "asof_join_events",
@@ -214,12 +223,10 @@ DRIVER_WINDOW: list[str] = [
     "q9_profit_by_nation_year",
     "scalar_array_funcs",
     "scd2_history",
-    "set_union_buyers",
     "sort_limit_global",
     "spatiotemporal_join",
     "st_contains_join",
     "stream_dedup_keys",
-    "text_top_terms",
     "transform_objects",
     "unpivot_measures",
     "window_frames",

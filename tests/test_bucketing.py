@@ -48,3 +48,18 @@ def test_bucketed_agg_has_no_shuffle(spark, bucketed_tables):
     )
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, f"bucketed agg must not shuffle:\n{plan}"
+
+
+def test_bucketed_join_colocated_registry_row(spark, ddb):
+    """The registry row's bucketed round-trip must be a value-level
+    identity with the plain-parquet SQL join."""
+    from conftest import assert_frames_match
+
+    from etl_addresses_spark.sources.bucketing import (
+        BUCKETED_JOIN_SQL,
+        bucketed_join_colocated,
+    )
+
+    assert_frames_match(
+        bucketed_join_colocated(spark, SF_SMALL), ddb.sql(BUCKETED_JOIN_SQL)
+    )
