@@ -90,6 +90,11 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "train_order_shuffle",
+    # round-5 additions (2nd batch): snapshot reconciliation diff and
+    # the bucketed-warehouse identity row (the write cost IS the
+    # co-location contract being certified, like reference_e2e_ndjson)
+    "table_diff_snapshots",
+    "bucketed_join_colocated",
 ]
 
 # Bisect/pinning hook: SPARK_GRAFT_BENCH_QUERIES="a,b,c" restricts the

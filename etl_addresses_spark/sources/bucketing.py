@@ -26,7 +26,19 @@ def bucketize(
     key: str,
     n_buckets: int = 8,
 ) -> None:
-    """Write df as a bucketed, sorted managed table (overwriting)."""
+    """Write df as a bucketed, sorted managed table (overwriting).
+
+    The catalog is in-memory but managed-table LOCATIONS persist in
+    the warehouse dir across sessions, and saveAsTable refuses a
+    location it didn't create — so drop the catalog entry AND clear
+    any orphaned location first (idempotent across fresh sessions)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table_name.lower()}", ignore_errors=True)
     (
         df.write.mode("overwrite")
         .format("parquet")
