@@ -362,3 +362,117 @@ SELECT (SELECT count(*) FROM edges) AS n_edges,
          / CAST((SELECT count(*) FROM wedges) AS DOUBLE) AS wedge_closure
 FROM tri
 """
+
+
+# ---------------------------------------------------------------------------
+# Community detection: synchronous label propagation (fixed iterations).
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 4
+
+
+def graph_communities_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communities in the parts-bought-together graph via SYNCHRONOUS
+    label propagation, made fully deterministic (and therefore
+    oracle-checkable): labels start as node ids; each of the
+    {LPA_ITERS} fixed rounds relabels every node to the most frequent
+    label among its neighbors, ties broken by smallest label; all
+    updates apply simultaneously.  Output is the community-size
+    histogram (label, size) after the final round.
+
+    Scale shape: one round = one edge-side join against the
+    (node, label) table + one (node, label) count + one
+    row_number-argmax per node — O(E) shuffle per round, the same
+    per-iteration cost profile as PageRank above, with the SAME
+    bounded-lineage hygiene (`localCheckpoint` per round; without it
+    the 4-round plan nests joins 4 deep and planning time explodes
+    first).  The undirected neighbor list is materialized ONCE,
+    repartitioned by probe key and cached, so each round shuffles
+    only the label table.
+
+    The fixed iteration count unrolls into chained MATERIALIZED CTEs
+    for the DuckDB oracle (`labelprop_oracle_sql`), the same
+    technique as pagerank/kmeans/IVF-Lloyd — integer labels and
+    integer counts, so the check is exact, no float residue at all."""
+    from etl_addresses_spark.sources.tables import load_table
+    from pyspark.sql import Window as W
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    per_order = li.groupBy("ok").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    pair_expr = F.expr(
+        "explode(flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps) - i - 1), "
+        "y -> struct(x AS u, y AS v)))))"
+    )
+    edges = (
+        per_order.select(pair_expr.alias("e"))
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .distinct()
+    )
+    nbr = (
+        edges.select(F.col("u").alias("v_"), F.col("v").alias("w"))
+        .unionAll(edges.select(F.col("v").alias("v_"), F.col("u").alias("w")))
+        .repartition("v_")
+        .cache()
+    )
+    labels = nbr.select(F.col("v_").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    w_rank = W.partitionBy("v_").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(LPA_ITERS):
+        votes = (
+            nbr.join(labels, nbr.w == labels.node)
+            .groupBy("v_", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w_rank))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v_").alias("node"), "lab")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(F.count(F.lit(1)).alias("size"))
+    )
+
+
+def labelprop_oracle_sql(iters: int = LPA_ITERS) -> str:
+    """DuckDB replica: the LPA loop unrolled into chained MATERIALIZED
+    CTEs (l0..l{iters}), argmax via row_number with the same
+    (count DESC, label ASC) tie-break."""
+    sql = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+),
+nbr AS MATERIALIZED (
+  SELECT u AS v_, v AS w FROM edges
+  UNION ALL
+  SELECT v, u FROM edges
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT v_ AS node, v_ AS lab FROM nbr
+)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+l{k} AS MATERIALIZED (
+  SELECT v_ AS node, lab FROM (
+    SELECT n.v_, l.lab, count(*) AS c,
+           row_number() OVER (PARTITION BY n.v_
+                              ORDER BY count(*) DESC, l.lab ASC) AS rn
+    FROM nbr n JOIN l{k - 1} l ON n.w = l.node
+    GROUP BY n.v_, l.lab)
+  WHERE rn = 1
+)"""
+    sql += f"""
+SELECT lab AS community, count(*) AS "size" FROM l{iters} GROUP BY lab
+"""
+    return sql

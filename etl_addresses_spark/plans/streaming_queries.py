@@ -491,6 +491,54 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def stream_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per 5-minute window by count — ranking over a
+    stream.  Spark's Structured Streaming cannot rank inside the
+    stream (window functions over streaming aggregates are
+    unsupported), so this is the canonical COMPOSED shape: the
+    watermarked streaming aggregation does the heavy, incremental,
+    state-bounded work (one count row per window x type), and the
+    rank is a BATCH window pass over the drained aggregate — trivial
+    because the pre-aggregate is ~|windows| x |types| rows regardless
+    of stream volume.  At 100 TB/day the streaming stage absorbs the
+    scale; the finishing rank touches kilobytes.  Ties break
+    lexicographically on event_type for determinism."""
+    from pyspark.sql import Window as W
+
+    stream = event_stream.read_events_stream(spark, sf_dir)
+    counts = event_stream.run_to_memory(
+        event_stream.windowed_counts(stream), "q_stream_topk"
+    )
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.date_format("window_start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "rnk",
+        )
+    )
+
+
+STREAM_TOPK_SQL = f"""
+WITH counts AS (
+  SELECT time_bucket(INTERVAL 5 MINUTES, CAST(ts AS TIMESTAMP)) AS ws,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(ws, '{_DUCK_FMT}') AS window_start, event_type, n, rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY ws
+                               ORDER BY n DESC, event_type) AS rnk
+  FROM counts)
+WHERE rnk <= 3
+"""
+
+
 STREAMING_QUERIES = {
     "stream_dedup_keys": (stream_dedup_keys, STREAM_DEDUP_SQL),
     "stream_windowed_counts": (stream_windowed_counts, STREAM_WINDOWED_SQL),
@@ -515,4 +563,5 @@ STREAMING_QUERIES = {
         stream_restart_exactly_once,
         STREAM_RESTART_SQL,
     ),
+    "stream_topk_event_types": (stream_topk_event_types, STREAM_TOPK_SQL),
 }

@@ -102,6 +102,11 @@ _ALL: dict[str, Entry] = {
         for name, (fn, sql) in lmquality.QUERIES_LMQUALITY.items()
     },
     "triangle_count": Entry(graph.triangle_count, graph.TRIANGLE_COUNT_SQL),
+    # round 5: deterministic synchronous label propagation over the
+    # same co-purchase graph; integer-exact unrolled-CTE oracle.
+    "graph_communities_labelprop": Entry(
+        graph.graph_communities_labelprop, graph.labelprop_oracle_sql()
+    ),
     "dedup_substring_blocks": Entry(
         dedup.dedup_substring_blocks, dedup.DEDUP_SUBSTRING_SQL
     ),
@@ -173,10 +178,11 @@ _ALL: dict[str, Entry] = {
 # entries whose latest driver evidence is round 2 — restoring the
 # invariant "no entry's latest driver evidence older than N-2" at r6.
 # The r2 entries left out (never-checked-beats-stale precedent, their
-# slots went to the eight round-5 additions): cosine_topk (superseded
-# in practice by cosine_topk_fast, which is in), set_union_buyers and
-# text_top_terms (both families have multiple r04-green members) —
-# all three re-swept green in CORRECTNESS_FULL_r05* at HEAD.
+# slots went to the ten round-5 additions): cosine_topk (superseded
+# in practice by cosine_topk_fast, which is in), set_union_buyers,
+# text_top_terms, q13_order_distribution and unpivot_measures (each
+# family keeps multiple fresher members in the window) — all five
+# re-swept green in CORRECTNESS_FULL_r05* at HEAD.
 DRIVER_WINDOW: list[str] = [
     # -- latest driver evidence is ROUND 1 (ledger-oldest) ----------
     "agg_cube",
@@ -192,6 +198,8 @@ DRIVER_WINDOW: list[str] = [
     "train_order_shuffle",
     "table_diff_snapshots",
     "bucketed_join_colocated",
+    "stream_topk_event_types",
+    "graph_communities_labelprop",
     # -- latest driver evidence is ROUND 2 (ledger order) -----------
     "ann_ivf_topk",
     "asof_join_events",
@@ -206,7 +214,6 @@ DRIVER_WINDOW: list[str] = [
     "q10_returned_revenue",
     "q11_important_parts",
     "q12_priority_by_status",
-    "q13_order_distribution",
     "q14_promo_share",
     "q15_top_supplier",
     "q16_supplier_variety",
@@ -228,7 +235,6 @@ DRIVER_WINDOW: list[str] = [
     "st_contains_join",
     "stream_dedup_keys",
     "transform_objects",
-    "unpivot_measures",
     "window_frames",
     "window_topk_per_group",
 ]

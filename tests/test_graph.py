@@ -49,3 +49,28 @@ def test_pagerank_mass_conserved_and_deterministic(spark):
     assert street_avg > source_avg
     rerun = {r.node: r.rank for r in pagerank_relations(spark, SF_ORACLE).collect()}
     assert rerun == ranks, "decimal-summed contributions must make reruns identical"
+
+
+def test_labelprop_partitions_all_nodes(spark, ddb):
+    """LPA output is a partition of the node set: sizes sum to the
+    node count, every community label is a live node id, and the
+    whole histogram matches the unrolled-CTE oracle exactly."""
+    from conftest import SF_ORACLE, assert_frames_match
+
+    from etl_addresses_spark.operators.graph import (
+        graph_communities_labelprop,
+        labelprop_oracle_sql,
+    )
+
+    out = graph_communities_labelprop(spark, SF_ORACLE).cache()
+    assert_frames_match(out, ddb.sql(labelprop_oracle_sql()))
+    n_nodes = ddb.sql(
+        """SELECT count(DISTINCT p) FROM (
+             SELECT l_partkey AS p FROM lineitem
+             WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem
+                                  GROUP BY l_orderkey
+                                  HAVING count(DISTINCT l_partkey) > 1))"""
+    ).fetchone()[0]
+    rows = out.collect()
+    assert sum(r["size"] for r in rows) == n_nodes
+    out.unpersist()
