@@ -95,6 +95,13 @@ HEADLINE = [
     # co-location contract being certified, like reference_e2e_ndjson)
     "table_diff_snapshots",
     "bucketed_join_colocated",
+    # round-5 additions (3rd batch): the streaming-preagg + batch-rank
+    # composition and the 4-round synchronous label propagation (the
+    # second-heaviest iterative graph op after PageRank)
+    "stream_topk_event_types",
+    "graph_communities_labelprop",
+    # ...and the foreachBatch CDC upsert sink (multi-micro-batch fold)
+    "stream_cdc_upsert",
 ]
 
 # Bisect/pinning hook: SPARK_GRAFT_BENCH_QUERIES="a,b,c" restricts the

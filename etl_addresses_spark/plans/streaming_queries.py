@@ -565,3 +565,120 @@ STREAMING_QUERIES = {
     ),
     "stream_topk_event_types": (stream_topk_event_types, STREAM_TOPK_SQL),
 }
+
+
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — the foreachBatch upsert sink (Spark's
+    documented recipe for MERGE-style sinks the file formats can't do
+    natively): a change stream of I/U/D events folds into a keyed
+    state table, one merge per micro-batch.
+
+    The change log is derived deterministically from orders (insert
+    for every key at seq 0; for keys %31==0 an update bumping
+    o_totalprice by 1.00 at seq 1; for keys %97==0 a delete at
+    seq 2), written as THREE separate files and streamed with
+    maxFilesPerTrigger=1, so the fold really runs as multiple
+    micro-batches.  Each foreachBatch merge is keep-latest-by-seq —
+    associative, so the final state is BATCH-SPLIT-INVARIANT: however
+    the source chops the log, the result equals the batch "latest row
+    per key, drop deletes" query, which is exactly the oracle.  State
+    alternates between two parquet paths per merge (read-side and
+    write-side can't be the same files), the same A/B pattern a real
+    lakehouse MERGE hides behind its transaction log.
+
+    Scale: each merge shuffles (state ∪ batch) once on the key via
+    the min(struct)-style keep-latest aggregation; state size is
+    O(live keys), independent of change-log length."""
+    import os
+    import shutil
+
+    from etl_addresses_spark.sources.tables import load_table
+
+    base = os.path.join(
+        "/tmp",
+        f"spark_graft_cdc_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "in")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    ins = o.select(
+        "o_orderkey", "price", F.lit(0).alias("seq"), F.lit("I").alias("op")
+    )
+    upd = (
+        o.filter(F.col("o_orderkey") % 31 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("price") + F.lit(1.0)).cast("decimal(18,2)").alias("price"),
+            F.lit(1).alias("seq"),
+            F.lit("U").alias("op"),
+        )
+    )
+    dele = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("decimal(18,2)").alias("price"),
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    for part in (ins, upd, dele):
+        part.coalesce(1).write.mode("append").parquet(src)
+
+    state_paths = [os.path.join(base, "state_a"), os.path.join(base, "state_b")]
+    turn = {"i": 0}
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        cur_path = state_paths[turn["i"] % 2]
+        nxt_path = state_paths[(turn["i"] + 1) % 2]
+        turn["i"] += 1
+        if os.path.isdir(cur_path):
+            cur = s.read.parquet(cur_path)
+        else:
+            cur = s.createDataFrame([], batch.schema)
+        merged = (
+            cur.unionByName(batch)
+            .groupBy("o_orderkey")
+            .agg(F.max(F.struct("seq", "op", "price")).alias("m"))
+            .select(
+                "o_orderkey",
+                F.col("m.price").alias("price"),
+                F.col("m.seq").alias("seq"),
+                F.col("m.op").alias("op"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(nxt_path)
+
+    stream = (
+        spark.readStream.schema(ins.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = spark.read.parquet(state_paths[turn["i"] % 2])
+    return final.filter(F.col("op") != "D").select(
+        "o_orderkey", F.col("price").cast("double").alias("price")
+    )
+
+
+STREAM_CDC_SQL = """
+SELECT o_orderkey,
+       CAST(CASE WHEN o_orderkey % 31 = 0
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) + 1.0
+                 ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DOUBLE)
+         AS price
+FROM orders
+WHERE o_orderkey % 97 != 0
+"""
+
+STREAMING_QUERIES["stream_cdc_upsert"] = (stream_cdc_upsert, STREAM_CDC_SQL)
