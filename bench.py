@@ -102,6 +102,10 @@ HEADLINE = [
     "graph_communities_labelprop",
     # ...and the foreachBatch CDC upsert sink (multi-micro-batch fold)
     "stream_cdc_upsert",
+    # ...and the quality/monitoring pair: per-query ANN recall as data,
+    # PSI distribution drift between stream halves
+    "ann_recall_eval",
+    "drift_psi_events",
 ]
 
 # Bisect/pinning hook: SPARK_GRAFT_BENCH_QUERIES="a,b,c" restricts the

@@ -487,3 +487,115 @@ QUERIES_SCALE = {
     "cms_heavy_hitters": (cms_heavy_hitters, CMS_HEAVY_HITTERS_SQL),
     "anomaly_zscore_events": (anomaly_zscore_events, ANOMALY_ZSCORE_SQL),
 }
+
+
+# --- distribution drift (PSI) --------------------------------------------
+
+PSI_BINS = 10
+
+
+def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream's time range, per event type — the standard
+    training-data drift monitor (PSI > 0.2 conventionally = action).
+
+    Everything rides ONE scan + one tiny broadcast: the global
+    (min ts, max ts, min value, max value) come from a 1-row
+    aggregate; each event maps to (type, period, equal-width bin);
+    one hash aggregation counts (type, period, bin); the per-type PSI
+    folds the {PSI_BINS}-bin histogram with Laplace smoothing
+    ((cnt+1)/(n+bins)) so empty bins stay finite.  Bin assignment is
+    pure IEEE arithmetic on scalars (no aggregation-order float
+    dependence), so both engines bin identically; the final ln()
+    drifts at ulp level only, absorbed by the driver contract —
+    and no DECISION is taken post-ln (the PSI value itself is the
+    output, per the float-parity rule)."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.agg(
+        F.min(F.unix_micros("ts")).alias("us_lo"),
+        F.max(F.unix_micros("ts")).alias("us_hi"),
+        F.min("value").alias("v_lo"),
+        F.max("value").alias("v_hi"),
+    )
+    binned = (
+        e.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            # integer-micros midpoint: both engines split identically,
+            # no interval-rounding boundary hazard
+            F.when(
+                F.unix_micros("ts") <= F.expr("(us_lo + us_hi) div 2"),
+                F.lit("a"),
+            )
+            .otherwise(F.lit("b"))
+            .alias("period"),
+            F.least(
+                F.lit(PSI_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("v_lo"))
+                    / (F.col("v_hi") - F.col("v_lo"))
+                    * PSI_BINS
+                ),
+            )
+            .cast("long")
+            .alias("bin"),
+        )
+        .groupBy("event_type", "period", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_type = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("period") == "a", F.col("c")).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("period") == "b", F.col("c")).otherwise(0)).alias("cb"),
+    )
+    totals = per_type.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    sm = per_type.join(totals, "event_type").select(
+        "event_type",
+        ((F.col("ca") + 1) / (F.col("na") + PSI_BINS)).alias("pa"),
+        ((F.col("cb") + 1) / (F.col("nb") + PSI_BINS)).alias("pb"),
+    )
+    return sm.groupBy("event_type").agg(
+        F.sum(
+            (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))
+        ).alias("psi")
+    )
+
+
+DRIFT_PSI_SQL = f"""
+WITH g AS (
+  SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS us_lo,
+         max(epoch_us(CAST(ts AS TIMESTAMP))) AS us_hi,
+         min(value) AS v_lo, max(value) AS v_hi
+  FROM events
+),
+binned AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) <= (us_lo + us_hi) // 2
+              THEN 'a' ELSE 'b' END AS period,
+         least({PSI_BINS - 1},
+               CAST(floor((value - v_lo) / (v_hi - v_lo) * {PSI_BINS}) AS BIGINT))
+           AS bin,
+         count(*) AS c
+  FROM events, g
+  GROUP BY 1, 2, 3
+),
+per_type AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN period = 'a' THEN c ELSE 0 END) AS ca,
+         sum(CASE WHEN period = 'b' THEN c ELSE 0 END) AS cb
+  FROM binned GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, sum(ca) AS na, sum(cb) AS nb FROM per_type GROUP BY 1
+)
+SELECT p.event_type,
+       sum(((p.ca + 1.0) / (t.na + {PSI_BINS})
+            - (p.cb + 1.0) / (t.nb + {PSI_BINS}))
+           * ln(((p.ca + 1.0) / (t.na + {PSI_BINS}))
+                / ((p.cb + 1.0) / (t.nb + {PSI_BINS})))) AS psi
+FROM per_type p JOIN totals t ON p.event_type = t.event_type
+GROUP BY p.event_type
+"""
+
+QUERIES_SCALE["drift_psi_events"] = (drift_psi_events, DRIFT_PSI_SQL)

@@ -978,3 +978,58 @@ SELECT query_id,
 FROM ranked
 WHERE (is_pos AND rank = 1) OR ((NOT is_pos) AND rank <= {HARD_NEG_K})
 """
+
+
+# --- recall evaluation as data -------------------------------------------
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation-as-data: per-query recall@{TOPK_K} of the IVF index
+    against the exact cosine top-k, emitted as a queryable row set
+    (query_id, n_hit, recall) — the quality contract of an
+    approximate index published the same way its results are, so a
+    pipeline can gate promotion of a new index build on `min(recall)`
+    instead of trusting a notebook.
+
+    Both sides are this module's registered, individually
+    oracle-checked queries sharing the one `_rank_topk` tie-break;
+    the eval is one left-semi join on (query_id, cand_id) + one
+    count-up — at corpus scale the eval cost is the ANN query cost,
+    the join touches only 2·k rows per query.  Recall is emitted as
+    exact integers (n_hit of k) plus the derived double."""
+    exact = cosine_topk_fast(spark, sf_dir).select("query_id", "cand_id")
+    approx = ann_ivf_topk(spark, sf_dir).select("query_id", "cand_id")
+    hits = (
+        approx.join(exact, ["query_id", "cand_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    all_q = exact.select("query_id").distinct()
+    return (
+        all_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(TOPK_K))
+            ).alias("recall"),
+        )
+    )
+
+
+ANN_RECALL_EVAL_SQL = f"""
+WITH exact_tk AS ({COSINE_TOPK_SQL}),
+approx_tk AS ({ANN_IVF_TOPK_SQL}),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hit
+  FROM approx_tk a
+  WHERE EXISTS (SELECT 1 FROM exact_tk e
+                WHERE e.query_id = a.query_id AND e.cand_id = a.cand_id)
+  GROUP BY a.query_id
+)
+SELECT q.query_id,
+       coalesce(h.n_hit, 0) AS n_hit,
+       coalesce(h.n_hit, 0) / {float(TOPK_K)} AS recall
+FROM (SELECT DISTINCT query_id FROM exact_tk) q
+LEFT JOIN hits h ON h.query_id = q.query_id
+"""

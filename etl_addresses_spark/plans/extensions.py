@@ -61,6 +61,9 @@ EXTENSION_QUERIES = {
         multimodal.MULTIMODAL_FRAME_SAMPLE_SQL,
     ),
     "ann_quantized_topk": (similarity.quantized_topk, similarity.QUANTIZED_TOPK_SQL),
+    # round 5: per-query recall@k of the IVF index vs the exact top-k,
+    # published as a queryable row set (evaluation-as-data).
+    "ann_recall_eval": (similarity.ann_recall_eval, similarity.ANN_RECALL_EVAL_SQL),
     "docs_with_embeddings": (
         similarity.docs_with_embeddings,
         similarity.DOCS_WITH_EMBEDDINGS_SQL,

@@ -178,12 +178,13 @@ _ALL: dict[str, Entry] = {
 # entries whose latest driver evidence is round 2 — restoring the
 # invariant "no entry's latest driver evidence older than N-2" at r6.
 # The r2 entries left out (never-checked-beats-stale precedent, their
-# slots went to the eleven round-5 additions): cosine_topk
+# slots went to the thirteen round-5 additions): cosine_topk
 # (superseded in practice by cosine_topk_fast, which is in),
-# set_union_buyers, text_top_terms, q12_priority_by_status,
-# q13_order_distribution and unpivot_measures (each family keeps
-# multiple fresher members in the window) — all six re-swept green in
-# CORRECTNESS_FULL_r05* at HEAD.
+# set_union_buyers, text_top_terms, q11_important_parts,
+# q12_priority_by_status, q13_order_distribution, scalar_array_funcs
+# and unpivot_measures (each family keeps multiple fresher members in
+# the window) — all eight re-swept green in CORRECTNESS_FULL_r05* at
+# HEAD.
 DRIVER_WINDOW: list[str] = [
     # -- latest driver evidence is ROUND 1 (ledger-oldest) ----------
     "agg_cube",
@@ -202,6 +203,8 @@ DRIVER_WINDOW: list[str] = [
     "stream_topk_event_types",
     "graph_communities_labelprop",
     "stream_cdc_upsert",
+    "ann_recall_eval",
+    "drift_psi_events",
     # -- latest driver evidence is ROUND 2 (ledger order) -----------
     "ann_ivf_topk",
     "asof_join_events",
@@ -214,7 +217,6 @@ DRIVER_WINDOW: list[str] = [
     "merge_upsert",
     "ngram_jaccard_pairs",
     "q10_returned_revenue",
-    "q11_important_parts",
     "q14_promo_share",
     "q15_top_supplier",
     "q16_supplier_variety",
@@ -229,7 +231,6 @@ DRIVER_WINDOW: list[str] = [
     "q7_nation_volume",
     "q8_market_share",
     "q9_profit_by_nation_year",
-    "scalar_array_funcs",
     "scd2_history",
     "sort_limit_global",
     "spatiotemporal_join",
