@@ -106,6 +106,17 @@ HEADLINE = [
     # PSI distribution drift between stream halves
     "ann_recall_eval",
     "drift_psi_events",
+    # round-5 additions (4th batch): clickstream path assembly (the
+    # collect_list-per-session + top-k composition), grouped OLS (one
+    # scan, 5 decimal moment sums x 4 groups), bounded frontier-BFS
+    # (per-round shuffle is O(frontier), the iterative-graph third
+    # member), and the PassJoin tier IN regime on document titles
+    # (unlike the name fixture, content blocking prunes here — its
+    # bench presence is the regime contrast with fuzzy_name_match_*).
+    "sessions_path_topk",
+    "stats_regression_group",
+    "graph_bfs_distances",
+    "fuzzy_title_match_passjoin",
 ]
 
 # Bisect/pinning hook: SPARK_GRAFT_BENCH_QUERIES="a,b,c" restricts the

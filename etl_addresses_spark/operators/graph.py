@@ -476,3 +476,116 @@ l{k} AS MATERIALIZED (
 SELECT lab AS community, count(*) AS "size" FROM l{iters} GROUP BY lab
 """
     return sql
+
+
+# --- bounded multi-source BFS -------------------------------------------
+
+BFS_SEEDS = 3
+BFS_HOPS = 4
+
+
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distances from a deterministic seed set ({BFS_SEEDS} smallest
+    node ids) over the same undirected parts-bought-together graph as
+    `graph_communities_labelprop`, bounded to {BFS_HOPS} hops.  Output:
+    (node, dist) for every node reached, dist = shortest hop count.
+
+    Spark side is FRONTIER-optimized BFS (the Pregel shape): each round
+    joins only the newly-reached frontier against the once-materialized,
+    probe-key-partitioned, cached neighbor list, then anti-joins the
+    visited set — per-round shuffle is O(frontier edges), not O(E), and
+    rounds after the graph is exhausted cost nothing (empty frontier).
+    `localCheckpoint` per round bounds lineage exactly like
+    pagerank/labelprop.  At 100 TB this is the standard iterative-BFS
+    plan: the big neighbor table never re-shuffles, only the (node,
+    dist) deltas move.
+
+    The oracle (`bfs_oracle_sql`) instead unrolls bounded Bellman-Ford:
+    b{k} = min-dist over (b{k-1} UNION neighbors-of-b{k-1}+1).  On unit
+    weights both formulations yield exactly shortest-hop distance for
+    every node within {BFS_HOPS} hops — two independent algorithms, one
+    integer-exact hash-checked answer (the dedup_clusters /
+    dedup_clusters_star pattern)."""
+    from etl_addresses_spark.sources.tables import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    per_order = li.groupBy("ok").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    pair_expr = F.expr(
+        "explode(flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps) - i - 1), "
+        "y -> struct(x AS u, y AS v)))))"
+    )
+    edges = (
+        per_order.select(pair_expr.alias("e"))
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .distinct()
+    )
+    nbr = (
+        edges.select(F.col("u").alias("v_"), F.col("v").alias("w"))
+        .unionAll(edges.select(F.col("v").alias("v_"), F.col("u").alias("w")))
+        .repartition("v_")
+        .cache()
+    )
+    seeds = (
+        nbr.select(F.col("v_").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(BFS_SEEDS)
+    )
+    visited = seeds.select("node", F.lit(0).cast("long").alias("dist"))
+    frontier = visited.localCheckpoint(eager=True)
+    visited = frontier
+    for k in range(1, BFS_HOPS + 1):
+        reached = (
+            nbr.join(frontier, nbr.v_ == frontier.node)
+            .select(F.col("w").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            reached.join(visited, "node", "left_anti")
+            .select("node", F.lit(k).cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(frontier).localCheckpoint(eager=True)
+    return visited
+
+
+def bfs_oracle_sql(seeds: int = BFS_SEEDS, hops: int = BFS_HOPS) -> str:
+    """DuckDB replica of `graph_bfs_distances` by a DIFFERENT algorithm:
+    bounded Bellman-Ford min-distance, unrolled into chained
+    MATERIALIZED CTEs (b0..b{hops})."""
+    sql = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+),
+nbr AS MATERIALIZED (
+  SELECT u AS v_, v AS w FROM edges
+  UNION ALL
+  SELECT v, u FROM edges
+),
+b0 AS MATERIALIZED (
+  SELECT node, 0 AS dist FROM (
+    SELECT DISTINCT v_ AS node FROM nbr ORDER BY node LIMIT {seeds})
+)"""
+    for k in range(1, hops + 1):
+        sql += f""",
+b{k} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM b{k - 1}
+    UNION ALL
+    SELECT n.w AS node, b.dist + 1 AS dist
+    FROM nbr n JOIN b{k - 1} b ON n.v_ = b.node)
+  GROUP BY node
+)"""
+    sql += f"""
+SELECT node, CAST(dist AS BIGINT) AS dist FROM b{hops}
+"""
+    return sql

@@ -33,6 +33,7 @@ from etl_addresses_spark.plans import (
     relational4,
     relational5,
     relational6,
+    relational7,
     streaming_queries,
     transform,
 )
@@ -87,6 +88,10 @@ _ALL: dict[str, Entry] = {
     },
     **{
         name: Entry(fn, sql)
+        for name, (fn, sql) in relational7.QUERIES7.items()
+    },
+    **{
+        name: Entry(fn, sql)
         for name, (fn, sql) in streaming_queries.STREAMING_QUERIES.items()
     },
     **{
@@ -106,6 +111,12 @@ _ALL: dict[str, Entry] = {
     # same co-purchase graph; integer-exact unrolled-CTE oracle.
     "graph_communities_labelprop": Entry(
         graph.graph_communities_labelprop, graph.labelprop_oracle_sql()
+    ),
+    # round 5 (late window): bounded multi-source BFS over the same
+    # graph; frontier-Pregel in Spark vs unrolled Bellman-Ford in the
+    # oracle — two algorithms, one integer-exact answer.
+    "graph_bfs_distances": Entry(
+        graph.graph_bfs_distances, graph.bfs_oracle_sql()
     ),
     "dedup_substring_blocks": Entry(
         dedup.dedup_substring_blocks, dedup.DEDUP_SUBSTRING_SQL
@@ -178,13 +189,15 @@ _ALL: dict[str, Entry] = {
 # entries whose latest driver evidence is round 2 — restoring the
 # invariant "no entry's latest driver evidence older than N-2" at r6.
 # The r2 entries left out (never-checked-beats-stale precedent, their
-# slots went to the thirteen round-5 additions): cosine_topk
+# slots went to the seventeen round-5 additions): cosine_topk
 # (superseded in practice by cosine_topk_fast, which is in),
 # set_union_buyers, text_top_terms, q11_important_parts,
-# q12_priority_by_status, q13_order_distribution, scalar_array_funcs
-# and unpivot_measures (each family keeps multiple fresher members in
-# the window) — all eight re-swept green in CORRECTNESS_FULL_r05* at
-# HEAD.
+# q12_priority_by_status, q13_order_distribution, scalar_array_funcs,
+# unpivot_measures, and — for the four late-round-5 queries —
+# q10_returned_revenue, q14_promo_share, q17_small_quantity_revenue,
+# q18_large_orders (the TPC-H family keeps 12 fresher members in the
+# window incl. the new q3/q5) — all twelve re-swept green in
+# CORRECTNESS_FULL_r05* at HEAD.
 DRIVER_WINDOW: list[str] = [
     # -- latest driver evidence is ROUND 1 (ledger-oldest) ----------
     "agg_cube",
@@ -205,6 +218,10 @@ DRIVER_WINDOW: list[str] = [
     "stream_cdc_upsert",
     "ann_recall_eval",
     "drift_psi_events",
+    "sessions_path_topk",
+    "stats_regression_group",
+    "fuzzy_title_match_passjoin",
+    "graph_bfs_distances",
     # -- latest driver evidence is ROUND 2 (ledger order) -----------
     "ann_ivf_topk",
     "asof_join_events",
@@ -216,12 +233,8 @@ DRIVER_WINDOW: list[str] = [
     "join_topk_order_revenue",
     "merge_upsert",
     "ngram_jaccard_pairs",
-    "q10_returned_revenue",
-    "q14_promo_share",
     "q15_top_supplier",
     "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
     "q19_disjunctive_revenue",
     "q21_sole_late_supplier",
     "q22_idle_customers",

@@ -361,3 +361,37 @@ def test_train_shuffle_no_large_single_partition(spark):
         if "Exchange SinglePartition" in l:
             below = "\n".join(lines[idx:idx + 6])
             assert "HashAggregate" in below, below
+
+
+def test_sessions_path_topk_takeordered_no_cartesian(spark):
+    from etl_addresses_spark.plans import relational7
+
+    plan = _plan(relational7.sessions_path_topk(spark, SF_SMALL))
+    # global top-20 must be TakeOrderedAndProject, never a full sort
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # path assembly must ride the aggregation (ObjectHashAggregate for
+    # collect_list), not a per-row shuffle of exploded steps
+    assert "ObjectHashAggregate" in plan
+
+
+def test_stats_regression_single_scan_partial_sums(spark):
+    from etl_addresses_spark.plans import relational7
+
+    plan = _plan(relational7.stats_regression_group(spark, SF_SMALL))
+    # one pass over lineitem, map-side-combinable moment sums
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_sum" in plan
+    # the scan must prune to exactly the 4 referenced columns
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_quantity" in scan and "l_extendedprice" in scan
+
+
+def test_fuzzy_title_passjoin_no_cartesian(spark):
+    from etl_addresses_spark.plans import relational7
+
+    plan = _plan(relational7.fuzzy_title_match_passjoin(spark, SF_SMALL))
+    # in-regime or not, candidate generation stays an equi-join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan

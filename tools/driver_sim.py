@@ -55,6 +55,9 @@ qs, os_ = mod.queries(), mod.oracle_sql()
 if os.environ.get("WINDOW", "0") == "1":
     from etl_addresses_spark.registry import DRIVER_WINDOW
     qs = {n: qs[n] for n in DRIVER_WINDOW}
+if os.environ.get("ONLY"):
+    names = os.environ["ONLY"].split(",")
+    qs = {n: qs[n] for n in names}
 ok = True
 report = {}
 for name, fn in qs.items():
