@@ -1,0 +1,171 @@
+"""Distributed linear algebra over the embedding corpus: the
+building blocks of PCA/LSA-style pipelines at 100 TB.
+
+`embedding_gram_matrix` is the canonical "X^T X in one pass" shape:
+the d x d Gram matrix of an N x d embedding corpus never materializes
+N^2 anything — each row contributes its d^2 outer-product cells to a
+partial aggregate, so the shuffle carries at most d^2 keys per task
+regardless of N.  `embedding_top_pc` then extracts the top principal
+direction by FIXED-count power iteration on that d x d table — the
+same iterate-on-a-tiny-table template as pagerank (per-step 1-row
+broadcast for the normalization scalar), which makes it fully
+oracle-checkable by CTE unrolling.
+
+Reference parity note: the reference ETL (addresses.js) has no
+embedding concept; this module belongs to the mandated
+training-data-pipeline extension surface (SURVEY.md §2.11), next to
+the ANN and SemDeDup families that consume the same table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_addresses_spark.sources.tables import load_table
+
+EMB_DIM = 64
+PI_ITERS = 8
+
+
+def _gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unrounded Gram matrix (i, j, g) with 0-based indices.
+
+    Plan shape: ONE narrow pass — the nested transform emits the d^2
+    per-row products as a FLAT double array (no per-cell structs:
+    the struct variant measured 2.3x slower — 3.0 s vs 1.35 s at
+    sf0.1 — pure allocation cost), posexplode pipelines straight
+    into the partial HashAggregate inside the same whole-stage-
+    codegen span with (i, j) recovered arithmetically from the
+    position, and the only shuffle is the final d^2-key exchange.
+    (A per-partition array pre-agg via collect_list benched the same
+    but buffers rows-per-partition * d^2 doubles — rejected as a
+    memory hazard at scale.)  Double sums, not decimal: the matrix
+    feeds iterative numerics (see `embedding_top_pc`), the published
+    tier rounds to 6 digits, and the decimal path would pay ~40x on
+    the d^2-per-row hot loop (stats_correlation's measured ratio) for
+    precision five orders below the publication quantum.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = F.expr(
+        "flatten(transform(embedding, x -> "
+        "transform(embedding, y -> cast(x as double) * cast(y as double))))"
+    )
+    return (
+        emb.select(F.posexplode(flat).alias("pos", "p"))
+        .select(
+            F.expr(f"cast(pos div {EMB_DIM} as bigint)").alias("i"),
+            F.expr(f"cast(pos % {EMB_DIM} as bigint)").alias("j"),
+            "p",
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("g"))
+    )
+
+
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X^T X over the embedding corpus: (i, j, gram) for all d^2 index
+    pairs, published at 6 decimal digits (double-sum drift between
+    engines/partitionings is ~1e-11 absolute here, five orders below
+    the quantum — the stats_correlation_double contract)."""
+    return _gram(spark, sf_dir).select(
+        "i", "j", F.round(F.col("g"), 6).alias("gram")
+    )
+
+
+GRAM_CELLS_DUCK = f"""
+SELECT i.i - 1 AS i, j.j - 1 AS j,
+  sum(CAST(embedding[i.i] AS DOUBLE) * CAST(embedding[j.j] AS DOUBLE)) AS g
+FROM embeddings,
+  generate_series(1, {EMB_DIM}) AS i(i),
+  generate_series(1, {EMB_DIM}) AS j(j)
+GROUP BY 1, 2
+"""
+
+EMBEDDING_GRAM_SQL = f"""
+WITH g AS ({GRAM_CELLS_DUCK})
+SELECT i, j, round(g, 6) AS gram FROM g
+"""
+
+
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-direction ESTIMATOR: exactly {PI_ITERS} power
+    iterations v <- normalize(G v) on the d x d Gram table, starting
+    from the exact-representable uniform vector 1/sqrt(d)
+    (d={EMB_DIM} -> 0.125, exact in binary).  Output: (i, loading)
+    at 6 digits.
+
+    Semantics, stated precisely: the value is the FIXED-BUDGET
+    iterate, not "the converged eigenvector" — convergence count is
+    a data property ((lambda2/lambda1)^k).  On a real embedding
+    corpus the spectrum is anisotropic and ~{PI_ITERS}-20 steps
+    converge; THIS synthetic corpus is near-isotropic
+    (lambda2/lambda1 = 0.98, measured — ~400 steps to 1e-3), so the
+    test contract is the algorithm itself: the Spark iterate matches
+    a dense NumPy replica of the same 8 steps elementwise, the
+    Rayleigh quotient is non-decreasing, and the iteration machinery
+    is count-agnostic (PI_ITERS is the only knob).
+
+    Everything is DataFrame ops on d-row / d^2-row tables: the
+    mat-vec is a join + groupBy-sum, the norm is a 1-row aggregate
+    crossJoined back (broadcast scalar, the pagerank dangling-mass
+    template), `localCheckpoint` per round keeps the 8-deep plan
+    flat.  At 100 TB the expensive part is the ONE corpus pass in
+    `_gram`; the iteration itself touches only d^2 = {EMB_DIM ** 2}
+    rows and is scale-free.  Fixed iteration count -> unrolled-CTE
+    oracle (`top_pc_oracle_sql`), the pagerank/kmeans technique;
+    per-step normalization keeps the ulp-level sum-order drift
+    contracting, measured far below the 6-digit contract."""
+    g = _gram(spark, sf_dir).localCheckpoint(eager=True)
+    v = (
+        g.select(F.col("j").alias("vj"))
+        .distinct()
+        .select("vj", F.lit(1.0 / EMB_DIM ** 0.5).alias("val"))
+    )
+    for _ in range(PI_ITERS):
+        w = (
+            g.join(v, g.j == v.vj)
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("val")).alias("w"))
+        )
+        norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = (
+            w.crossJoin(norm)
+            .select(
+                F.col("i").alias("vj"), (F.col("w") / F.col("nrm")).alias("val")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v.select(F.col("vj").alias("i"), F.round("val", 6).alias("loading"))
+
+
+def top_pc_oracle_sql(iters: int = PI_ITERS, dim: int = EMB_DIM) -> str:
+    """DuckDB replica of `embedding_top_pc`: the power-iteration loop
+    unrolled into chained MATERIALIZED CTEs (v0..v{iters}), mat-vec
+    as join + group-sum, per-step norm as a scalar subquery — same
+    association as the Spark expressions."""
+    inv = 1.0 / dim ** 0.5
+    sql = f"""
+WITH g AS MATERIALIZED ({GRAM_CELLS_DUCK}),
+v0 AS MATERIALIZED (
+  SELECT DISTINCT j AS vj, {inv!r} AS val FROM g
+)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+w{k} AS MATERIALIZED (
+  SELECT g.i, sum(g.g * v.val) AS w
+  FROM g JOIN v{k - 1} v ON g.j = v.vj GROUP BY g.i
+),
+v{k} AS MATERIALIZED (
+  SELECT i AS vj, w / (SELECT sqrt(sum(w * w)) FROM w{k}) AS val FROM w{k}
+)"""
+    sql += f"""
+SELECT vj AS i, round(val, 6) AS loading FROM v{iters}
+"""
+    return sql
+
+
+QUERIES_LINALG = {
+    "embedding_gram_matrix": (embedding_gram_matrix, EMBEDDING_GRAM_SQL),
+    "embedding_top_pc": (embedding_top_pc, top_pc_oracle_sql()),
+}

@@ -17,6 +17,7 @@ from etl_addresses_spark.operators import (
     clustering,
     dedup,
     graph,
+    linalg,
     llmtext,
     lmquality,
     polygon,
@@ -106,6 +107,10 @@ _ALL: dict[str, Entry] = {
         name: Entry(fn, sql)
         for name, (fn, sql) in lmquality.QUERIES_LMQUALITY.items()
     },
+    **{
+        name: Entry(fn, sql)
+        for name, (fn, sql) in linalg.QUERIES_LINALG.items()
+    },
     "triangle_count": Entry(graph.triangle_count, graph.TRIANGLE_COUNT_SQL),
     # round 5: deterministic synchronous label propagation over the
     # same co-purchase graph; integer-exact unrolled-CTE oracle.
@@ -193,11 +198,11 @@ _ALL: dict[str, Entry] = {
 # (superseded in practice by cosine_topk_fast, which is in),
 # set_union_buyers, text_top_terms, q11_important_parts,
 # q12_priority_by_status, q13_order_distribution, scalar_array_funcs,
-# unpivot_measures, and — for the four late-round-5 queries —
+# unpivot_measures, and — for the six late-round-5 queries —
 # q10_returned_revenue, q14_promo_share, q17_small_quantity_revenue,
-# q18_large_orders (the TPC-H family keeps 12 fresher members in the
-# window incl. the new q3/q5) — all twelve re-swept green in
-# CORRECTNESS_FULL_r05* at HEAD.
+# q18_large_orders, q15_top_supplier, q16_supplier_variety (the TPC-H
+# family keeps 10 fresher members in the window incl. the new q3/q5)
+# — all fourteen re-swept green in CORRECTNESS_FULL_r05* at HEAD.
 DRIVER_WINDOW: list[str] = [
     # -- latest driver evidence is ROUND 1 (ledger-oldest) ----------
     "agg_cube",
@@ -222,6 +227,8 @@ DRIVER_WINDOW: list[str] = [
     "stats_regression_group",
     "fuzzy_title_match_passjoin",
     "graph_bfs_distances",
+    "embedding_gram_matrix",
+    "embedding_top_pc",
     # -- latest driver evidence is ROUND 2 (ledger order) -----------
     "ann_ivf_topk",
     "asof_join_events",
@@ -233,8 +240,6 @@ DRIVER_WINDOW: list[str] = [
     "join_topk_order_revenue",
     "merge_upsert",
     "ngram_jaccard_pairs",
-    "q15_top_supplier",
-    "q16_supplier_variety",
     "q19_disjunctive_revenue",
     "q21_sole_late_supplier",
     "q22_idle_customers",

@@ -395,3 +395,16 @@ def test_fuzzy_title_passjoin_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_min" in plan
+
+
+def test_gram_matrix_single_pass_partial_agg(spark):
+    from etl_addresses_spark.operators import linalg
+
+    plan = _plan(linalg.embedding_gram_matrix(spark, SF_SMALL))
+    # one corpus scan; the d^2 expansion must pipeline into a partial
+    # HashAggregate (never materialize N*d^2 across a shuffle)
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "embedding" in scan and "vec_id" not in scan
