@@ -123,6 +123,10 @@ HEADLINE = [
     # budget power-iteration top-PC estimator on top of it
     "embedding_gram_matrix",
     "embedding_top_pc",
+    # ...plus the model-apply shape: fit (gram + 8 power steps,
+    # collected as a 64-double literal) then a ZERO-shuffle scoring
+    # scan — the bench time is fit+apply end-to-end
+    "embedding_pc_scores",
 ]
 
 # Bisect/pinning hook: SPARK_GRAFT_BENCH_QUERIES="a,b,c" restricts the

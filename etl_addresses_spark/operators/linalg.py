@@ -165,7 +165,52 @@ SELECT vj AS i, round(val, 6) AS loading FROM v{iters}
     return sql
 
 
+def embedding_pc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-apply at scale: score every corpus vector against the
+    PUBLISHED top-PC direction (the 6-digit loadings from
+    `embedding_top_pc` — both engines consume identical weights, so
+    the only engine delta is dot-product sum order, ~1e-15).
+
+    This is the canonical inference shape for 100 TB: the learned
+    model is d numbers — collect it (the kmeans k-row precedent),
+    inline it as an array LITERAL, and the scoring pass is
+    zip_with + aggregate inside one projection: ZERO shuffles, zero
+    joins, the corpus is read once and never moves.  (The join
+    formulation — posexplode + broadcast join + re-group — would pay
+    a d-fold row expansion and a groupBy shuffle for nothing.)"""
+    loadings = {
+        r["i"]: r["loading"] for r in embedding_top_pc(spark, sf_dir).collect()
+    }
+    w = F.array(*[F.lit(loadings[i]) for i in range(EMB_DIM)])
+    score = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), w, lambda x, v: x * v),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.round(score, 6).alias("pc_score"))
+    )
+
+
+def pc_scores_oracle_sql(iters: int = PI_ITERS, dim: int = EMB_DIM) -> str:
+    """DuckDB replica: the same unrolled power-iteration CTEs feed a
+    per-vector dot product over the SAME 6-digit-rounded loadings."""
+    inner = top_pc_oracle_sql(iters, dim).rstrip()
+    # reuse the full unrolled query as a CTE-producing subquery
+    return f"""
+WITH pc AS MATERIALIZED ({inner})
+SELECT e.vec_id,
+  round(sum(CAST(e.embedding[g.i] AS DOUBLE) * pc.loading), 6) AS pc_score
+FROM embeddings e,
+  generate_series(1, {dim}) AS g(i)
+  JOIN pc ON pc.i = g.i - 1
+GROUP BY e.vec_id
+"""
+
+
 QUERIES_LINALG = {
     "embedding_gram_matrix": (embedding_gram_matrix, EMBEDDING_GRAM_SQL),
     "embedding_top_pc": (embedding_top_pc, top_pc_oracle_sql()),
+    "embedding_pc_scores": (embedding_pc_scores, pc_scores_oracle_sql()),
 }

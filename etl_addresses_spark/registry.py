@@ -198,11 +198,12 @@ _ALL: dict[str, Entry] = {
 # (superseded in practice by cosine_topk_fast, which is in),
 # set_union_buyers, text_top_terms, q11_important_parts,
 # q12_priority_by_status, q13_order_distribution, scalar_array_funcs,
-# unpivot_measures, and — for the six late-round-5 queries —
+# unpivot_measures, and — for the seven late-round-5 queries —
 # q10_returned_revenue, q14_promo_share, q17_small_quantity_revenue,
-# q18_large_orders, q15_top_supplier, q16_supplier_variety (the TPC-H
-# family keeps 10 fresher members in the window incl. the new q3/q5)
-# — all fourteen re-swept green in CORRECTNESS_FULL_r05* at HEAD.
+# q18_large_orders, q15_top_supplier, q16_supplier_variety,
+# q22_idle_customers (the TPC-H family keeps 9 fresher members in the
+# window incl. the new q3/q5) — all fifteen re-swept green in
+# CORRECTNESS_FULL_r05* at HEAD.
 DRIVER_WINDOW: list[str] = [
     # -- latest driver evidence is ROUND 1 (ledger-oldest) ----------
     "agg_cube",
@@ -229,6 +230,7 @@ DRIVER_WINDOW: list[str] = [
     "graph_bfs_distances",
     "embedding_gram_matrix",
     "embedding_top_pc",
+    "embedding_pc_scores",
     # -- latest driver evidence is ROUND 2 (ledger order) -----------
     "ann_ivf_topk",
     "asof_join_events",
@@ -242,7 +244,6 @@ DRIVER_WINDOW: list[str] = [
     "ngram_jaccard_pairs",
     "q19_disjunctive_revenue",
     "q21_sole_late_supplier",
-    "q22_idle_customers",
     "q2_min_cost_part",
     "q4_late_shipments",
     "q6_forecast_revenue",

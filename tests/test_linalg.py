@@ -55,3 +55,28 @@ def test_top_pc_matches_numpy_power_iteration(spark, ddb):
     assert_frames_match(
         embedding_top_pc(spark, SF_ORACLE), ddb.sql(top_pc_oracle_sql())
     )
+
+
+def test_pc_scores_match_numpy_and_zero_shuffle(spark, ddb):
+    from etl_addresses_spark.operators.linalg import (
+        embedding_pc_scores,
+        pc_scores_oracle_sql,
+    )
+
+    X = _dense(ddb)
+    pub = {
+        r["i"]: r["loading"]
+        for r in embedding_top_pc(spark, SF_ORACLE).collect()
+    }
+    w = np.array([pub[i] for i in range(EMB_DIM)])
+    expect = X @ w
+    ids = [r[0] for r in ddb.sql("SELECT vec_id FROM embeddings ORDER BY vec_id").fetchall()]
+    df = embedding_pc_scores(spark, SF_ORACLE)
+    got = {r["vec_id"]: r["pc_score"] for r in df.collect()}
+    for vid, exp in zip(ids, expect):
+        assert abs(got[vid] - exp) < 2e-6
+    # the scoring pass must be shuffle-free: model as literal, one scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("FileScan parquet") == 1
+    assert_frames_match(df, ddb.sql(pc_scores_oracle_sql()))
