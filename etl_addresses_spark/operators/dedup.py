@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_addresses_spark.ckpt import CheckpointChain
 from etl_addresses_spark.sources.tables import load_table
 
 SHINGLE_N = 3
@@ -1016,13 +1017,13 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 25) -> DataFra
     so the plan stays round-sized.  Input: (doc_a, doc_b) undirected
     pairs; output: (node, label) with label = component minimum.
     """
-    e = (
+    chain = CheckpointChain()
+    e = chain.step(
         edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "edges",
     )
-    prev = None
     prev_sig = None
     for _ in range(max_rounds):
         # large-star: for every u, each strictly-larger neighbor points
@@ -1046,7 +1047,10 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 25) -> DataFra
             F.greatest("u", "v").alias("gu"), F.least("u", "v").alias("gv")
         )
         smins = o.groupBy("gu").agg(F.min("gv").alias("m"))
-        ss = (
+        # chain.step frees the previous round's edge blocks once this
+        # round is materialized (true block release — DataFrame
+        # .unpersist() on a checkpointed frame never touched them)
+        ss = chain.step(
             o.join(smins, "gu")
             .select(
                 F.explode(
@@ -1058,8 +1062,8 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 25) -> DataFra
             )
             .select("p.u", "p.v")
             .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            "edges",
         )
         # fixpoint = edge set unchanged over a full LS+SS round.  The
         # check is a MULTISET SIGNATURE (count + order-independent hash
@@ -1076,9 +1080,6 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 25) -> DataFra
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
         sig = (sig["n"], sig["h"])
-        if prev is not None:
-            prev.unpersist()
-        prev = ss
         e = ss
         if sig == prev_sig:
             break

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_addresses_spark.ckpt import CheckpointChain
+
 DAMPING = 0.85
 PR_ITERS = 10
 
@@ -56,6 +58,7 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damping: float = DAMPING) 
     n_nodes = nodes.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).cache()
 
+    chain = CheckpointChain()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iters):
         with_deg = ranks.join(out_deg, ranks.node == out_deg.src, "left")
@@ -86,7 +89,9 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damping: float = DAMPING) 
         )
         # Same float association as the former driver-side arithmetic:
         # ((1-d)/n + (d*dangling)/n) + d*recv.
-        ranks = (
+        # chain.step frees round k-1's rank blocks once round k is
+        # materialized (see ckpt.py — clearCache never reclaims these).
+        ranks = chain.step(
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling_df))
             .select(
@@ -99,8 +104,8 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damping: float = DAMPING) 
                     )
                     + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))
                 ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            "ranks",
         )
     return ranks
 
@@ -423,17 +428,19 @@ def graph_communities_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("node").alias("lab")
     )
     w_rank = W.partitionBy("v_").orderBy(F.desc("c"), F.asc("lab"))
+    chain = CheckpointChain()
     for _ in range(LPA_ITERS):
         votes = (
             nbr.join(labels, nbr.w == labels.node)
             .groupBy("v_", "lab")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        labels = (
+        # step() frees the previous round's label blocks (ckpt.py)
+        labels = chain.step(
             votes.withColumn("rn", F.row_number().over(w_rank))
             .filter(F.col("rn") == 1)
-            .select(F.col("v_").alias("node"), "lab")
-            .localCheckpoint(eager=True)
+            .select(F.col("v_").alias("node"), "lab"),
+            "labels",
         )
     return (
         labels.groupBy(F.col("lab").alias("community"))
@@ -536,8 +543,12 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("node")
         .limit(BFS_SEEDS)
     )
+    chain = CheckpointChain()
+    # the hop-0 checkpoint doubles as visited_0 AND frontier_0; it goes
+    # in the "visited" slot so freeing a superseded frontier (below)
+    # never drops blocks the next visited-union still reads.
     visited = seeds.select("node", F.lit(0).cast("long").alias("dist"))
-    frontier = visited.localCheckpoint(eager=True)
+    frontier = chain.step(visited, "visited")
     visited = frontier
     for k in range(1, BFS_HOPS + 1):
         reached = (
@@ -545,12 +556,15 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("w").alias("node"))
             .distinct()
         )
-        frontier = (
-            reached.join(visited, "node", "left_anti")
-            .select("node", F.lit(k).cast("long").alias("dist"))
-            .localCheckpoint(eager=True)
+        frontier = chain.step(
+            reached.join(visited, "node", "left_anti").select(
+                "node", F.lit(k).cast("long").alias("dist")
+            ),
+            "frontier",
         )
-        visited = visited.unionAll(frontier).localCheckpoint(eager=True)
+        visited = chain.step(visited.unionAll(frontier), "visited")
+    # the result depends only on the final visited checkpoint
+    chain.release("frontier")
     return visited
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_addresses_spark.ckpt import CheckpointChain
 from etl_addresses_spark.sources.tables import load_table
 
 EMB_DIM = 64
@@ -116,7 +117,8 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (`top_pc_oracle_sql`), the pagerank/kmeans technique;
     per-step normalization keeps the ulp-level sum-order drift
     contracting, measured far below the 6-digit contract."""
-    g = _gram(spark, sf_dir).localCheckpoint(eager=True)
+    chain = CheckpointChain()
+    g = chain.step(_gram(spark, sf_dir), "gram")
     v = (
         g.select(F.col("j").alias("vj"))
         .distinct()
@@ -129,13 +131,18 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("g") * F.col("val")).alias("w"))
         )
         norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-        v = (
-            w.crossJoin(norm)
-            .select(
+        # step() frees round k-1's iterate blocks AFTER round k
+        # materializes — checkpoint residue was the prime suspect for
+        # BENCH_r05's monotone repeat growth in a shared session.
+        v = chain.step(
+            w.crossJoin(norm).select(
                 F.col("i").alias("vj"), (F.col("w") / F.col("nrm")).alias("val")
-            )
-            .localCheckpoint(eager=True)
+            ),
+            "iter",
         )
+    # the returned frame depends only on the FINAL iterate; the d^2-row
+    # gram checkpoint is dead weight from here on.
+    chain.release("gram")
     return v.select(F.col("vj").alias("i"), F.round("val", 6).alias("loading"))
 
 
