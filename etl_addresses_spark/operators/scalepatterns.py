@@ -35,7 +35,7 @@ Scale designs:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_addresses_spark.sources.tables import load_table
@@ -504,7 +504,13 @@ def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; each event maps to (type, period, equal-width bin);
     one hash aggregation counts (type, period, bin); the per-type PSI
     folds the {PSI_BINS}-bin histogram with Laplace smoothing
-    ((cnt+1)/(n+bins)) so empty bins stay finite.  Bin assignment is
+    ((cnt+1)/(n+bins)) so empty bins stay finite.  The histogram is
+    DENSIFIED to all {PSI_BINS} bins per type (distinct-types x
+    generate-range cross, a bins-sized frame) before smoothing, so a
+    bin empty in BOTH halves still contributes its
+    (1/(na+bins) - 1/(nb+bins))*ln(...) term when na != nb — the
+    standard smoothed-PSI definition (r5 advice: the observed-only
+    aggregation silently dropped those terms).  Bin assignment is
     pure IEEE arithmetic on scalars (no aggregation-order float
     dependence), so both engines bin identically; the final ln()
     drifts at ulp level only, absorbed by the driver contract —
@@ -547,10 +553,29 @@ def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("period") == "a", F.col("c")).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("period") == "b", F.col("c")).otherwise(0)).alias("cb"),
     )
-    totals = per_type.groupBy("event_type").agg(
+    dense = (
+        per_type.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.lit(PSI_BINS - 1).cast("long")
+                )
+            ).alias("bin"),
+        )
+        .join(per_type, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    totals = dense.groupBy("event_type").agg(
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )
-    sm = per_type.join(totals, "event_type").select(
+    sm = dense.join(totals, "event_type").select(
         "event_type",
         ((F.col("ca") + 1) / (F.col("na") + PSI_BINS)).alias("pa"),
         ((F.col("cb") + 1) / (F.col("nb") + PSI_BINS)).alias("pb"),
@@ -586,16 +611,159 @@ per_type AS (
          sum(CASE WHEN period = 'b' THEN c ELSE 0 END) AS cb
   FROM binned GROUP BY 1, 2
 ),
+dense AS (
+  SELECT ty.event_type, b.bin,
+         coalesce(p.ca, 0) AS ca, coalesce(p.cb, 0) AS cb
+  FROM (SELECT DISTINCT event_type FROM per_type) ty
+  CROSS JOIN (SELECT CAST(gs.b AS BIGINT) AS bin
+              FROM generate_series(0, {PSI_BINS - 1}) AS gs(b)) b
+  LEFT JOIN per_type p
+    ON p.event_type = ty.event_type AND p.bin = b.bin
+),
 totals AS (
-  SELECT event_type, sum(ca) AS na, sum(cb) AS nb FROM per_type GROUP BY 1
+  SELECT event_type, sum(ca) AS na, sum(cb) AS nb FROM dense GROUP BY 1
 )
 SELECT p.event_type,
        sum(((p.ca + 1.0) / (t.na + {PSI_BINS})
             - (p.cb + 1.0) / (t.nb + {PSI_BINS}))
            * ln(((p.ca + 1.0) / (t.na + {PSI_BINS}))
                 / ((p.cb + 1.0) / (t.nb + {PSI_BINS})))) AS psi
-FROM per_type p JOIN totals t ON p.event_type = t.event_type
+FROM dense p JOIN totals t ON p.event_type = t.event_type
 GROUP BY p.event_type
 """
 
 QUERIES_SCALE["drift_psi_events"] = (drift_psi_events, DRIFT_PSI_SQL)
+
+
+# --- token-budget curation selection -------------------------------------
+
+BUDGET_FRACTION_PPM = 250_000  # select top docs until 25% of corpus tokens
+_STOPWORDS = (
+    "the,a,an,and,or,of,to,in,is,it,that,for,on,as,with,was,at,by,be,this"
+)
+
+
+def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the highest-quality documents until a corpus-level token
+    budget is exhausted — the canonical pretraining-mix curation shape
+    ("keep the best N tokens", not "the best N documents").  Output:
+    (doc_id, score, toks) for every selected document.
+
+    The 100 TB point is doing this WITHOUT a global sort: quality here
+    is an integer score in [0, 1000] (1000 * stopword_hits // tokens —
+    integer arithmetic end-to-end, so both engines order identically
+    with zero float hazards; the score definition is pluggable, the
+    selection machinery is the operator).  Plan:
+
+    1. one corpus scan -> (doc_id, score, toks);
+    2. groupBy(score) -> at most 1001 rows; a window cumsum over THIS
+       TINY table (score desc) finds the threshold score t*: every doc
+       scoring > t* is selected outright, and the budget remainder for
+       the boundary score class is carried alongside;
+    3. docs at exactly t* are rank-cumsum'd by doc_id (deterministic
+       tie-break) and admitted while they fit.  Only the boundary
+       CLASS ever sees a wide window; at 100 TB one recurses the same
+       histogram trick inside the class (or salts by doc_id range) —
+       documented, not needed at test scale.
+
+    The DuckDB oracle is a DIFFERENT algorithm — the naive global
+    window cumsum over (score DESC, doc_id) — so the hash check
+    certifies the histogram+boundary decomposition against the
+    textbook definition (the BFS/Bellman-Ford two-algorithm pattern).
+    Budget arithmetic is pure BIGINT (ppm fraction, floor), so the
+    admit/reject decision at every margin is exact on both engines.
+    """
+    stop_arr = "array(" + ",".join(f"'{w}'" for w in _STOPWORDS.split(",")) + ")"
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("size(split(lower(text), ' '))").cast("long").alias("toks"),
+        F.expr(
+            f"size(filter(split(lower(text), ' '), w -> array_contains({stop_arr}, w)))"
+        )
+        .cast("long")
+        .alias("hits"),
+    )
+    scored = d.filter(F.col("toks") > 0).select(
+        "doc_id",
+        F.expr("1000 * hits div toks").alias("score"),
+        "toks",
+    )
+    budget = scored.agg(
+        F.expr(
+            f"cast(sum(toks) * {BUDGET_FRACTION_PPM} div 1000000 as bigint)"
+        ).alias("budget")
+    )
+    # score-class histogram: <= 1001 rows, so the single-partition
+    # window here is free; cum_before = tokens in strictly-better
+    # classes, the per-class admission budget is budget - cum_before.
+    classes = (
+        scored.groupBy("score")
+        .agg(F.sum("toks").alias("class_toks"))
+        .crossJoin(F.broadcast(budget))
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("class_toks").over(
+                    Window.orderBy(F.desc("score")).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("class_budget", F.col("budget") - F.col("cum_before"))
+        .filter(F.col("class_budget") > 0)
+        .select("score", "class_toks", "class_budget")
+    )
+    with_cls = scored.join(F.broadcast(classes), "score")
+    # full classes admit without any per-doc ordering work; only the
+    # boundary class (class_toks > class_budget) pays a cumsum, and
+    # only over its own members.
+    full = with_cls.filter(F.col("class_toks") <= F.col("class_budget"))
+    boundary = (
+        with_cls.filter(F.col("class_toks") > F.col("class_budget"))
+        .withColumn(
+            "cum",
+            F.sum("toks").over(
+                Window.partitionBy("score").orderBy("doc_id").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        .filter(F.col("cum") <= F.col("class_budget"))
+    )
+    return full.unionByName(boundary.drop("cum")).select(
+        "doc_id", "score", "toks"
+    )
+
+
+_STOP_DUCK = "[" + ",".join(f"'{w}'" for w in _STOPWORDS.split(",")) + "]"
+
+QUALITY_BUDGET_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         1000 * len(list_filter(string_split(lower(text), ' '),
+                                w -> list_contains({_STOP_DUCK}, w)))
+             // len(string_split(lower(text), ' ')) AS score,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS toks
+  FROM documents
+  WHERE len(string_split(lower(text), ' ')) > 0
+),
+b AS (
+  SELECT CAST(sum(toks) * {BUDGET_FRACTION_PPM} // 1000000 AS BIGINT) AS budget
+  FROM scored
+),
+ranked AS (
+  SELECT doc_id, score, toks,
+         sum(toks) OVER (ORDER BY score DESC, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM scored
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score, toks
+FROM ranked, b WHERE cum <= budget
+"""
+
+QUERIES_SCALE["quality_budget_select"] = (
+    quality_budget_select,
+    QUALITY_BUDGET_SQL,
+)

@@ -346,11 +346,16 @@ def stats_correlation_double(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * (cast(n as double) * q_{b} - s_{b} * s_{b})), 6)"
         )
 
+    pairs = list(combinations(_CORR_COLS, 2))
     stack_args = ", ".join(
-        f"'{a}', '{b}', {corr_expr(a, b)}"
-        for a, b in combinations(_CORR_COLS, 2)
+        f"'{a}', '{b}', {corr_expr(a, b)}" for a, b in pairs
     )
-    return m.selectExpr(f"stack(6, {stack_args}) as (col_x, col_y, corr)")
+    # n_pairs is derived, not hardcoded: a literal stack(6, ...) would
+    # still parse if _CORR_COLS grew and silently emit a wrong-shaped
+    # 6-row result (r5 advice)
+    return m.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) as (col_x, col_y, corr)"
+    )
 
 
 def _stats_correlation_double_sql() -> str:

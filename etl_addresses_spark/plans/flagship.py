@@ -198,6 +198,8 @@ def reference_e2e_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(
         tempfile.gettempdir(),
         "etl_addresses_spark_e2e",
+        # pid-discriminated: concurrent processes must not share sinks
+        str(os.getpid()),
         os.path.basename(os.path.normpath(sf_dir)),
     )
     ndjson.write_ndjson(
@@ -219,3 +221,40 @@ def reference_e2e_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
         ndjson.HOUSE_NUMBERS_SCHEMA,
     )
     return inferred_flat(infer_addresses(house_numbers, streets))
+
+
+def infer_addresses_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A1 progress counter (addresses.js:49-59) promoted to DATA:
+    run the flagship infer under an `Observation`, force one full
+    noop-sink pass (executor-side metric collection, no driver
+    collect of the data path), and return the observed
+    processed/matched/unmatched counts as a 1-row DataFrame.
+
+    This certifies the observability contract itself — the counts the
+    operator reports are hash-checked against the counts the oracle
+    derives from the inferred output (count(*) / count(streetId) /
+    count(error)), so a drifting metric definition fails the driver,
+    not just a pytest assertion.  Cost: one extra flagship pass; the
+    metrics ride the job for free (the Spark replacement for the
+    reference's per-10k-rows console logging)."""
+    from etl_addresses_spark.operators.spatial_join import (
+        infer_addresses_observed,
+    )
+
+    observed, obs = infer_addresses_observed(
+        house_numbers_df(spark, sf_dir), streets_df(spark, sf_dir)
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["processed"], m["matched"], m["unmatched"])],
+        "processed bigint, matched bigint, unmatched bigint",
+    )
+
+
+INFER_METRICS_SQL = INFERRED_CTES + """
+SELECT CAST(count(*) AS BIGINT) AS processed,
+       CAST(count(streetId) AS BIGINT) AS matched,
+       CAST(count(error) AS BIGINT) AS unmatched
+FROM inferred
+"""

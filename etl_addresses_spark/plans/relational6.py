@@ -500,7 +500,13 @@ def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     updated = survivors.withColumn(
         "o_totalprice",
         F.when(
-            F.col("o_orderkey") % 31 == 0, F.col("o_totalprice") + F.lit(1.0)
+            # decimal literal, NOT F.lit(1.0): a double literal would
+            # promote the whole column to DOUBLE while the DuckDB
+            # oracle's `+ 1.0` stays DECIMAL — the fingerprint would
+            # then rely on 2-decimal values round-tripping through
+            # binary double exactly (r5 advice)
+            F.col("o_orderkey") % 31 == 0,
+            F.col("o_totalprice") + F.lit("1.00").cast("decimal(18,2)"),
         ).otherwise(F.col("o_totalprice")),
     )
     inserted = survivors.filter(F.col("o_orderkey") % 53 == 0).withColumn(

@@ -453,9 +453,14 @@ def stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_addresses_spark.sources.tables import load_table
 
+    # pid-discriminated scratch: a fixed path raced when two processes
+    # (e.g. bench + a concurrency sweep) ran the same fixture at once —
+    # both rmtree'd and streamed over the SAME checkpoint dir (r5
+    # advice).  Within one process reruns still reuse + reset the dir.
     base = os.path.join(
         "/tmp",
-        f"spark_graft_restart_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"spark_graft_restart_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}",
     )
     shutil.rmtree(base, ignore_errors=True)
     src_dir = os.path.join(base, "in")
@@ -594,9 +599,11 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_addresses_spark.sources.tables import load_table
 
+    # pid-discriminated scratch (see stream_restart_exactly_once)
     base = os.path.join(
         "/tmp",
-        f"spark_graft_cdc_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"spark_graft_cdc_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}",
     )
     shutil.rmtree(base, ignore_errors=True)
     src = os.path.join(base, "in")
@@ -611,7 +618,11 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(F.col("o_orderkey") % 31 == 0)
         .select(
             "o_orderkey",
-            (F.col("price") + F.lit(1.0)).cast("decimal(18,2)").alias("price"),
+            # decimal literal keeps the arithmetic in DECIMAL on both
+            # engines — +F.lit(1.0) would transit double (r5 advice)
+            (F.col("price") + F.lit("1.00").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("price"),
             F.lit(1).alias("seq"),
             F.lit("U").alias("op"),
         )

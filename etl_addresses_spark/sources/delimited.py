@@ -75,6 +75,8 @@ def delimited_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(
         tempfile.gettempdir(),
         "etl_addresses_spark_csv",
+        # pid-discriminated: concurrent processes must not share sinks
+        str(os.getpid()),
         os.path.basename(os.path.normpath(sf_dir)),
     )
     write_csv(load_table(spark, sf_dir, "documents"), base)

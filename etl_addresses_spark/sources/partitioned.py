@@ -47,6 +47,8 @@ def partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(
         tempfile.gettempdir(),
         "etl_addresses_spark_part",
+        # pid-discriminated: concurrent processes must not share sinks
+        str(os.getpid()),
         os.path.basename(os.path.normpath(sf_dir)),
     )
     write_partitioned(load_table(spark, sf_dir, "events"), base, "event_type")

@@ -39,6 +39,8 @@ def rawtext_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(
         tempfile.gettempdir(),
         "etl_addresses_spark_rawtext",
+        # pid-discriminated: concurrent processes must not share sinks
+        str(os.getpid()),
         os.path.basename(os.path.normpath(sf_dir)),
     )
     e = load_table(spark, sf_dir, "events")

@@ -115,3 +115,56 @@ def test_anomaly_flags_are_three_sigma(spark):
             if abs(r.v - mu) > 3 * sd:
                 want.add(r.event_id)
     assert flagged == want
+
+
+def test_quality_budget_select_invariants(spark):
+    from etl_addresses_spark.operators.scalepatterns import (
+        BUDGET_FRACTION_PPM,
+        quality_budget_select,
+    )
+
+    sel = quality_budget_select(spark, SF_ORACLE)
+    docs = load_table(spark, SF_ORACLE, "documents")
+    total = docs.selectExpr(
+        "cast(sum(size(split(lower(text), ' '))) as bigint) AS t"
+    ).first().t
+    budget = total * BUDGET_FRACTION_PPM // 1_000_000
+    rows = sel.collect()
+    used = sum(r.toks for r in rows)
+    # fits the budget...
+    assert used <= budget
+    # ...and equals the definitional selection: the longest PREFIX of
+    # the (score desc, doc_id asc) ordering whose token cumsum fits —
+    # replicated here driver-side from raw documents (third
+    # independent implementation after the Spark histogram
+    # decomposition and the DuckDB window oracle)
+    chosen = {r.doc_id for r in rows}
+    all_scored = docs.selectExpr(
+        "doc_id",
+        "1000 * size(filter(split(lower(text), ' '), w -> array_contains("
+        "array('the','a','an','and','or','of','to','in','is','it','that',"
+        "'for','on','as','with','was','at','by','be','this'), w))) "
+        "div size(split(lower(text), ' ')) AS score",
+        "cast(size(split(lower(text), ' ')) as bigint) AS toks",
+    ).collect()
+    expected, cum = set(), 0
+    for r in sorted(all_scored, key=lambda r: (-r.score, r.doc_id)):
+        if cum + r.toks > budget:
+            break
+        cum += r.toks
+        expected.add(r.doc_id)
+    assert chosen == expected and used == cum
+
+
+def test_quality_budget_select_no_global_sort(spark):
+    from etl_addresses_spark.operators.scalepatterns import (
+        quality_budget_select,
+    )
+
+    plan = quality_budget_select(
+        spark, SF_ORACLE
+    )._jdf.queryExecution().executedPlan().toString()
+    # the corpus never range-partitions (no global sort); only the
+    # <=1001-row score-class table may see a single-partition window
+    assert "rangepartitioning" not in plan.lower()
+    assert "CartesianProduct" not in plan
