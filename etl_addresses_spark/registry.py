@@ -50,6 +50,12 @@ class Entry:
 
 _ALL: dict[str, Entry] = {
     "spatiotemporal_join": Entry(flagship.spatiotemporal_join, flagship.ORACLE_SQL),
+    # round 6: the A1 observability counter as a driver-checked row —
+    # executor-collected Observation metrics hash-checked against the
+    # oracle's own counts over the inferred output.
+    "infer_addresses_metrics": Entry(
+        flagship.infer_addresses_metrics, flagship.INFER_METRICS_SQL
+    ),
     "spatiotemporal_join_knn": Entry(
         flagship.spatiotemporal_join_knn, flagship.ORACLE_SQL_KNN
     ),
@@ -186,78 +192,74 @@ _ALL: dict[str, Entry] = {
 }
 
 # The grading driver cross-checks exactly the FIRST 50 registry entries
-# (dict order) against DuckDB each round.  Round-5 rotation follows the
-# r4 verdict (item 3) and the mechanical ledger
-# (tools/coverage_ledger.py, built from the committed CORRECTNESS
-# artifacts): first the four entries whose latest DRIVER evidence is
-# still round 1, then this round's six new queries, then 40 of the 41
-# entries whose latest driver evidence is round 2 — restoring the
-# invariant "no entry's latest driver evidence older than N-2" at r6.
-# The r2 entries left out (never-checked-beats-stale precedent, their
-# slots went to the seventeen round-5 additions): cosine_topk
-# (superseded in practice by cosine_topk_fast, which is in),
-# set_union_buyers, text_top_terms, q11_important_parts,
-# q12_priority_by_status, q13_order_distribution, scalar_array_funcs,
-# unpivot_measures, and — for the seven late-round-5 queries —
-# q10_returned_revenue, q14_promo_share, q17_small_quantity_revenue,
-# q18_large_orders, q15_top_supplier, q16_supplier_variety,
-# q22_idle_customers (the TPC-H family keeps 9 fresher members in the
-# window incl. the new q3/q5) — all fifteen re-swept green in
-# CORRECTNESS_FULL_r05* at HEAD.
+# (dict order) against DuckDB each round.  Round-6 rotation is derived
+# MECHANICALLY from tools/coverage_ledger.py at end of round 5 (r5
+# advice: no hand-written counts — regenerate the ledger and rebuild
+# this list oldest-first on any change): the window is every entry
+# whose latest driver evidence is r01 (1: events_window_agg) or r02
+# (all 15), plus this round's new entries (no driver row exists yet),
+# plus the alphabetically-first r03 entries up to the 50-slot cap.
+# The r03 entries that don't fit (the alphabetical tail — see the
+# ledger for the authoritative list) stay full-sweep-green at HEAD via
+# CORRECTNESS_FULL artifacts and go FIRST into the r7 window.  With 63
+# entries at/below r03 and 50 slots, the "no driver evidence older
+# than N-2" invariant is now pigeonhole-infeasible in one round; the
+# binding form of the invariant is "oldest-first, every round".
 DRIVER_WINDOW: list[str] = [
     # -- latest driver evidence is ROUND 1 (ledger-oldest) ----------
-    "agg_cube",
-    "agg_pivot_case",
-    "scalar_string_date",
-    "set_intersect_buyers",
-    # -- new round 5: no driver row exists yet ----------------------
-    "stats_correlation_double",
-    "stream_restart_exactly_once",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "fuzzy_name_match_passjoin",
-    "train_order_shuffle",
-    "table_diff_snapshots",
-    "bucketed_join_colocated",
-    "stream_topk_event_types",
-    "graph_communities_labelprop",
-    "stream_cdc_upsert",
-    "ann_recall_eval",
-    "drift_psi_events",
-    "sessions_path_topk",
-    "stats_regression_group",
-    "fuzzy_title_match_passjoin",
-    "graph_bfs_distances",
-    "embedding_gram_matrix",
-    "embedding_top_pc",
-    "embedding_pc_scores",
+    "events_window_agg",
     # -- latest driver evidence is ROUND 2 (ledger order) -----------
-    "ann_ivf_topk",
-    "asof_join_events",
-    "cosine_topk_fast",
-    "dedup_clusters",
-    "dedup_exact",
-    "events_sessionize",
-    "fuzzy_name_match",
-    "join_topk_order_revenue",
-    "merge_upsert",
-    "ngram_jaccard_pairs",
-    "q19_disjunctive_revenue",
-    "q21_sole_late_supplier",
-    "q2_min_cost_part",
-    "q4_late_shipments",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "scd2_history",
-    "sort_limit_global",
-    "spatiotemporal_join",
-    "st_contains_join",
-    "stream_dedup_keys",
-    "transform_objects",
-    "window_frames",
-    "window_topk_per_group",
+    "cosine_topk",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_priority_by_status",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q22_idle_customers",
+    "scalar_array_funcs",
+    "set_union_buyers",
+    "text_top_terms",
+    "unpivot_measures",
+    # -- new round 6: no driver row exists yet ----------------------
+    "infer_addresses_metrics",
+    "quality_budget_select",
+    # -- latest driver evidence is ROUND 3 (ledger order, first 33) -
+    "ann_ivf_lloyd_topk",
+    "ann_pq_topk",
+    "approx_quantiles_orders",
+    "bloom_prune_join",
+    "bm25_topk",
+    "chunk_documents",
+    "cms_heavy_hitters",
+    "cohort_retention",
+    "curate_corpus",
+    "decontaminate_ngram",
+    "dedup_keep_best",
+    "dedup_substring_blocks",
+    "embedding_srp_lsh_pairs",
+    "funnel_conversion",
+    "hll_distinct_parts",
+    "hll_mergeable_union",
+    "incremental_agg_merge",
+    "interval_overlap_join",
+    "kmeans_cluster_sizes",
+    "lm_bigram_logprob",
+    "minhash_lsh_pairs",
+    "pack_sequences",
+    "pagerank_relations",
+    "pii_redact",
+    "profile_columns",
+    "q20_dominant_suppliers",
+    "quality_classifier_score",
+    "quality_gopher_flags",
+    "repetition_ngram_score",
+    "sample_fixed_k",
+    "sample_stratified",
+    "semantic_dedup",
 ]
 
 REGISTRY: dict[str, Entry] = {

@@ -27,7 +27,14 @@ def get_spark(app_name: str = "etl_addresses_spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (bench noise); SPARK_GRAFT_UI=1 enables it
+        # so stress tools can read per-stage shuffle bytes from the
+        # REST API (tools/stress_scale.py).
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
+        .config("spark.ui.retainedStages", "2000")
         # ~128 MB parquet split targets; on a real cluster this keeps
         # task counts proportional to input bytes at 100 TB.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -1,0 +1,188 @@
+"""sf1-class scale evidence (r5 verdict item 5).
+
+Builds a FACTOR x (default 10x => "sf1-class") replica of sf0.1 under
+/tmp, runs the most scale-sensitive registry queries at BOTH scales in
+one session with the bench hygiene protocol, and records wall time
+plus per-query shuffle read/write and input bytes from the Spark REST
+API — converting the "would the plan survive 10x" design arguments
+into committed numbers (shuffle bytes growing ~linearly with input is
+the pass signal; a super-linear jump flags a plan that would not
+survive 100 TB).
+
+Replication is key-disjoint so workload STRUCTURE scales instead of
+degenerating:
+- every key column gets a per-replica offset of r * (max_key + 1), so
+  joins/groups see FACTOR x more keys, not FACTOR x hotter keys;
+- l_partkey is offset too, so the parts-bought-together graph becomes
+  FACTOR disjoint copies (graph ops scale in nodes+edges rather than
+  collapsing onto the same graph with duplicate edges);
+- documents.text word-salts every token with the replica id, so
+  within-replica near-dup structure is preserved exactly while NO
+  cross-replica shingle ever matches (plain text replication would
+  make every replica pair a near-dup and blow up LSH pair output
+  quadratically — a data-degeneracy artifact, not a scale signal);
+- embeddings get a small deterministic per-replica perturbation so
+  vector queries see FACTOR x distinct points, not FACTOR x exact ties.
+
+Usage: python tools/stress_scale.py [factor]  (writes
+tools/evidence/r6_scale_sf1.json and prints the same JSON).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+os.environ["SPARK_GRAFT_UI"] = "1"  # REST metrics source (session.py)
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_addresses_spark.ckpt import free_all_persistent_rdds  # noqa: E402
+from etl_addresses_spark.registry import REGISTRY  # noqa: E402
+from etl_addresses_spark.session import get_spark  # noqa: E402
+from etl_addresses_spark.sources.tables import load_table  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+OUT = f"/tmp/spark_graft_scaled_{FACTOR}x_{os.path.basename(SRC)}"
+
+QUERIES = [
+    "spatiotemporal_join",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "dedup_clusters",
+    "embedding_gram_matrix",
+    "graph_communities_labelprop",
+    "graph_bfs_distances",
+    "triangle_count",
+    "cosine_topk_fast",
+]
+
+# key columns to offset per table (offset base = max+1, computed once)
+KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY = ["region", "nation"]
+
+
+def build_scaled(spark) -> None:
+    marker = os.path.join(OUT, "_BUILT")
+    if os.path.exists(marker):
+        return
+    os.makedirs(OUT, exist_ok=True)
+    for t in COPY:
+        load_table(spark, SRC, t).write.mode("overwrite").parquet(
+            os.path.join(OUT, f"{t}.parquet")
+        )
+    for t, keys in KEYS.items():
+        df = load_table(spark, SRC, t)
+        bases = df.agg(
+            *[(F.max(k) + F.lit(1)).alias(k) for k in keys]
+        ).first()
+        rep = df.select(
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(FACTOR - 1).cast("long"))
+            ).alias("_r"),
+            "*",
+        )
+        for k in keys:
+            rep = rep.withColumn(k, F.col(k) + F.col("_r") * F.lit(bases[k]))
+        if t == "documents":
+            rep = rep.withColumn(
+                "text",
+                F.expr(
+                    "array_join(transform(split(text, ' '), "
+                    "w -> concat(w, '_r', cast(_r as string))), ' ')"
+                ),
+            )
+        if t == "embeddings":
+            rep = rep.withColumn(
+                "embedding",
+                F.expr(
+                    "transform(embedding, (x, i) -> cast(x + "
+                    "(_r % 7 - 3) * 1.0e-4 * ((i % 5) + 1) as float))"
+                ),
+            )
+        rep.drop("_r").write.mode("overwrite").parquet(
+            os.path.join(OUT, f"{t}.parquet")
+        )
+    open(marker, "w").close()
+
+
+def _rest_totals(app_url: str) -> dict[str, int]:
+    with urllib.request.urlopen(f"{app_url}/stages", timeout=10) as r:
+        stages = json.load(r)
+    tot = {"shuffle_read": 0, "shuffle_write": 0, "input_bytes": 0}
+    for s in stages:
+        tot["shuffle_read"] += s.get("shuffleReadBytes", 0)
+        tot["shuffle_write"] += s.get("shuffleWriteBytes", 0)
+        tot["input_bytes"] += s.get("inputBytes", 0)
+    return tot
+
+
+def main() -> None:
+    spark = get_spark("stress-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    app_url = f"{ui}/api/v1/applications/{app_id}"
+
+    t0 = time.perf_counter()
+    build_scaled(spark)
+    build_s = round(time.perf_counter() - t0, 1)
+
+    import gc
+
+    results: dict[str, dict] = {}
+    for sf_name, sf_dir in [("sf0.1", SRC), (f"sf0.1x{FACTOR}", OUT)]:
+        for name in QUERIES:
+            spark.catalog.clearCache()
+            free_all_persistent_rdds(spark)
+            gc.collect()
+            before = _rest_totals(app_url)
+            t0 = time.perf_counter()
+            REGISTRY[name].query(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            wall = round(time.perf_counter() - t0, 2)
+            after = _rest_totals(app_url)
+            results.setdefault(name, {})[sf_name] = {
+                "sec": wall,
+                **{k: after[k] - before[k] for k in after},
+            }
+            print(f"{sf_name} {name}: {wall}s", file=sys.stderr)
+
+    # scale ratios: wall + shuffle growth vs the FACTOR x input growth
+    for name, r in results.items():
+        a, b = r["sf0.1"], r[f"sf0.1x{FACTOR}"]
+        r["ratio"] = {
+            k: (round(b[k] / a[k], 2) if a[k] else None)
+            for k in ("sec", "shuffle_read", "shuffle_write", "input_bytes")
+        }
+    out = {
+        "factor": FACTOR,
+        "build_sec": build_s,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "queries": results,
+    }
+    path = "/root/repo/tools/evidence/r6_scale_sf1.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
