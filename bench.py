@@ -217,8 +217,12 @@ def main() -> None:
             # 1.98 -> 9.25 s); see ckpt.py.  gc.collect() releases the
             # py4j handles so the JVM side is actually collectable.
             spark.catalog.clearCache()
-            free_all_persistent_rdds(spark)
-            gc.collect()
+            # SPARK_GRAFT_BENCH_NO_HYGIENE=1 disables the block free
+            # (A/B evidence knob: reproduces the r5 accumulated-residue
+            # repeat growth on demand; never set for real benches)
+            if os.environ.get("SPARK_GRAFT_BENCH_NO_HYGIENE") != "1":
+                free_all_persistent_rdds(spark)
+                gc.collect()
         repeats[name] = per_run
         timings[name] = min(per_run)
     cal_after = _calibrate()

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_addresses_spark.ckpt import CheckpointChain
-from etl_addresses_spark.sources.tables import load_table
+from etl_addresses_spark.sources.tables import fan_out, load_table
 
 EMB_DIM = 64
 PI_ITERS = 8
@@ -47,7 +47,10 @@ def _gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the d^2-per-row hot loop (stats_correlation's measured ratio) for
     precision five orders below the publication quantum.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out: the d^2 expansion is ~4096 multiplies per 64-float row;
+    # without it a dense single-split input serializes the whole pass
+    # on one core (measured 31x at the 10x scale run, pre-fix)
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
     flat = F.expr(
         "flatten(transform(embedding, x -> "
         "transform(embedding, y -> cast(x as double) * cast(y as double))))"

@@ -166,8 +166,14 @@ def cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cosine_topk_fast_for(e: DataFrame) -> DataFrame:
     """Throughput variant: same sequential-fold scoring but with norms
     computed inline per side (no norm join) — one narrow projection per
-    side plus the broadcast, nothing else."""
-    corpus = e.select(
+    side plus the broadcast, nothing else.  The corpus side is
+    fan_out-repartitioned: each corpus row pays |queries| x d multiplies
+    against the broadcast, so scan-split parallelism must not bound the
+    kernel (tables.fan_out; measured single-split serialization at the
+    10x scale run)."""
+    from etl_addresses_spark.sources.tables import fan_out
+
+    corpus = fan_out(e, e.sparkSession).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("cand_emb"),
         _norm_col(F.col("embedding")).alias("cand_norm"),
@@ -400,15 +406,27 @@ def ann_ivf_topk_for(e: DataFrame, centroid_mod: int = 100) -> DataFrame:
     deterministic pseudo-centroids; every vector is assigned to its
     nearest centroid (broadcast centroid list), and each query probes
     the nprobe=2 nearest centroid lists only.  Rows-only check
-    (approximate by construction); recall asserted in pytest."""
+    (approximate by construction); recall asserted in pytest.
+
+    Scale note: mod-derived centroids keep this row deterministic but
+    make k grow like N/100, so the assignment pass costs N*k*d =
+    N^2*d/100 — at production scale set k ~ c*sqrt(N) (or use the
+    fixed-k learned centroids of `ann_ivf_lloyd_topk`, which is the
+    true 100 TB path: assignment is then strictly linear in N).  The
+    corpus side is fan_out-repartitioned for the same reason as the
+    Gram pass: the per-row assignment kernel dwarfs its input bytes."""
     dot = _pair_dot_seq
     norm = _norm_col
+    from etl_addresses_spark.sources.tables import fan_out
+
     cents = e.filter(F.col("vec_id") % centroid_mod == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cent_emb"),
         norm(F.col("embedding")).alias("cent_norm"),
     )
-    vecs = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("vnorm"))
+    vecs = fan_out(e, e.sparkSession).select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("vnorm")
+    )
     # assignment: nearest centroid per vector (broadcast centroids)
     assign_scored = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id",

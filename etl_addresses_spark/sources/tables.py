@@ -100,3 +100,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so spark.sql can reference it."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Decouple compute parallelism from scan splits before a
+    high-fan-out per-row kernel (the Gram d^2 expansion, brute-force
+    cosine scoring: 100-4000x more work per row than bytes per row).
+
+    Why: split count comes from file bytes (maxPartitionBytes), so a
+    small-but-dense columnar input can land in ONE split and serialize
+    the whole kernel on one core — measured at the 10x scale run: the
+    Gram pass was 31x slower at 10x data because 20k vectors compress
+    to a single ~4 MB parquet split (tools/evidence/r6_scale_sf1.json,
+    pre-fix).  A round-robin repartition to defaultParallelism moves
+    only the raw input bytes once — negligible against the kernel's
+    fan-out — and restores full-width execution at any input size; on
+    a 100 TB corpus the scan already has >= cores splits and this
+    becomes a cheap rebalance.  (Float note: repartitioning changes
+    per-partition sum association; every consumer of this helper
+    publishes at a rounding quantum orders above the ulp drift.)
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism)

@@ -62,6 +62,10 @@ QUERIES = [
     "graph_bfs_distances",
     "triangle_count",
     "cosine_topk_fast",
+    # the ANN contrast row for cosine_topk_fast: the exact tier's cost
+    # is N x |queries| (queries scale with the corpus -> ~factor^2);
+    # the IVF tier prunes to nprobe lists per query
+    "ann_ivf_topk",
 ]
 
 # key columns to offset per table (offset base = max+1, computed once)
@@ -146,24 +150,46 @@ def main() -> None:
 
     import gc
 
+    # fixed pure-CPU calibration (the bench.py row): host contention —
+    # the r5 triangle_count lesson — must be legible in the artifact,
+    # not argued afterwards.  Run before/between/after the scale blocks.
+    def _calibrate() -> list[float]:
+        times = []
+        for _ in range(3):
+            c0 = time.perf_counter()
+            spark.range(0, 200_000_000, 1, 32).selectExpr(
+                "sum(id * 2654435761 % 1000003) AS s"
+            ).write.format("noop").mode("overwrite").save()
+            times.append(round(time.perf_counter() - c0, 3))
+        return times
+
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+    calibration = {"start": _calibrate()}
     results: dict[str, dict] = {}
     for sf_name, sf_dir in [("sf0.1", SRC), (f"sf0.1x{FACTOR}", OUT)]:
         for name in QUERIES:
-            spark.catalog.clearCache()
-            free_all_persistent_rdds(spark)
-            gc.collect()
-            before = _rest_totals(app_url)
-            t0 = time.perf_counter()
-            REGISTRY[name].query(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            wall = round(time.perf_counter() - t0, 2)
-            after = _rest_totals(app_url)
+            per_run, best_delta = [], None
+            for _ in range(repeats):
+                spark.catalog.clearCache()
+                free_all_persistent_rdds(spark)
+                gc.collect()
+                before = _rest_totals(app_url)
+                t0 = time.perf_counter()
+                REGISTRY[name].query(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                wall = round(time.perf_counter() - t0, 2)
+                after = _rest_totals(app_url)
+                if not per_run or wall < min(per_run):
+                    best_delta = {k: after[k] - before[k] for k in after}
+                per_run.append(wall)
             results.setdefault(name, {})[sf_name] = {
-                "sec": wall,
-                **{k: after[k] - before[k] for k in after},
+                "sec": min(per_run),
+                "repeats": per_run,
+                **best_delta,
             }
-            print(f"{sf_name} {name}: {wall}s", file=sys.stderr)
+            print(f"{sf_name} {name}: {per_run}", file=sys.stderr)
+        calibration[f"after_{sf_name}"] = _calibrate()
 
     # scale ratios: wall + shuffle growth vs the FACTOR x input growth
     for name, r in results.items():
@@ -176,9 +202,16 @@ def main() -> None:
         "factor": FACTOR,
         "build_sec": build_s,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "shuffle_partitions": os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+            os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        ),
+        "calibration": calibration,
         "queries": results,
     }
-    path = "/root/repo/tools/evidence/r6_scale_sf1.json"
+    path = os.environ.get(
+        "SPARK_GRAFT_SCALE_OUT", "/root/repo/tools/evidence/r6_scale_sf1.json"
+    )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
