@@ -683,10 +683,20 @@ def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hits"),
     )
-    scored = d.filter(F.col("toks") > 0).select(
-        "doc_id",
-        F.expr("1000 * hits div toks").alias("score"),
-        "toks",
+    # cache the 3-long-column projection: classes, the full-class
+    # branch and the boundary branch all read it, and without the
+    # cache each union branch would re-scan AND re-tokenize the text
+    # corpus (3 passes over the expensive part).  At 100 TB `scored`
+    # is ~24 B/doc — orders smaller than the text it summarizes — the
+    # classic score-once materialization.
+    scored = (
+        d.filter(F.col("toks") > 0)
+        .select(
+            "doc_id",
+            F.expr("1000 * hits div toks").alias("score"),
+            "toks",
+        )
+        .cache()
     )
     budget = scored.agg(
         F.expr(
