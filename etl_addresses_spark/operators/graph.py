@@ -386,21 +386,26 @@ def graph_communities_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram (label, size) after the final round.
 
     Scale shape: one round = one edge-side join against the
-    (node, label) table + one (node, label) count + one
-    row_number-argmax per node — O(E) shuffle per round, the same
-    per-iteration cost profile as PageRank above, with the SAME
-    bounded-lineage hygiene (`localCheckpoint` per round; without it
-    the 4-round plan nests joins 4 deep and planning time explodes
-    first).  The undirected neighbor list is materialized ONCE,
-    repartitioned by probe key and cached, so each round shuffles
-    only the label table.
+    (node, label) table + a two-level hash aggregation — count per
+    (node, candidate-label), then argmax per node as
+    max(struct(count, -label)) so BOTH levels get map-side partial
+    aggregation and the (count DESC, label ASC) tie-break is encoded
+    arithmetically (labels are non-negative ids, so max(-label) =
+    min(label); the r6 10x run replaced the earlier row_number window
+    with this after measuring its extra votes-table shuffle + sort).
+    `localCheckpoint` per round bounds lineage.  The undirected
+    neighbor list is materialized ONCE, repartitioned by the JOIN key
+    `w` and cached — the r6 10x scale run caught the original
+    `repartition("v_")`: partitioned on the wrong key, the cached
+    edge table silently re-shuffled EVERY round (shuffle bytes 20x at
+    10x data); on `w` each round moves only the label table into the
+    edges' partitioning.
 
     The fixed iteration count unrolls into chained MATERIALIZED CTEs
     for the DuckDB oracle (`labelprop_oracle_sql`), the same
     technique as pagerank/kmeans/IVF-Lloyd — integer labels and
     integer counts, so the check is exact, no float residue at all."""
     from etl_addresses_spark.sources.tables import load_table
-    from pyspark.sql import Window as W
 
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -421,13 +426,12 @@ def graph_communities_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     nbr = (
         edges.select(F.col("u").alias("v_"), F.col("v").alias("w"))
         .unionAll(edges.select(F.col("v").alias("v_"), F.col("u").alias("w")))
-        .repartition("v_")
+        .repartition("w")
         .cache()
     )
     labels = nbr.select(F.col("v_").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )
-    w_rank = W.partitionBy("v_").orderBy(F.desc("c"), F.asc("lab"))
     chain = CheckpointChain()
     for _ in range(LPA_ITERS):
         votes = (
@@ -437,9 +441,9 @@ def graph_communities_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # step() frees the previous round's label blocks (ckpt.py)
         labels = chain.step(
-            votes.withColumn("rn", F.row_number().over(w_rank))
-            .filter(F.col("rn") == 1)
-            .select(F.col("v_").alias("node"), "lab"),
+            votes.groupBy(F.col("v_").alias("node"))
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("lab")),
             "labels",
         )
     return (

@@ -67,6 +67,13 @@ QUERIES = [
     # the IVF tier prunes to nprobe lists per query
     "ann_ivf_topk",
 ]
+# attribution runs: restrict to a subset (comma-separated names)
+if os.environ.get("SPARK_GRAFT_SCALE_QUERIES"):
+    QUERIES = [
+        q.strip()
+        for q in os.environ["SPARK_GRAFT_SCALE_QUERIES"].split(",")
+        if q.strip()
+    ]
 
 # key columns to offset per table (offset base = max+1, computed once)
 KEYS = {
