@@ -114,7 +114,14 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     mat-vec is a join + groupBy-sum, the norm is a 1-row aggregate
     crossJoined back (broadcast scalar, the pagerank dangling-mass
     template), `localCheckpoint` per round keeps the 8-deep plan
-    flat.  At 100 TB the expensive part is the ONE corpus pass in
+    flat.  The per-round checkpoint is NOT optional even at d-row
+    size: an r6 experiment ran the 8 rounds lazily (one plan, no
+    checkpoints) expecting to save 8 scheduling floors, and the
+    nested scalar-aggregate/crossJoin tree instead blew Catalyst's
+    optimization cost to 16.9 s vs 3.5 s checkpointed — lineage
+    bounding here pays for PLANNING time, not executor time (the
+    inverse of the pagerank rationale; both are pinned by this
+    number).  At 100 TB the expensive part is the ONE corpus pass in
     `_gram`; the iteration itself touches only d^2 = {EMB_DIM ** 2}
     rows and is scale-free.  Fixed iteration count -> unrolled-CTE
     oracle (`top_pc_oracle_sql`), the pagerank/kmeans technique;
@@ -135,8 +142,7 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
         # step() frees round k-1's iterate blocks AFTER round k
-        # materializes — checkpoint residue was the prime suspect for
-        # BENCH_r05's monotone repeat growth in a shared session.
+        # materializes (ckpt.py — the r5 repeat-growth fix)
         v = chain.step(
             w.crossJoin(norm).select(
                 F.col("i").alias("vj"), (F.col("w") / F.col("nrm")).alias("val")
