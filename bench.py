@@ -136,6 +136,11 @@ HEADLINE = [
     # ...and the token-budget curation selection (histogram threshold,
     # no global sort — the boundary-class window is the only ranked op)
     "quality_budget_select",
+    # ...and the small-file compaction maintenance pass (fragment 64
+    # shards -> bytes-proportional range-clustered rewrite; the
+    # fragment+compact write cost IS the operator, like the other
+    # sink-contract rows)
+    "compact_small_files",
 ]
 
 # Bisect/pinning hook: SPARK_GRAFT_BENCH_QUERIES="a,b,c" restricts the

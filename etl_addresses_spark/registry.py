@@ -24,7 +24,13 @@ from etl_addresses_spark.operators import (
     scalepatterns,
     similarity,
 )
-from etl_addresses_spark.sources import bucketing, delimited, partitioned, rawtext
+from etl_addresses_spark.sources import (
+    bucketing,
+    compaction,
+    delimited,
+    partitioned,
+    rawtext,
+)
 from etl_addresses_spark.plans import (
     extensions,
     flagship,
@@ -189,6 +195,12 @@ _ALL: dict[str, Entry] = {
     "bucketed_join_colocated": Entry(
         bucketing.bucketed_join_colocated, bucketing.BUCKETED_JOIN_SQL
     ),
+    # round 6: the small-file compaction maintenance pass, certified by
+    # full-column identity aggregate vs the original table (file-count
+    # and range-clustering contracts asserted inside the operator).
+    "compact_small_files": Entry(
+        compaction.compact_small_files, compaction.COMPACT_SMALL_FILES_SQL
+    ),
 }
 
 # The grading driver cross-checks exactly the FIRST 50 registry entries
@@ -227,6 +239,7 @@ DRIVER_WINDOW: list[str] = [
     # -- new round 6: no driver row exists yet ----------------------
     "infer_addresses_metrics",
     "quality_budget_select",
+    "compact_small_files",
     # -- latest driver evidence is ROUND 3 (ledger order, first 33) -
     "ann_ivf_lloyd_topk",
     "ann_pq_topk",
@@ -259,7 +272,6 @@ DRIVER_WINDOW: list[str] = [
     "repetition_ngram_score",
     "sample_fixed_k",
     "sample_stratified",
-    "semantic_dedup",
 ]
 
 REGISTRY: dict[str, Entry] = {

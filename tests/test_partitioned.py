@@ -48,3 +48,39 @@ def test_rawtext_log_roundtrip_oracle(spark, ddb):
     assert_frames_match(
         rawtext_log_roundtrip(spark, SF_ORACLE), ddb.sql(RAWTEXT_LOG_SQL)
     )
+
+
+def test_compaction_range_clustering(spark):
+    """Compacted files must each cover a DISJOINT event_id range
+    (repartitionByRange's clustering contract — what re-enables
+    min/max footer pruning after compaction) and the file count must
+    match the bytes-proportional computation."""
+    import os
+
+    from etl_addresses_spark.sources.compaction import (
+        compact_small_files,
+        _parquet_files,
+    )
+    from conftest import SF_SMALL
+
+    compact_small_files(spark, SF_SMALL).collect()
+    base = os.path.join(
+        "/tmp",
+        "spark_graft_compact",
+        str(os.getpid()),
+        os.path.basename(SF_SMALL),
+    )
+    files = _parquet_files(os.path.join(base, "compacted"))
+    assert files
+    ranges = []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg({"event_id": "min"})
+            .collect()[0][0],
+            spark.read.parquet(f).agg({"event_id": "max"}).collect()[0][0],
+        )
+        ranges.append(r)
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"
