@@ -343,7 +343,11 @@ def semantic_dedup_for(
         F.col("embedding").alias("cent_emb"),
         _norm_col(F.col("embedding")).alias("cent_norm"),
     )
-    vecs = e.select(
+    # fan_out: the k x d assignment kernel dwarfs row bytes; a dense
+    # single-split scan would serialize it on one core (tables.fan_out)
+    from etl_addresses_spark.sources.tables import fan_out
+
+    vecs = fan_out(e, e.sparkSession).select(
         "vec_id", "embedding", _norm_col(F.col("embedding")).alias("vnorm")
     )
     scored = vecs.crossJoin(F.broadcast(cents)).select(

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F, Window as W
 
-from etl_addresses_spark.sources.tables import load_table
+from etl_addresses_spark.sources.tables import fan_out, load_table
 
 TOPK_K = 10
 QUERY_MOD = 50  # queries = vec_id % 50 == 0
@@ -171,8 +171,6 @@ def cosine_topk_fast_for(e: DataFrame) -> DataFrame:
     against the broadcast, so scan-split parallelism must not bound the
     kernel (tables.fan_out; measured single-split serialization at the
     10x scale run)."""
-    from etl_addresses_spark.sources.tables import fan_out
-
     corpus = fan_out(e, e.sparkSession).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("cand_emb"),
@@ -417,8 +415,6 @@ def ann_ivf_topk_for(e: DataFrame, centroid_mod: int = 100) -> DataFrame:
     Gram pass: the per-row assignment kernel dwarfs its input bytes."""
     dot = _pair_dot_seq
     norm = _norm_col
-    from etl_addresses_spark.sources.tables import fan_out
-
     cents = e.filter(F.col("vec_id") % centroid_mod == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cent_emb"),
@@ -916,7 +912,8 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     example: (query_id, role, rank, cand_id, cosine).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    corpus = e.select(
+    # fan_out: |anchors| x d scoring per corpus row (see tables.fan_out)
+    corpus = fan_out(e, e.sparkSession).select(
         F.col("vec_id").alias("cand_id"),
         F.col("label").alias("cand_label"),
         F.col("embedding").alias("cand_emb"),

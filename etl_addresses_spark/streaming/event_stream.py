@@ -28,13 +28,31 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     read) and then run the SAME ts normalizer as the batch loader
     (`sources.tables.normalize_events_ts`) — ts units are defined in
     exactly one place, whatever the testdata's physical type
-    (TIMESTAMP(NANOS)-as-long vs timestamp[us])."""
+    (TIMESTAMP(NANOS)-as-long vs timestamp[us]).
+
+    Path handling covers BOTH physical layouts of the events table:
+    a directory of part files (every real deployment — streamed
+    directly) and a single bare file (the driver testdata — streamed
+    via parent dir + pathGlobFilter, because the file source requires
+    its basePath to be a directory).  The original code used only the
+    glob form, and pathGlobFilter matches FILE names: against a
+    directory-shaped table it listed ZERO files and silently streamed
+    nothing — caught by the r6 10x scale run, where the topk row
+    returned instantly on an empty stream.  (Layout detection is a
+    driver-side local-fs stat, which is what the test harness uses;
+    an object-store deployment is always the directory branch.)"""
+    import os
+
     schema = events_file_schema(spark, sf_dir)
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    table_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(table_path):
+        raw = spark.readStream.schema(schema).parquet(table_path)
+    else:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return normalize_events_ts(raw)
 
 

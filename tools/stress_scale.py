@@ -111,6 +111,17 @@ def build_scaled(spark) -> None:
         )
         for k in keys:
             rep = rep.withColumn(k, F.col(k) + F.col("_r") * F.lit(bases[k]))
+        if t in ("customer", "supplier"):
+            # salt names per replica: unsalted, every name exists
+            # FACTOR times and name-blocked fuzzy joins degenerate to
+            # FACTOR^2 within-block pairs (measured 77x at 10x in the
+            # first batch-2 run) — real 10x-bigger data has 10x MORE
+            # names, not 10 copies of each
+            name_col = "c_name" if t == "customer" else "s_name"
+            rep = rep.withColumn(
+                name_col,
+                F.concat(F.col(name_col), F.lit(" r"), F.col("_r")),
+            )
         if t == "documents":
             rep = rep.withColumn(
                 "text",
