@@ -439,11 +439,16 @@ def graph_communities_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("v_", "lab")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        # step() frees the previous round's label blocks (ckpt.py)
+        # step() frees the previous round's label blocks (ckpt.py).
+        # (count DESC, label ASC) argmax as min(struct(-c, lab)): the
+        # negated field is the COUNT, which is >= 1 by construction
+        # (F.count), so the encoding is sign-safe for any label id
+        # scheme — the r6-advice hazard of negating labels (silently
+        # wrong tie-breaks if ids ever go negative) can't arise.
         labels = chain.step(
             votes.groupBy(F.col("v_").alias("node"))
-            .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("nl"))).alias("m"))
-            .select("node", (-F.col("m.nl")).alias("lab")),
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("lab"))).alias("m"))
+            .select("node", F.col("m.lab").alias("lab")),
             "labels",
         )
     return (

@@ -742,9 +742,18 @@ def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cum") <= F.col("class_budget"))
     )
-    return full.unionByName(boundary.drop("cum")).select(
+    out = full.unionByName(boundary.drop("cum")).select(
         "doc_id", "score", "toks"
     )
+    # Materialize the (tiny: 3 longs/row) selection eagerly, then free
+    # the cached corpus projection — in a long-lived shared session
+    # (driver correctness sweep, pytest) an un-released cache per query
+    # accumulates exactly the block-manager pressure ckpt.py exists to
+    # prevent (r6 advice).  The checkpoint IS the returned result, so
+    # nothing re-reads `scored` after the unpersist.
+    out = out.localCheckpoint(eager=True)
+    scored.unpersist()
+    return out
 
 
 _STOP_DUCK = "[" + ",".join(f"'{w}'" for w in _STOPWORDS.split(",")) + "]"

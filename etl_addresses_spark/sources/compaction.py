@@ -53,13 +53,21 @@ def compact(
     df: DataFrame,
     out_dir: str,
     key: str,
+    input_bytes: int,
     target_bytes: int = TARGET_FILE_BYTES,
-    input_bytes: int | None = None,
 ) -> int:
     """Rewrite df into ceil(input_bytes / target_bytes) range-clustered
-    parquet files under out_dir; returns the file count written."""
-    if input_bytes is None:
-        input_bytes = target_bytes  # degenerate: single file
+    parquet files under out_dir; returns the target file count.
+
+    input_bytes is REQUIRED (measure the source files) — a silent
+    default would degenerate to a single output file regardless of the
+    table's actual size (r6 advice).  Note repartitionByRange samples
+    the key; an empty or heavily-skewed range partition writes no
+    file, so callers must treat the return as an upper bound on the
+    written count.
+    """
+    if not isinstance(input_bytes, int) or input_bytes < 0:
+        raise ValueError(f"input_bytes must be a measured non-negative int, got {input_bytes!r}")
     n_files = max(1, -(-input_bytes // target_bytes))
     (
         df.repartitionByRange(n_files, F.col(key))
@@ -90,7 +98,16 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     # simulate streaming-sink debris: 64 round-robin shards
     events.repartition(FRAGMENT_FILES).write.mode("overwrite").parquet(frag_dir)
     frag_files = _parquet_files(frag_dir)
-    assert len(frag_files) == FRAGMENT_FILES, len(frag_files)
+    # repartition(n) on a non-empty table yields exactly n round-robin
+    # splits; fewer means the fragmentation step itself misbehaved.
+    # Explicit raise, not assert: the contract must survive python -O
+    # and degrade with a diagnosable error inside a certified query
+    # (r6 advice — compaction.py:93/103).
+    if len(frag_files) != FRAGMENT_FILES and events.limit(1).count() > 0:
+        raise RuntimeError(
+            f"fragmentation wrote {len(frag_files)} files, "
+            f"expected {FRAGMENT_FILES}"
+        )
 
     frag_bytes = sum(os.path.getsize(f) for f in frag_files)
     fragmented = spark.read.parquet(frag_dir)
@@ -98,10 +115,19 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         fragmented, out_dir, "event_id", input_bytes=frag_bytes
     )
     written = _parquet_files(out_dir)
-    # the maintenance contract: file count is the computed target
-    # (range partitions map 1:1 to files on a non-empty key range)
-    assert len(written) == n_files, (len(written), n_files)
-    assert len(written) < FRAGMENT_FILES
+    # the maintenance contract: at most the computed target (empty
+    # range partitions write no file on tiny/skewed inputs), and
+    # strictly fewer files than the fragmented input — that's the
+    # whole point of the pass.
+    if not written or len(written) > n_files:
+        raise RuntimeError(
+            f"compaction wrote {len(written)} files, target {n_files}"
+        )
+    if len(written) >= FRAGMENT_FILES:
+        raise RuntimeError(
+            f"compaction did not reduce file count: {len(written)} >= "
+            f"{FRAGMENT_FILES}"
+        )
 
     compacted = spark.read.parquet(out_dir)
     # integer-exact identity columns only; the ts sum folds modulo a
