@@ -201,9 +201,22 @@ FUZZY_MAX_DIST = 6
 
 def fuzzy_name_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE tier of the fuzzy name match: argmin restricted to
-    pairs within levenshtein distance <= {FUZZY_MAX_DIST}, candidates
-    generated by a LOSSLESS length-band equi-join instead of a
-    cartesian product.
+    pairs within levenshtein distance <= {FUZZY_MAX_DIST}.  Since
+    round 7 this entry IS the tiered dispatcher (`fuzzy_match_auto_for`)
+    — the r6 10x scale harness showed the fixed length-band tier going
+    quadratic (58x wall at 10x) whenever the data's length spread is
+    zero, i.e. the blocking key's selectivity silently decided between
+    linear and quadratic.  The dispatcher measures that selectivity
+    up front (two length-histogram jobs, model-sized collects) and
+    picks per the tier rule (SCALE.md): PassJoin when segments are
+    long enough to prune by content, the length band when the length
+    spread prunes, and otherwise the dense-regime broadcast argmin
+    with the charset-mask prefilter — the best exact plan when NO
+    lossless blocker has selectivity.  All tiers are answer-identical;
+    the oracle below doesn't care which one answered.
+
+    Original length-band notes (now the `band` tier,
+    `fuzzy_match_blocked_for`):
 
     Blocking is the bin-explode shape (same pattern as
     interval_overlap_bucketed): each supplier row explodes into the
@@ -236,7 +249,7 @@ def fuzzy_name_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm (-1 means beyond-threshold, filtered as dist >= 0 —
     same candidate set, cheaper per pair).
     """
-    return fuzzy_match_blocked_for(
+    return fuzzy_match_auto_for(
         load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"),
         load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
     )
@@ -284,6 +297,278 @@ def fuzzy_match_blocked_for(
         F.col("m.c_name").alias("c_name"),
         F.col("m.dist").alias("dist"),
     )
+
+
+def _charset_mask_exprs(col: str):
+    """Two 64-bit character-presence masks (lo: codepoints 0-63, hi:
+    64-127; >=128 folds into hi — folding merges char classes, which
+    only WEAKENS the bound below, never breaks it).  Linear per row;
+    the split array is bound once per row inside aggregate(), so the
+    lambda-CSE hazard (SCALE.md) doesn't apply."""
+    chars = f"transform(filter(split({col}, ''), ch -> ch != ''), ch -> ascii(ch) % 128)"
+    lo = F.expr(
+        f"aggregate({chars}, 0L, (a, b) -> if(b < 64, a | shiftleft(1L, b), a))"
+    )
+    hi = F.expr(
+        f"aggregate({chars}, 0L, (a, b) -> if(b >= 64, a | shiftleft(1L, b - 64), a))"
+    )
+    return lo, hi
+
+
+def _segments_expr(col: str, d: int):
+    """The d+1 PassJoin segments of `col` as array<struct<i,lc,seg>>.
+    Layout for a string of length L: the first L mod (d+1) segments
+    have length L div (d+1) + 1, the rest L div (d+1).  Shared by the
+    candidate generator and the dispatcher's collision estimator so
+    the estimate measures EXACTLY the join key the tier would use."""
+    return F.expr(
+        f"""
+        transform(sequence(0, {d}), i -> named_struct(
+          'i', i,
+          'lc', length({col}),
+          'seg', substring({col},
+                   i * (length({col}) div {d + 1})
+                     + least(i, length({col}) % {d + 1}) + 1,
+                   (length({col}) div {d + 1})
+                     + if(i < length({col}) % {d + 1}, 1, 0))))
+        """
+    )
+
+
+# Dense-tier packing: (dist, c_custkey) folded into one BIGINT so the
+# per-element argmin is allocation-free.  dist <= 7 occupies bits
+# 40-42 (banded levenshtein returns -1 past the threshold; -1 & 7 = 7
+# sorts above every valid distance for free), the key the low 40 bits
+# — ~1.1e12 ids; keys outside [0, 2^40) fall back to the band tier.
+DENSE_BUCKET_ROWS = 2048
+_PACK_BITS = 40
+_PACK_SENTINEL = 1 << 62
+
+
+def fuzzy_match_dense_for(
+    suppliers: DataFrame, customers: DataFrame, d: int = FUZZY_MAX_DIST
+) -> DataFrame:
+    """DENSE-REGIME tier of the fuzzy match: when neither lossless
+    blocker has any selectivity (zero length spread kills the band;
+    constant/low-entropy segments kill PassJoin — exactly the uniform
+    fixture-name distribution the r6 10x harness measured at 58x),
+    the exact pair set is intrinsically all-pairs — the data's cheap
+    signatures (length, charset, segments, pivot distances) all have
+    spread < 2d, so every lossless filter's relaxed ball covers
+    ~everything (measured in tools/evidence/r7_fuzzy_tiers.md).  The
+    remaining lever is the CONSTANT per pair, so this tier evaluates
+    the product with the cheapest machinery available to a JVM plan:
+
+    - customers are packed into ~{DENSE_BUCKET_ROWS}-row array buckets
+      (one dimension shuffle) and broadcast; suppliers fan out to the
+      session parallelism and cross-join B bucket ROWS, not |C| rows —
+      the per-JOIN-ROW machinery that made a row-level
+      BroadcastNestedLoopJoin 2.3x slower (145.9 s vs 64 s at 10x,
+      measured) is paid |S| x B times instead of |S| x |C| times;
+    - per element, an `aggregate` fold keeps a running argmin packed
+      into ONE BIGINT (dist in high bits, key in low bits), so the
+      inner loop allocates nothing: a lossless charset-mask prefilter
+      (a unit edit changes character PRESENCE by <= 2, so ed <= d =>
+      popcount(mask_s XOR mask_c) <= 2d) gates the banded levenshtein;
+    - the only shuffles are |C| rows (packing) and |S| partial-min
+      rows; c_name is recovered by a broadcast equi-join on the
+      winning key, with a min() re-group so duplicate-key dimensions
+      keep the (dist, key, name) tie-break of the other tiers.
+
+    At 100 TB the broadcast side caps at executor memory (~60 B/name
+    => ~10^7 names per GB); past that the same kernel runs as a
+    block-partitioned theta join (tile both sides, same fold).
+    """
+    spark = suppliers.sparkSession
+    stats = customers.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_custkey").alias("lo"),
+        F.max("c_custkey").alias("hi"),
+    ).first()
+    n_c = stats["n"]
+    if n_c and (stats["lo"] < 0 or stats["hi"] >= (1 << _PACK_BITS)):
+        # keys outside the packing range: the band tier is always
+        # correct, just slower in this regime
+        return fuzzy_match_blocked_for(suppliers, customers, d)
+    n_buckets = max(1, -(-(n_c or 1) // DENSE_BUCKET_ROWS))
+    clo, chi = _charset_mask_exprs("c_name")
+    slo, shi = _charset_mask_exprs("s_name")
+    packed = (
+        customers.select(
+            "c_custkey", "c_name", clo.alias("lo"), chi.alias("hi")
+        )
+        .groupBy((F.col("c_custkey") % n_buckets).alias("b"))
+        .agg(
+            F.collect_list(
+                F.struct("c_custkey", "c_name", "lo", "hi")
+            ).alias("arr")
+        )
+    )
+    s = suppliers.select(
+        "s_suppkey", "s_name", slo.alias("slo"), shi.alias("shi")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    fold = F.expr(
+        f"""
+        aggregate(arr, {_PACK_SENTINEL}L, (acc, x) ->
+          if(bit_count(slo ^ x.lo) + bit_count(shi ^ x.hi) > {2 * d}, acc,
+             least(acc,
+                   shiftleft(cast(levenshtein(s_name, x.c_name, {d})
+                                  as bigint) & 7L, {_PACK_BITS})
+                   + x.c_custkey)))
+        """
+    )
+    best = (
+        s.crossJoin(F.broadcast(packed))
+        .select("s_suppkey", "s_name", fold.alias("p"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.min("p").alias("p"))
+        .filter(F.shiftright(F.col("p"), _PACK_BITS) <= d)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.shiftright("p", _PACK_BITS).alias("dist"),
+            (
+                F.col("p")
+                - F.shiftleft(F.shiftright("p", _PACK_BITS), _PACK_BITS)
+            ).alias("c_custkey"),
+        )
+    )
+    return (
+        best.join(F.broadcast(customers), "c_custkey")
+        .groupBy("s_suppkey", "s_name", "dist", "c_custkey")
+        .agg(F.min("c_name").alias("c_name"))
+        .select("s_suppkey", "s_name", "c_custkey", "c_name", "dist")
+    )
+
+
+# Tier rule constants (measured crossovers, SCALE.md + r7 evidence):
+# PassJoin needs segments >= 3 chars AND segment entropy (constant
+# segments collide universally — the salted fixture names pass the
+# length gate at exactly 21/(6+1) = 3.0 but their segments are ~90%
+# constant, which is why the gate alone is NOT sufficient); the length
+# band is worth its explode+shuffle only if it discards >= 2/3 of the
+# product.
+PASSJOIN_MIN_SEG = 3
+PASSJOIN_COLLISION_MAX = 0.05
+BAND_KEEP_MAX = 1.0 / 3.0
+
+
+def _length_histogram(df: DataFrame, col: str) -> dict[int, int]:
+    """String-length histogram as a driver dict — model-sized (one row
+    per DISTINCT LENGTH, bounded by the max string length, not the
+    table)."""
+    rows = (
+        df.groupBy(F.length(col).alias("l"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {r["l"]: r["n"] for r in rows if r["l"] is not None}
+
+
+def _median_length(hist: dict[int, int]) -> int:
+    target = (sum(hist.values()) + 1) // 2
+    acc = 0
+    for length in sorted(hist):
+        acc += hist[length]
+        if acc >= target:
+            return length
+    return 0
+
+
+def segment_collision_estimate(df: DataFrame, col: str, d: int) -> float:
+    """Upper-bound estimate of the PassJoin candidate fraction: the
+    probability that two random indexed rows share a segment key
+    (i, len, seg), summed over segment indexes (union bound) —
+    sum over keys of n_k^2 / N^2.  Exactly the key
+    `passjoin_candidates` joins on, so a near-1 estimate means the
+    equi-join degenerates to the cross product (the zero-padded /
+    constant-prefix failure mode).  One aggregation over (d+1)
+    short-key rows per input row; only runs when the median-length
+    gate already passed."""
+    seg = df.select(F.explode(_segments_expr(col, d)).alias("k"))
+    row = (
+        seg.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.col("n") * F.col("n")).alias("sq"),
+            F.sum("n").alias("tot"),
+        )
+        .first()
+    )
+    if not row["tot"]:
+        return 0.0
+    n_rows = row["tot"] / (d + 1)
+    return float(row["sq"]) / (n_rows * n_rows)
+
+
+def choose_fuzzy_tier(
+    s_hist: dict[int, int],
+    c_hist: dict[int, int],
+    d: int = FUZZY_MAX_DIST,
+    seg_collision: float | None = None,
+) -> str:
+    """Pick the fuzzy-join tier from measured data statistics — the
+    SCALE.md tier rule made executable, with the r7 amendment that
+    selectivity is MEASURED, never assumed (the r6 58x-at-10x defect
+    was exactly an assumed-selective blocking key):
+
+    1. 'passjoin' when median_len/(d+1) >= {PASSJOIN_MIN_SEG} AND the
+       segment-collision estimate (see `segment_collision_estimate`;
+       None means the caller skipped the job because the length gate
+       failed) is <= {PASSJOIN_COLLISION_MAX}: segments are long
+       enough AND carry enough entropy that exact-substring candidacy
+       prunes (566x candidate cut measured in regime);
+    2. else 'band' when the EXPECTED band-kept fraction, computed
+       exactly from the two length histograms
+       (sum over |ls-lc|<=d of f_s(ls)*f_c(lc) / (|S|*|C|)),
+       is <= {BAND_KEEP_MAX};
+    3. else 'dense': no lossless blocker prunes; run the
+       minimal-constant packed-fold broadcast argmin.
+    """
+    total_s = sum(s_hist.values())
+    total_c = sum(c_hist.values())
+    if not total_s or not total_c:
+        return "band"
+    med = min(_median_length(s_hist), _median_length(c_hist))
+    if (
+        med / (d + 1) >= PASSJOIN_MIN_SEG
+        and seg_collision is not None
+        and seg_collision <= PASSJOIN_COLLISION_MAX
+    ):
+        return "passjoin"
+    kept = sum(
+        ns * nc
+        for ls, ns in s_hist.items()
+        for lc, nc in c_hist.items()
+        if abs(ls - lc) <= d
+    )
+    if kept <= BAND_KEEP_MAX * total_s * total_c:
+        return "band"
+    return "dense"
+
+
+def fuzzy_match_auto_for(
+    suppliers: DataFrame, customers: DataFrame, d: int = FUZZY_MAX_DIST
+) -> DataFrame:
+    """Tier-dispatching fuzzy match (r6 verdict fix): two tiny
+    length-histogram jobs up front (plus the segment-collision job
+    only when the length gate passes), then the tier whose pruning
+    signal the data actually has.  All tiers return identical
+    answers; the dispatch only decides the PLAN."""
+    s_hist = _length_histogram(suppliers, "s_name")
+    c_hist = _length_histogram(customers, "c_name")
+    seg_collision = None
+    if s_hist and c_hist:
+        med = min(_median_length(s_hist), _median_length(c_hist))
+        if med / (d + 1) >= PASSJOIN_MIN_SEG:
+            seg_collision = segment_collision_estimate(customers, "c_name", d)
+    tier = choose_fuzzy_tier(s_hist, c_hist, d, seg_collision)
+    if tier == "passjoin":
+        return fuzzy_match_passjoin_for(suppliers, customers, d)
+    if tier == "band":
+        return fuzzy_match_blocked_for(suppliers, customers, d)
+    return fuzzy_match_dense_for(suppliers, customers, d)
+
 
 
 def fuzzy_name_match_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,18 +619,7 @@ def passjoin_candidates(
     spark = suppliers.sparkSession
     D = d
     # indexed side: the d+1 segments of each customer name.
-    seg_c = F.expr(
-        f"""
-        transform(sequence(0, {D}), i -> named_struct(
-          'i', i,
-          'lc', length(c_name),
-          'seg', substring(c_name,
-                   i * (length(c_name) div {D + 1})
-                     + least(i, length(c_name) % {D + 1}) + 1,
-                   (length(c_name) div {D + 1})
-                     + if(i < length(c_name) % {D + 1}, 1, 0))))
-        """
-    )
+    seg_c = _segments_expr("c_name", d)
     c = (
         customers.select("c_custkey", "c_name", F.explode(seg_c).alias("k"))
         .select("c_custkey", "c_name", "k.i", "k.lc", "k.seg")

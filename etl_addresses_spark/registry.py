@@ -204,75 +204,71 @@ _ALL: dict[str, Entry] = {
 }
 
 # The grading driver cross-checks exactly the FIRST 50 registry entries
-# (dict order) against DuckDB each round.  Round-6 rotation is derived
-# MECHANICALLY from tools/coverage_ledger.py at end of round 5 (r5
-# advice: no hand-written counts — regenerate the ledger and rebuild
-# this list oldest-first on any change): the window is every entry
-# whose latest driver evidence is r01 (1: events_window_agg) or r02
-# (all 15), plus this round's new entries (no driver row exists yet),
-# plus the alphabetically-first r03 entries up to the 50-slot cap.
-# The r03 entries that don't fit (the alphabetical tail — see the
-# ledger for the authoritative list) stay full-sweep-green at HEAD via
-# CORRECTNESS_FULL artifacts and go FIRST into the r7 window.  With 63
-# entries at/below r03 and 50 slots, the "no driver evidence older
-# than N-2" invariant is now pigeonhole-infeasible in one round; the
-# binding form of the invariant is "oldest-first, every round".
+# (dict order) against DuckDB each round.  Round-7 rotation, derived
+# MECHANICALLY from tools/coverage_ledger.py regenerated at r6 HEAD
+# (oldest-first, every round — the binding form of the staleness
+# invariant given the 166-entry/50-slot pigeonhole): after the r06
+# driver run, 16 entries remain at r03 (the alphabetical tail the r06
+# window could not fit) and 50 at r04.  The window is those 16 r03
+# entries, plus any new r7 entries (no driver row exists yet), plus
+# the alphabetically-first r04 entries up to the 50-slot cap.  The
+# r04 tail that does not fit stays full-sweep-green at HEAD via
+# CORRECTNESS_FULL artifacts and goes FIRST into the r8 window.
 DRIVER_WINDOW: list[str] = [
-    # -- latest driver evidence is ROUND 1 (ledger-oldest) ----------
-    "events_window_agg",
-    # -- latest driver evidence is ROUND 2 (ledger order) -----------
-    "cosine_topk",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q12_priority_by_status",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q22_idle_customers",
-    "scalar_array_funcs",
-    "set_union_buyers",
-    "text_top_terms",
-    "unpivot_measures",
-    # -- new round 6: no driver row exists yet ----------------------
-    "infer_addresses_metrics",
-    "quality_budget_select",
-    "compact_small_files",
-    # -- latest driver evidence is ROUND 3 (ledger order, first 33) -
-    "ann_ivf_lloyd_topk",
-    "ann_pq_topk",
-    "approx_quantiles_orders",
-    "bloom_prune_join",
-    "bm25_topk",
-    "chunk_documents",
-    "cms_heavy_hitters",
-    "cohort_retention",
-    "curate_corpus",
-    "decontaminate_ngram",
-    "dedup_keep_best",
-    "dedup_substring_blocks",
-    "embedding_srp_lsh_pairs",
-    "funnel_conversion",
-    "hll_distinct_parts",
-    "hll_mergeable_union",
-    "incremental_agg_merge",
-    "interval_overlap_join",
-    "kmeans_cluster_sizes",
-    "lm_bigram_logprob",
-    "minhash_lsh_pairs",
-    "pack_sequences",
-    "pagerank_relations",
-    "pii_redact",
-    "profile_columns",
-    "q20_dominant_suppliers",
-    "quality_classifier_score",
-    "quality_gopher_flags",
-    "repetition_ngram_score",
-    "sample_fixed_k",
-    "sample_stratified",
+    # -- latest driver evidence is ROUND 3 (ledger tail, all 16) ----
+    "semantic_dedup",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
+    "skew_salted_distinct",
+    "spatiotemporal_join_knn",
+    "split_train_val_test",
+    "sql_grouping_sets",
+    "stream_purchase_view_join",
+    "stream_session_windows",
+    "stream_stateful_user_totals",
+    "stream_static_enrich",
+    "stream_windowed_counts",
+    "token_count_bpe",
+    "triangle_count",
+    "window_range_time",
+    "zorder_extents",
+    # -- latest driver evidence is ROUND 4 (ledger order, first 34) -
+    "agg_distinct_counts",
+    "agg_percentiles",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "ann_quantized_topk",
+    "anomaly_zscore_events",
+    "contrastive_hard_negatives",
+    "dedup_clusters_star",
+    "dedup_incremental_lsh",
+    "delimited_roundtrip_csv",
+    "docs_with_embeddings",
+    "embedding_near_dup",
+    "events_ohlc_bars",
+    "fuzzy_name_match_blocked",
+    "interval_overlap_bucketed",
+    "join_anti_customers",
+    "join_outer_order_counts",
+    "join_region_volume",
+    "join_semi_orders",
+    "mixture_rebalance",
+    "multimodal_audio_features",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_image_dedup",
+    "multimodal_meta",
+    "multimodal_pixel_stats",
+    "partitioned_sink_prune",
+    "pipeline_curate_stats",
+    "rawtext_log_roundtrip",
+    "reference_e2e_ndjson",
+    "relation_degrees",
+    "sample_weighted_k",
+    "scalar_json_extract",
+    "set_except_buyers",
 ]
+
 
 REGISTRY: dict[str, Entry] = {
     **{name: _ALL[name] for name in DRIVER_WINDOW},

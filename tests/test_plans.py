@@ -25,6 +25,46 @@ def test_flagship_grid_uses_broadcast_hash_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_flagship_grid_flips_to_shuffle_join_past_broadcast_tier(spark):
+    """The cell candidate join's 100 TB story is declarative: Catalyst
+    broadcasts while the exploded segment side fits the threshold and
+    shuffles past it (the flip measured firing naturally at 800k
+    streets in tools/evidence/r7_spatial_flip.json).  Pin the shuffle
+    TIER here: with the threshold forced to 0, the same logical plan
+    must come out as a shuffle join (never a nested-loop product) and
+    return exactly the broadcast tier's rows."""
+    conf = spark.conf
+    prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = flagship.spatiotemporal_join(spark, SF_SMALL, strategy="grid")
+        plan = _plan(df)
+        # the CELL candidate join is the one whose condition carries
+        # the trig refine (ASIN); it must be a shuffle join here —
+        # other flagship branches may legitimately stay nested-loop
+        cell_join = next(
+            l for l in plan.splitlines()
+            if "ASIN" in l
+            and ("SortMergeJoin" in l or "ShuffledHashJoin" in l
+                 or "BroadcastHashJoin" in l or "Join" in l)
+        )
+        assert "SortMergeJoin" in cell_join or "ShuffledHashJoin" in cell_join
+        assert "CartesianProduct" not in plan
+        shuffled = sorted(map(tuple, df.collect()), key=repr)
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    broadcast_rows = sorted(
+        map(
+            tuple,
+            flagship.spatiotemporal_join(
+                spark, SF_SMALL, strategy="grid"
+            ).collect(),
+        ),
+        key=repr,
+    )
+    assert shuffled == broadcast_rows
+
+
 def test_flagship_distance_not_before_bbox(spark):
     # cheap-to-expensive conjunct order: the trig (ASIN) must appear
     # after the bbox comparisons inside the join condition string
@@ -270,14 +310,18 @@ def test_interval_overlap_bucketed_is_equi_join(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_fuzzy_blocked_no_cartesian_and_banded_levenshtein(spark):
-    """The blocked fuzzy tier must plan as an equi-join on the length
-    key (never a nested-loop product), carry the THRESHOLD levenshtein
-    (banded early-abandon variant), and aggregate with a partial_min
-    (map-side combine) instead of a window sort."""
+def test_fuzzy_band_tier_no_cartesian_and_banded_levenshtein(spark):
+    """The length-band fuzzy tier must plan as an equi-join on the
+    length key (never a nested-loop product), carry the THRESHOLD
+    levenshtein (banded early-abandon variant), and aggregate with a
+    partial_min (map-side combine) instead of a window sort."""
     from etl_addresses_spark.plans import relational3
+    from etl_addresses_spark.sources.tables import load_table
 
-    df = relational3.fuzzy_name_match_blocked(spark, SF_SMALL)
+    df = relational3.fuzzy_match_blocked_for(
+        load_table(spark, SF_SMALL, "supplier").select("s_suppkey", "s_name"),
+        load_table(spark, SF_SMALL, "customer").select("c_custkey", "c_name"),
+    )
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -286,6 +330,50 @@ def test_fuzzy_blocked_no_cartesian_and_banded_levenshtein(spark):
     opt = _optimized(df)
     assert "levenshtein" in opt and "Some(6)" in opt
     assert "partial_min" in plan
+
+
+def test_fuzzy_registered_query_dispatches_to_dense_tier(spark):
+    """On the fixture's UNIFORM-length names the dispatcher must pick
+    the dense tier: a single BroadcastNestedLoopJoin whose condition
+    carries the charset-mask prefilter (bit_count of the XOR), the
+    THRESHOLD levenshtein after it, and the map-side-combinable
+    partial_min — with NO shuffle of candidate pairs (the only
+    exchanges are the supplier fan-out and the |S|-row agg)."""
+    from etl_addresses_spark.plans import relational3
+
+    df = relational3.fuzzy_name_match_blocked(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_min" in plan
+    opt = _optimized(df)
+    assert "bit_count" in opt
+    assert "levenshtein" in opt and "Some(6)" in opt
+
+
+def test_fuzzy_tier_rule_regimes():
+    """The dispatcher's tier rule on the three measured regimes."""
+    from etl_addresses_spark.plans.relational3 import choose_fuzzy_tier
+
+    uniform = {18: 1000}
+    # zero length spread, short segments -> dense
+    assert choose_fuzzy_tier(uniform, {18: 15000}, d=6) == "dense"
+    # long strings AND selective segments -> passjoin
+    assert (
+        choose_fuzzy_tier({24: 100}, {21: 100}, d=2, seg_collision=1e-4)
+        == "passjoin"
+    )
+    # long strings but COLLIDING segments (the salted fixture names:
+    # 21/(6+1) = 3.0 passes the length gate, yet ~90% of segment mass
+    # is constant) -> dense, not passjoin
+    assert (
+        choose_fuzzy_tier({21: 10000}, {21: 150000}, d=6, seg_collision=1.8)
+        == "dense"
+    )
+    # band's niche: median too short for segments, but a multi-modal
+    # length distribution whose band-kept fraction the histograms put
+    # under the 1/3 bar
+    modal = {1: 17, 8: 17, 15: 17, 30: 25, 45: 24}
+    assert choose_fuzzy_tier(modal, modal, d=6) == "band"
 
 
 def test_contrastive_mining_single_window_pass(spark):

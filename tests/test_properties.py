@@ -253,3 +253,40 @@ def test_fuzzy_passjoin_matches_bruteforce_reference(
             assert got[i] == (j, cn, dist), (d, sn, cands[:3], got.get(i))
         else:
             assert i not in got, (d, sn, cands[:3], got.get(i))
+
+
+@given(
+    st.lists(st.text(NAME_ALPHA, min_size=1, max_size=14), min_size=1,
+             max_size=8, unique=True),
+    st.lists(st.text(NAME_ALPHA, min_size=1, max_size=14), min_size=1,
+             max_size=12, unique=True),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=12, deadline=None)
+def test_fuzzy_dense_matches_bruteforce_reference(spark, s_names, c_names, d):
+    """Losslessness of the dense tier's charset-mask prefilter and
+    packed-long argmin fold: the mask bound (a unit edit changes
+    character presence by <= 2) must never prune a true match, and the
+    bit-packing must preserve the (dist, key, name) tie-break — so the
+    answer must equal the brute-force threshold-argmin exactly."""
+    from etl_addresses_spark.plans.relational3 import fuzzy_match_dense_for
+
+    s_df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(s_names)], "s_suppkey long, s_name string"
+    )
+    c_df = spark.createDataFrame(
+        [(j, n) for j, n in enumerate(c_names)], "c_custkey long, c_name string"
+    )
+    got = {
+        r.s_suppkey: (r.c_custkey, r.c_name, r.dist)
+        for r in fuzzy_match_dense_for(s_df, c_df, d=d).collect()
+    }
+    for i, sn in enumerate(s_names):
+        cands = sorted(
+            (_py_levenshtein(sn, cn), j, cn) for j, cn in enumerate(c_names)
+        )
+        dist, j, cn = cands[0]
+        if dist <= d:
+            assert got[i] == (j, cn, dist), (d, sn, cands[:3], got.get(i))
+        else:
+            assert i not in got, (d, sn, cands[:3], got.get(i))

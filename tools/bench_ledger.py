@@ -1,0 +1,126 @@
+"""Per-entry BENCH bookkeeping — the timing analogue of
+tools/coverage_ledger.py (r6 verdict item 3).
+
+The correctness ledger answers "when was this entry last proven
+right"; this one answers "when was this entry last TIMED", so a perf
+regression in a rarely-benched row is visible as staleness instead of
+silently waiting for a driver window.
+
+Evidence sources, in round order:
+  - BENCH_r{N}.json            driver bench artifacts (parsed.queries;
+                               since r6 the final line carries only the
+                               5 slowest — still timing evidence for
+                               those 5)
+  - tools/evidence/r{N}_bench*.json
+                               committed local bench runs (bench.py
+                               headline_detail emissions: a "queries"
+                               dict of name -> seconds, with optional
+                               "repeats"); the full-registry rotation
+                               batches land here as
+                               r{N}_bench_local_*.json
+
+Usage:
+    python tools/bench_ledger.py          # table to stdout
+    python tools/bench_ledger.py --md     # markdown table
+Exit code 1 if any registry entry has NO bench row anywhere.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _query_times(obj) -> dict[str, float]:
+    """Extract {query: best seconds} from a bench emission of either
+    shape (driver `parsed` dict or local headline_detail)."""
+    out: dict[str, float] = {}
+    if not isinstance(obj, dict):
+        return out
+    qs = obj.get("queries")
+    if isinstance(qs, dict):
+        for name, v in qs.items():
+            if isinstance(v, (int, float)):
+                out[name] = float(v)
+            elif isinstance(v, list) and v:
+                out[name] = float(min(v))
+    reps = obj.get("repeats")
+    if isinstance(reps, dict):
+        for name, v in reps.items():
+            if isinstance(v, list) and v:
+                out.setdefault(name, float(min(v)))
+    return out
+
+
+def load_evidence() -> dict[str, tuple[int, float]]:
+    """{query: (latest round with a timing, that round's best sec)}."""
+    latest: dict[str, tuple[int, float]] = {}
+
+    def record(rnd: int, times: dict[str, float]) -> None:
+        for name, sec in times.items():
+            if name not in latest or rnd >= latest[name][0]:
+                latest[name] = (rnd, sec)
+
+    for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        m = re.search(r"_r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        try:
+            artifact = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        record(int(m.group(1)), _query_times(artifact.get("parsed")))
+
+    for path in sorted(
+        glob.glob(os.path.join(REPO, "tools", "evidence", "r*_bench*.json"))
+    ):
+        m = re.match(r"r(\d+)_bench", os.path.basename(path))
+        if not m:
+            continue
+        try:
+            artifact = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        record(int(m.group(1)), _query_times(artifact))
+    return latest
+
+
+def main() -> int:
+    from etl_addresses_spark.registry import REGISTRY
+
+    latest = load_evidence()
+    md = "--md" in sys.argv
+    rows = []
+    missing = 0
+    for name in sorted(REGISTRY):
+        if name in latest:
+            rnd, sec = latest[name]
+            rows.append((name, f"r{rnd:02d}", f"{sec:.2f}"))
+        else:
+            rows.append((name, "-", "-"))
+            missing += 1
+    if md:
+        print("| query | latest bench | sec |")
+        print("|---|---|---|")
+        for r in rows:
+            print(f"| {r[0]} | {r[1]} | {r[2]} |")
+    else:
+        print(f"{'query':35s} {'bench':>6s} {'sec':>8s}")
+        for r in rows:
+            print(f"{r[0]:35s} {r[1]:>6s} {r[2]:>8s}")
+    print(
+        f"-- {len(rows)} entries, {missing} with no bench row anywhere",
+        file=sys.stderr,
+    )
+    return 1 if missing else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -176,8 +176,68 @@ def titles_main() -> None:
     print(f"naive cross-join tier: {t_naive:.2f}s  speedup={t_naive / t_pj:.1f}x")
 
 
+def auto_main() -> None:
+    """r7 dispatcher scaling evidence: run `fuzzy_match_auto_for` on
+    an IN-REGIME fixture (skewed-length md5-body names, d=2 — segment
+    entropy present, so the dispatcher must pick passjoin) at base and
+    10x the base size, and record tier choice + wall ratio.  With
+    content entropy, segment collisions stay O(1) per key, so
+    candidates — and wall — grow ~linearly; this is the contrast row
+    for tools/evidence/r7_scale_fuzzy_dispatch.json, where the
+    zero-entropy registered fixture is intrinsically all-pairs.
+
+        python tools/stress_fuzzy.py --auto [n_base [d]]
+    """
+    import json
+
+    from etl_addresses_spark.plans.relational3 import (
+        _length_histogram,
+        choose_fuzzy_tier,
+        fuzzy_match_auto_for,
+        segment_collision_estimate,
+    )
+
+    n_base = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+    d = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    spark = get_spark("stress-fuzzy-auto")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out: dict = {"d": d, "n_base": n_base, "scales": {}}
+    for factor in (1, 10):
+        n = n_base * factor
+        sup = synth_names(spark, n, "S", "s_suppkey", "s_name").cache()
+        cus = synth_names(spark, n, "C", "c_custkey", "c_name").cache()
+        sup.count(), cus.count()
+        s_hist = _length_histogram(sup, "s_name")
+        c_hist = _length_histogram(cus, "c_name")
+        coll = segment_collision_estimate(cus, "c_name", d)
+        tier = choose_fuzzy_tier(s_hist, c_hist, d, coll)
+        t0 = time.perf_counter()
+        fuzzy_match_auto_for(sup, cus, d=d).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        wall = round(time.perf_counter() - t0, 2)
+        out["scales"][f"{factor}x"] = {
+            "n_per_side": n,
+            "tier": tier,
+            "seg_collision": round(coll, 8),
+            "sec": wall,
+        }
+        print(f"{factor}x (n={n}): tier={tier} collision={coll:.2e} {wall}s")
+        sup.unpersist(), cus.unpersist()
+    out["ratio_sec"] = round(
+        out["scales"]["10x"]["sec"] / out["scales"]["1x"]["sec"], 2
+    )
+    path = "/root/repo/tools/evidence/r7_fuzzy_auto_inregime.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--titles":
         titles_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--auto":
+        auto_main()
     else:
         main()

@@ -107,5 +107,59 @@ def main() -> None:
         )
 
 
+def flip_main() -> None:
+    """r7 evidence: observe the grid join's broadcast -> shuffle plan
+    flip actually FIRE as the segment side grows past the broadcast
+    threshold, and show the query survives (and how it times) on both
+    sides of the flip — the declarative-payoff claim in PLANS.md made
+    measurable.  The cell equi-join is planned by Catalyst from the
+    estimated size of the exploded segment-cell table, so the flip
+    needs no code: only data scale.
+
+        python tools/stress_spatial.py --flip [n_points]
+    """
+    import json
+    import re
+
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 16_000_000
+    spark = get_spark("stress-spatial-flip")
+    spark.sparkContext.setLogLevel("ERROR")
+    run("grid", 10_000, 1_000)  # warmup
+
+    def join_node(m: int) -> str:
+        hn = synth_points(spark, 1000, m)
+        st = synth_streets(spark, m)
+        plan = (
+            infer_addresses(hn, st, strategy="grid")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        nodes = re.findall(
+            r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan
+        )
+        # the first join in the plan string is the cell candidate join
+        return nodes[0] if nodes else "?"
+
+    out = {"n_points": n, "ladder": []}
+    for m in (50_000, 200_000, 800_000, 1_600_000):
+        node = join_node(m)
+        t0 = time.perf_counter()
+        sec = round(min(run("grid", n, m)[0] for _ in range(2)), 1)
+        out["ladder"].append({"n_streets": m, "cell_join": node, "sec": sec})
+        print(
+            f"streets={m}: cell_join={node} sec={sec} "
+            f"({time.perf_counter() - t0:.0f}s incl repeats)"
+        )
+    with open(
+        "/root/repo/tools/evidence/r7_spatial_flip.json", "w"
+    ) as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--flip":
+        flip_main()
+    else:
+        main()
