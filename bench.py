@@ -108,6 +108,9 @@ HEADLINE = [
     # PSI distribution drift between stream halves
     "ann_recall_eval",
     "drift_psi_events",
+    # round-7 addition: the exact-integer KS drift twin (per-type
+    # window cumsum over distinct values — the one new ranked op)
+    "drift_ks_events",
     # round-5 additions (4th batch): clickstream path assembly (the
     # collect_list-per-session + top-k composition), grouped OLS (one
     # scan, 5 decimal moment sums x 4 groups), bounded frontier-BFS

@@ -564,7 +564,7 @@ def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("bin"),
         )
-        .join(per_type, ["event_type", "bin"], "left")
+        .join(F.broadcast(per_type), ["event_type", "bin"], "left")
         .select(
             "event_type",
             "bin",
@@ -575,7 +575,13 @@ def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = dense.groupBy("event_type").agg(
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )
-    sm = dense.join(totals, "event_type").select(
+    # explicit broadcasts: per_type and totals are (types x bins)- and
+    # types-sized, but both sit above aggregations whose size estimates
+    # Catalyst inflates past the auto threshold, so the r6 dense-bin
+    # fix was paying THREE SortMergeJoin stages on <=100-row frames —
+    # the measured 0.44 -> 0.71 s regression (r6 verdict item 5,
+    # re-measured 1.0 s alone; tools/evidence/r7_psi_note.md)
+    sm = dense.join(F.broadcast(totals), "event_type").select(
         "event_type",
         ((F.col("ca") + 1) / (F.col("na") + PSI_BINS)).alias("pa"),
         ((F.col("cb") + 1) / (F.col("nb") + PSI_BINS)).alias("pb"),
@@ -633,6 +639,127 @@ GROUP BY p.event_type
 """
 
 QUERIES_SCALE["drift_psi_events"] = (drift_psi_events, DRIFT_PSI_SQL)
+
+
+def drift_ks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the first
+    and second half of the event stream's time range, per event type —
+    the distribution-free companion to `drift_psi_events` (PSI needs a
+    bin width; KS is the sup-norm gap between the two empirical CDFs
+    and catches shifts PSI's 10 bins smooth away).
+
+    Exact-integer formulation (zero float residue by construction):
+    KS = max_v |F_a(v) - F_b(v)| = max_v |ca_cum(v)*nb - cb_cum(v)*na|
+    / (na*nb), and only the NUMERATOR is returned (with na, nb), so
+    every emitted column is a BIGINT — the float-parity rule of
+    SCALE.md taken to its limit: don't just avoid post-transcendental
+    booleans, avoid the division entirely.  (ca_cum <= |events| and
+    nb <= |events|, so the product stays far under int64 at any
+    per-type cardinality this side of 3e9 x 3e9.)
+
+    Plan: one scan -> (type, value, period) counts (hash agg, map-side
+    partials over distinct values, not rows); one window cumsum per
+    type ordered by value (the per-type sort is over DISTINCT values
+    only; at 100 TB quantize values to a fixed grid first — same
+    remedy as the PSI bins — or split the cumsum with the range-
+    partitioned two-pass trick); totals broadcast back.  Values come
+    straight off parquet with no arithmetic, so both engines group and
+    order identical doubles."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.agg(
+        F.min(F.unix_micros("ts")).alias("us_lo"),
+        F.max(F.unix_micros("ts")).alias("us_hi"),
+    )
+    counts = (
+        e.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "value",
+            F.when(
+                F.unix_micros("ts") <= F.expr("(us_lo + us_hi) div 2"),
+                F.lit("a"),
+            )
+            .otherwise(F.lit("b"))
+            .alias("period"),
+        )
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(F.col("period") == "a", 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("period") == "b", 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.select(
+        "event_type",
+        F.sum("ca").over(w).alias("ca_cum"),
+        F.sum("cb").over(w).alias("cb_cum"),
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    return (
+        cum.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("ca_cum") * F.col("nb")
+                    - F.col("cb_cum") * F.col("na")
+                )
+            ).alias("ks_num"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+    )
+
+
+DRIFT_KS_SQL = """
+WITH g AS (
+  SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS us_lo,
+         max(epoch_us(CAST(ts AS TIMESTAMP))) AS us_hi
+  FROM events
+),
+counts AS (
+  SELECT event_type, value,
+         CAST(sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                            <= (us_lo + us_hi) // 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                            <= (us_lo + us_hi) // 2
+                       THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM events, g
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type,
+         sum(ca) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) AS ca_cum,
+         sum(cb) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) AS cb_cum
+  FROM counts
+),
+totals AS (
+  SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+         CAST(sum(cb) AS BIGINT) AS nb
+  FROM counts GROUP BY 1
+)
+SELECT c.event_type,
+       CAST(max(abs(c.ca_cum * t.nb - c.cb_cum * t.na)) AS BIGINT) AS ks_num,
+       CAST(max(t.na) AS BIGINT) AS na,
+       CAST(max(t.nb) AS BIGINT) AS nb
+FROM cum c JOIN totals t ON c.event_type = t.event_type
+GROUP BY c.event_type
+"""
+
+QUERIES_SCALE["drift_ks_events"] = (drift_ks_events, DRIFT_KS_SQL)
 
 
 # --- token-budget curation selection -------------------------------------

@@ -266,7 +266,8 @@ DRIVER_WINDOW: list[str] = [
     "relation_degrees",
     "sample_weighted_k",
     "scalar_json_extract",
-    "set_except_buyers",
+    # -- new round 7: no driver row exists yet ----------------------
+    "drift_ks_events",
 ]
 
 

@@ -41,13 +41,20 @@ def test_knn_grid_equals_cross_join_validation_mode(spark):
 
 def test_flagship_has_matches_and_errors(spark):
     sdf = flagship.spatiotemporal_join(spark, SF_ORACLE).cache()
-    total = sdf.count()
-    errors = sdf.filter("error IS NOT NULL").count()
-    matched = sdf.filter("streetId IS NOT NULL").count()
-    assert total > 0
-    assert matched > 0, "fixtures should produce matched addresses"
-    assert errors > 0, "fixtures should exercise the no-match error branch"
-    assert matched + errors == total
+    try:
+        total = sdf.count()
+        errors = sdf.filter("error IS NOT NULL").count()
+        matched = sdf.filter("streetId IS NOT NULL").count()
+        assert total > 0
+        assert matched > 0, "fixtures should produce matched addresses"
+        assert errors > 0, "fixtures should exercise the no-match error branch"
+        assert matched + errors == total
+    finally:
+        # a leaked cache of this exact logical plan would be silently
+        # substituted into every LATER test that builds the flagship,
+        # freezing its physical plan at today's conf (found the hard
+        # way by the broadcast-flip plan test)
+        sdf.unpersist()
 
 
 def test_observed_infer_metrics(spark):

@@ -37,6 +37,11 @@ def test_flagship_grid_flips_to_shuffle_join_past_broadcast_tier(spark):
     prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # a cached identical logical plan from an earlier test would be
+        # substituted verbatim (plan frozen at ITS planning-time conf),
+        # making the threshold a no-op here — plan-shape tests must not
+        # read through the SQL cache
+        spark.catalog.clearCache()
         df = flagship.spatiotemporal_join(spark, SF_SMALL, strategy="grid")
         plan = _plan(df)
         # the CELL candidate join is the one whose condition carries

@@ -168,3 +168,36 @@ def test_quality_budget_select_no_global_sort(spark):
     # <=1001-row score-class table may see a single-partition window
     assert "rangepartitioning" not in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_drift_ks_invariants(spark):
+    """KS numerator bounds and a hand-check against a Python reference
+    on the fixture: 0 <= ks_num <= na*nb, integer-exact columns, and
+    the per-type statistic equals the brute-force sup-norm gap."""
+    from collections import defaultdict
+
+    from etl_addresses_spark.operators.scalepatterns import drift_ks_events
+    from etl_addresses_spark.sources.tables import load_table
+
+    rows = drift_ks_events(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.ks_num <= r.na * r.nb
+    events = load_table(spark, SF_ORACLE, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    us = [round(e.ts.timestamp() * 1_000_000) for e in events]
+    mid = (min(us) + max(us)) // 2
+    by_type = defaultdict(lambda: ([], []))
+    for e, u in zip(events, us):
+        by_type[e.event_type][0 if u <= mid else 1].append(e.value)
+    got = {r.event_type: (r.ks_num, r.na, r.nb) for r in rows}
+    for ty, (a, b) in by_type.items():
+        na, nb = len(a), len(b)
+        values = sorted(set(a) | set(b))
+        ca = cb = best = 0
+        for v in values:
+            ca += sum(1 for x in a if x == v)
+            cb += sum(1 for x in b if x == v)
+            best = max(best, abs(ca * nb - cb * na))
+        assert got[ty] == (best, na, nb), (ty, got[ty], (best, na, nb))

@@ -127,22 +127,34 @@ def flip_main() -> None:
     run("grid", 10_000, 1_000)  # warmup
 
     def join_node(m: int) -> str:
-        hn = synth_points(spark, 1000, m)
+        # AQE decides broadcast-vs-shuffle at RUNTIME from the build
+        # side's actual bytes, so the plan must be read AFTER an
+        # execution (the pre-execution AdaptiveSparkPlan still shows
+        # the static SortMergeJoin regardless of size).  The probe's
+        # POINT side must itself exceed the broadcast threshold, else
+        # AQE just broadcasts the points and the segment tier never
+        # decides anything (first probe version measured exactly that).
+        hn = synth_points(spark, 4_000_000, m)
         st = synth_streets(spark, m)
-        plan = (
-            infer_addresses(hn, st, strategy="grid")
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-        nodes = re.findall(
-            r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan
-        )
-        # the first join in the plan string is the cell candidate join
-        return nodes[0] if nodes else "?"
+        df = infer_addresses(hn, st, strategy="grid")
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the CELL candidate join is the one whose condition carries
+        # the trig refine (ASIN) — other joins in the plan (argmin
+        # join-back, the left-outer error branch) are not the tier
+        # under test
+        for line in plan.splitlines():
+            if "ASIN" in line:
+                m_ = re.search(
+                    r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+                    line,
+                )
+                if m_:
+                    return m_.group(1)
+        return "?"
 
     out = {"n_points": n, "ladder": []}
-    for m in (50_000, 200_000, 800_000, 1_600_000):
+    for m in (5_000, 15_000, 50_000, 200_000, 1_600_000):
         node = join_node(m)
         t0 = time.perf_counter()
         sec = round(min(run("grid", n, m)[0] for _ in range(2)), 1)
