@@ -471,29 +471,35 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per doc: for each bit b, sum +1/-1 over distinct
     tokens according to bit b of phash60(token); bit set iff sum > 0.
 
-    Long-format shape (explode bit index, single sum() aggregate, then
-    bit_or() to assemble the fingerprint) — same codegen-limit
-    rationale as _minhash_long."""
+    WIDE shape since r7: one hash aggregation over the (doc, token)
+    rows with 60 conditional sums, assembled into the fingerprint by a
+    single 60-term projection.  The original long shape (explode the
+    bit index, one sum) pushed tokens x 60 rows — 225M at sf0.1 —
+    through the aggregate and benched at 7.2 s in the r7 bench
+    rotation; the minhash codegen-limit concern that motivated it
+    (_minhash_long: 128 independent MIN buffers over full-width hash
+    mixing) does not bite here, because each buffer's update is a
+    2-op shift/mask of ONE shared hash column.  Integer sums are
+    order-insensitive, so values are unchanged (same oracle)."""
     c = corpus_df(spark, sf_dir)
     tokens = c.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+    ).select("doc_id", phash60(F.col("tok")).alias("h"))
+    sums = tokens.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    bits = tokens.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-        phash60(F.col("tok")).alias("h"),
-    )
-    sums = bits.groupBy("doc_id", "b").agg(
-        F.sum(
-            F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
-        ).alias("s")
-    )
-    return sums.groupBy("doc_id").agg(
-        F.bit_or(
-            F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << b"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    fingerprint = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select("doc_id", fingerprint.alias("simhash"))
 
 
 SIMHASH_FP_CTE = (

@@ -145,7 +145,14 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     see operators/dedup.py)."""
     from etl_addresses_spark.operators.dedup import simhash_fingerprints
 
-    fp = simhash_fingerprints(spark, sf_dir)
+    # Materialize the fingerprints ONCE: both sides of the band
+    # self-join read fp, and un-materialized the whole corpus-hash
+    # aggregation runs twice (measured: the r7 bench rotation's
+    # first-ever timing of this row was ~2x the fingerprint row for
+    # exactly this reason).  localCheckpoint (not cache) so the block
+    # is droppable by the session-level sweeps; fp is |docs| x 2 longs
+    # — tiny.
+    fp = simhash_fingerprints(spark, sf_dir).localCheckpoint(eager=True)
     bands = F.array(
         *[
             F.struct(
@@ -160,28 +167,23 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "simhash", "bb.band", "bb.bits")
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bits") == F.col("b.bits"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bits") == F.col("b.bits"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.bit_count(
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        ).alias("hamming"),
     )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-        )
-        .filter(F.col("hamming") <= 10)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    # verify BEFORE the dedup shuffle: the hamming test is two codegen
+    # ops per candidate row, so running it first means the distinct()
+    # (needed because a pair sharing k bands appears k times) only
+    # shuffles actual near-duplicates, not every band collision
+    return cand.filter(F.col("hamming") <= 10).distinct()
 
 
 def _simhash_near_pairs_sql() -> str:
