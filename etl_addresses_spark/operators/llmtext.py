@@ -552,3 +552,13 @@ QUERIES_LLMDATA = {
     "bm25_topk": (bm25_topk, BM25_TOPK_SQL),
     "repetition_ngram_score": (repetition_ngram_score, REPETITION_NGRAM_SQL),
 }
+
+
+# round 7: BPE merge-table training (operators/bpe.py) — registered
+# through the llm-data dict so the registry assembly stays one-line.
+from etl_addresses_spark.operators.bpe import (  # noqa: E402
+    BPE_MERGE_TABLE_SQL,
+    bpe_merge_table,
+)
+
+QUERIES_LLMDATA["bpe_merge_table"] = (bpe_merge_table, BPE_MERGE_TABLE_SQL)

@@ -265,9 +265,9 @@ DRIVER_WINDOW: list[str] = [
     "reference_e2e_ndjson",
     "relation_degrees",
     "sample_weighted_k",
-    "scalar_json_extract",
     # -- new round 7: no driver row exists yet ----------------------
     "drift_ks_events",
+    "bpe_merge_table",
 ]
 
 

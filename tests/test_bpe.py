@@ -1,0 +1,52 @@
+"""BPE merge-table training vs a plain-Python reference implementing
+the same documented merge rule (anchored replace, applied twice per
+round) on the same fixture vocabulary."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from conftest import SF_ORACLE
+
+from etl_addresses_spark.operators.bpe import BPE_MERGES, bpe_merge_table
+from etl_addresses_spark.sources.tables import load_table
+
+
+def _py_reference(word_counts: dict[str, int], k: int):
+    vocab = {" ".join(w): n for w, n in word_counts.items()}
+    merges = []
+    for rank in range(1, k + 1):
+        pairs: Counter = Counter()
+        for sw, n in vocab.items():
+            syms = sw.split(" ")
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        # freq DESC, pair ASC — the dispatcher's total order
+        (lhs, rhs), freq = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        pat, rep = f" {lhs} {rhs} ", f" {lhs}{rhs} "
+        new_vocab: dict[str, int] = {}
+        for sw, n in vocab.items():
+            s = f" {sw} ".replace(pat, rep).replace(pat, rep).strip()
+            new_vocab[s] = new_vocab.get(s, 0) + n
+        vocab = new_vocab
+        merges.append((rank, lhs, rhs, freq))
+    return merges
+
+
+def test_bpe_merge_table_matches_python_reference(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    counts: Counter = Counter()
+    for row in docs.select("text").collect():
+        for w in row.text.lower().split(" "):
+            if w:
+                counts[w] += 1
+    expected = _py_reference(counts, BPE_MERGES)
+    got = [
+        (r.rank, r.lhs, r.rhs, r.freq)
+        for r in bpe_merge_table(spark, SF_ORACLE).orderBy("rank").collect()
+    ]
+    assert got == expected, (got, expected)
