@@ -161,3 +161,56 @@ FROM ("""
     )
     + ")"
 )
+
+
+BPE_TOPK_TOKENS = 50
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY side of the tokenizer: encode the corpus vocabulary with
+    the {BPE_MERGES} learned merges and return the top
+    {BPE_TOPK_TOKENS} tokens by corpus frequency (freq DESC, token ASC
+    — a total order, so the top-k set is deterministic).
+
+    The merge table is model-sized (k rows) and collected once — the
+    kmeans-centroid precedent — then applied as literal replace
+    chains; tokenization of the full corpus costs one scan + the
+    vocab-sized merge passes, and the final top-k is
+    TakeOrderedAndProject (no global sort).  Train-time and
+    apply-time merge rules are the same code path, which is the
+    property a production tokenizer must keep."""
+    merges = (
+        bpe_merge_table(spark, sf_dir).orderBy("rank").collect()
+    )
+    cur = _vocab(spark, sf_dir)
+    for m in merges:
+        esc = f"{m.lhs} {m.rhs}".replace("'", "\\'")
+        esc_m = (m.lhs + m.rhs).replace("'", "\\'")
+        apply_once = (
+            f"replace(concat(' ', sw, ' '), ' {esc} ', ' {esc_m} ')"
+        )
+        cur = cur.select(
+            F.expr(
+                f"trim(replace({apply_once}, ' {esc} ', ' {esc_m} '))"
+            ).alias("sw"),
+            "n",
+        )
+    tokens = cur.select(F.explode(F.split("sw", " ")).alias("tok"), "n")
+    return (
+        tokens.groupBy("tok")
+        .agg(F.sum("n").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(BPE_TOPK_TOKENS)
+    )
+
+
+BPE_ENCODE_STATS_SQL = (
+    BPE_MERGE_TABLE_SQL[: BPE_MERGE_TABLE_SQL.index("\nSELECT rank")]
+    + f"""
+SELECT tok, CAST(sum(n) AS BIGINT) AS freq
+FROM (SELECT unnest(string_split(sw, ' ')) AS tok, n FROM w{BPE_MERGES})
+GROUP BY tok
+ORDER BY freq DESC, tok ASC
+LIMIT {BPE_TOPK_TOKENS}
+"""
+)

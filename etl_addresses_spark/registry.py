@@ -232,7 +232,7 @@ DRIVER_WINDOW: list[str] = [
     "triangle_count",
     "window_range_time",
     "zorder_extents",
-    # -- latest driver evidence is ROUND 4 (ledger order, first 34) -
+    # -- latest driver evidence is ROUND 4 (ledger order, first 31) -
     "agg_distinct_counts",
     "agg_percentiles",
     "agg_pricing_summary",
@@ -264,10 +264,10 @@ DRIVER_WINDOW: list[str] = [
     "rawtext_log_roundtrip",
     "reference_e2e_ndjson",
     "relation_degrees",
-    "sample_weighted_k",
     # -- new round 7: no driver row exists yet ----------------------
     "drift_ks_events",
     "bpe_merge_table",
+    "bpe_encode_stats",
 ]
 
 
