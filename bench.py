@@ -111,6 +111,11 @@ HEADLINE = [
     # round-7 addition: the exact-integer KS drift twin (per-type
     # window cumsum over distinct values — the one new ranked op)
     "drift_ks_events",
+    # ...and the BPE tokenizer pair: merge-table training (iterative
+    # pair-count/argmax/merge over the vocabulary) + applying the
+    # learned merges for the top-token histogram
+    "bpe_merge_table",
+    "bpe_encode_stats",
     # round-5 additions (4th batch): clickstream path assembly (the
     # collect_list-per-session + top-k composition), grouped OLS (one
     # scan, 5 decimal moment sums x 4 groups), bounded frontier-BFS
