@@ -290,3 +290,22 @@ def test_fuzzy_dense_matches_bruteforce_reference(spark, s_names, c_names, d):
             assert got[i] == (j, cn, dist), (d, sn, cands[:3], got.get(i))
         else:
             assert i not in got, (d, sn, cands[:3], got.get(i))
+
+
+@given(
+    st.text("abcXY012", min_size=0, max_size=12),
+    st.text("abcXY012", min_size=0, max_size=12),
+)
+@settings(max_examples=300, deadline=None)
+def test_charset_mask_bound_is_a_valid_levenshtein_lower_bound(a, b):
+    """The dense fuzzy tier's prefilter math, pinned as pure algebra:
+    a unit edit changes the character-presence set by at most 2, so
+    |presence(a) XOR presence(b)| <= 2 * lev(a, b) — the Spark-side
+    popcount filter can therefore never prune a true match, for ANY
+    char->bit mapping (collisions only shrink the left side)."""
+    lev = _py_levenshtein(a, b)
+    diff = len(set(a) ^ set(b))
+    assert diff <= 2 * lev, (a, b, lev, diff)
+    # and under a lossy 8-bucket mapping (collision regime)
+    diff_lossy = len({ord(c) % 8 for c in a} ^ {ord(c) % 8 for c in b})
+    assert diff_lossy <= 2 * lev, (a, b, lev, diff_lossy)
