@@ -19,9 +19,16 @@ Spark shape (the 100 TB story):
   lambda-CSE hazard, SCALE.md), hash-aggregated with map-side
   partials; the argmax is min(struct(-freq, pair)) — ONE row to the
   driver per round (model-sized collect, the kmeans/IVF precedent);
+- the training loop localCheckpoints the vocab per round via
+  ckpt.CheckpointChain, so round k costs O(|vocab|) — NOT a replay of
+  the k-1 earlier merge projections — and superseded iterates are
+  freed as soon as the next one materializes (measured round cost in
+  SCALE.md §BPE);
 - merge application is two nested `replace()` calls on the
   space-joined symbol string with space anchors — pure JVM string
-  ops, no UDFs.
+  ops, no UDFs, built with Column-API literals (`F.replace` +
+  `F.lit`) so arbitrary corpus tokens (quotes, backslashes, regex
+  metacharacters) can never corrupt an interpolated SQL string.
 
 Cross-engine exactness: frequencies are integer sums; the tie-break
 (freq DESC, pair ASC) is a total order; and the merge-apply rule is
@@ -40,13 +47,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_addresses_spark.ckpt import CheckpointChain
 from etl_addresses_spark.sources.tables import load_table
 
-BPE_MERGES = 4
+BPE_MERGES = 16
 
 
-def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def _vocab_for(docs: DataFrame) -> DataFrame:
     words = (
         docs.select(
             F.explode(F.split(F.lower("text"), " ")).alias("w")
@@ -59,6 +66,10 @@ def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.select(
         F.expr("trim(regexp_replace(w, '(.)', '$1 '))").alias("sw"), "n"
     )
+
+
+def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _vocab_for(load_table(spark, sf_dir, "documents"))
 
 
 def _adjacent_pair_counts(cur: DataFrame) -> DataFrame:
@@ -79,13 +90,27 @@ def _adjacent_pair_counts(cur: DataFrame) -> DataFrame:
     return pairs.groupBy("p").agg(F.sum("n").alias("f"))
 
 
-def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train the first {BPE_MERGES} BPE merges on the documents
-    corpus; returns (rank, lhs, rhs, freq) — the merge list in
-    learned order."""
-    cur = _vocab(spark, sf_dir)
-    merges = []
-    for rank in range(1, BPE_MERGES + 1):
+def _apply_merge(cur: DataFrame, lhs: str, rhs: str) -> DataFrame:
+    """One merge round on the space-joined vocab: anchored replace,
+    applied twice (module docstring).  All literals go through F.lit —
+    no string interpolation, so no quoting/escaping hazard for ANY
+    corpus token."""
+    pat = F.lit(f" {lhs} {rhs} ")
+    rep = F.lit(f" {lhs}{rhs} ")
+    padded = F.concat(F.lit(" "), F.col("sw"), F.lit(" "))
+    once = F.replace(padded, pat, rep)
+    return cur.select(F.trim(F.replace(once, pat, rep)).alias("sw"), "n")
+
+
+def bpe_train_for(docs: DataFrame, k: int) -> list[tuple[int, str, str, int]]:
+    """Train the first k BPE merges over a documents frame (column
+    `text`); returns [(rank, lhs, rhs, freq), ...] — the seam the
+    fixture query and the hypothesis tie-stability property both
+    drive."""
+    chain = CheckpointChain()
+    cur = _vocab_for(docs)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, k + 1):
         counts = _adjacent_pair_counts(cur)
         top = counts.agg(
             F.min(F.struct((-F.col("f")).alias("nf"), F.col("p"))).alias("m")
@@ -93,22 +118,22 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         if top is None:
             break
         pair, freq = top["p"], -top["nf"]
-        lhs, rhs = pair.split(" ")
-        merged = lhs + rhs
-        # anchored, applied twice (see module docstring); literals are
-        # fixture tokens (letters/digits), no quoting hazard beyond '
-        esc = pair.replace("'", "\\'")
-        esc_m = merged.replace("'", "\\'")
-        apply_once = (
-            f"replace(concat(' ', sw, ' '), ' {esc} ', ' {esc_m} ')"
-        )
-        cur = cur.select(
-            F.expr(
-                f"trim(replace({apply_once}, ' {esc} ', ' {esc_m} '))"
-            ).alias("sw"),
-            "n",
-        )
+        lhs, rhs = pair.split(" ", 1)
+        # checkpoint the merged vocab: round cost stays O(|vocab|)
+        # instead of replaying every earlier merge, and the superseded
+        # iterate's blocks are freed as soon as this one materializes
+        cur = chain.step(_apply_merge(cur, lhs, rhs), "vocab")
         merges.append((rank, lhs, rhs, int(freq)))
+    # the merge list lives on the driver; nothing reads the vocab again
+    chain.release("vocab")
+    return merges
+
+
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first {BPE_MERGES} BPE merges on the documents
+    corpus; returns (rank, lhs, rhs, freq) — the merge list in
+    learned order."""
+    merges = bpe_train_for(load_table(spark, sf_dir, "documents"), BPE_MERGES)
     return spark.createDataFrame(
         merges, "rank bigint, lhs string, rhs string, freq bigint"
     )
@@ -116,7 +141,10 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _round_ctes(r: int) -> str:
     """CTEs for round r: pair counts c{r} from w{r-1}, winner m{r},
-    merged vocab w{r}."""
+    merged vocab w{r}.  m{r} and w{r} are MATERIALIZED: w{r} is
+    referenced by both c{r+1} and w{r+1}, and m{r} three times inside
+    w{r} — inlining would re-expand the whole chain per reference
+    (exponential at {BPE_MERGES} rounds)."""
     return f"""
 c{r} AS (
   SELECT l[i] || ' ' || l[i + 1] AS p, sum(n) AS f
@@ -124,11 +152,11 @@ c{r} AS (
        UNNEST(generate_series(1, len(l) - 1)) AS g(i)
   GROUP BY 1
 ),
-m{r} AS (
+m{r} AS MATERIALIZED (
   SELECT {r} AS rank, p, CAST(f AS BIGINT) AS f
   FROM c{r} ORDER BY f DESC, p ASC LIMIT 1
 ),
-w{r} AS (
+w{r} AS MATERIALIZED (
   SELECT trim(replace(
            replace(' ' || sw || ' ',
                    ' ' || (SELECT p FROM m{r}) || ' ',
@@ -142,7 +170,7 @@ w{r} AS (
 
 BPE_MERGE_TABLE_SQL = (
     """
-WITH w0 AS (
+WITH w0 AS MATERIALIZED (
   SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sw,
          CAST(count(*) AS BIGINT) AS n
   FROM (
@@ -175,26 +203,17 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The merge table is model-sized (k rows) and collected once — the
     kmeans-centroid precedent — then applied as literal replace
     chains; tokenization of the full corpus costs one scan + the
-    vocab-sized merge passes, and the final top-k is
-    TakeOrderedAndProject (no global sort).  Train-time and
-    apply-time merge rules are the same code path, which is the
-    property a production tokenizer must keep."""
+    vocab-sized merge passes (CollapseProject folds the k apply
+    projections into ONE whole-stage-codegen pass), and the final
+    top-k is TakeOrderedAndProject (no global sort).  Train-time and
+    apply-time merge rules are the same code path (`_apply_merge`),
+    which is the property a production tokenizer must keep."""
     merges = (
         bpe_merge_table(spark, sf_dir).orderBy("rank").collect()
     )
     cur = _vocab(spark, sf_dir)
     for m in merges:
-        esc = f"{m.lhs} {m.rhs}".replace("'", "\\'")
-        esc_m = (m.lhs + m.rhs).replace("'", "\\'")
-        apply_once = (
-            f"replace(concat(' ', sw, ' '), ' {esc} ', ' {esc_m} ')"
-        )
-        cur = cur.select(
-            F.expr(
-                f"trim(replace({apply_once}, ' {esc} ', ' {esc_m} '))"
-            ).alias("sw"),
-            "n",
-        )
+        cur = _apply_merge(cur, m.lhs, m.rhs)
     tokens = cur.select(F.explode(F.split("sw", " ")).alias("tok"), "n")
     return (
         tokens.groupBy("tok")

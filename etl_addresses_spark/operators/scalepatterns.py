@@ -770,6 +770,19 @@ _STOPWORDS = (
 )
 
 
+def quality_budget_select_plan(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """LAZY builder for `quality_budget_select`: returns (out, scored)
+    where `out` is the un-checkpointed selection plan and `scored` the
+    cached corpus projection the caller must unpersist after
+    consuming `out`.  Exposed separately (r7 advice) so plan-shape
+    tests inspect the REAL physical plan — the public entry's eager
+    localCheckpoint replaces it with a LogicalRDD scan, which made the
+    no-global-sort assertion vacuously true."""
+    return _quality_budget_select_impl(spark, sf_dir)
+
+
 def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Select the highest-quality documents until a corpus-level token
     budget is exhausted — the canonical pretraining-mix curation shape
@@ -799,7 +812,27 @@ def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     textbook definition (the BFS/Bellman-Ford two-algorithm pattern).
     Budget arithmetic is pure BIGINT (ppm fraction, floor), so the
     admit/reject decision at every margin is exact on both engines.
+
+    NOTE (registry behavior): the returned frame is eagerly
+    localCheckpoint'ed (its plan is a LogicalRDD scan of the already-
+    computed selection), so constructing it RUNS the query — an
+    EXPLAIN-only consumer should use `quality_budget_select_plan`.
     """
+    out, scored = _quality_budget_select_impl(spark, sf_dir)
+    # Materialize the (tiny: 3 longs/row) selection eagerly, then free
+    # the cached corpus projection — in a long-lived shared session
+    # (driver correctness sweep, pytest) an un-released cache per query
+    # accumulates exactly the block-manager pressure ckpt.py exists to
+    # prevent (r6 advice).  The checkpoint IS the returned result, so
+    # nothing re-reads `scored` after the unpersist.
+    out = out.localCheckpoint(eager=True)
+    scored.unpersist()
+    return out
+
+
+def _quality_budget_select_impl(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
     stop_arr = "array(" + ",".join(f"'{w}'" for w in _STOPWORDS.split(",")) + ")"
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -872,15 +905,7 @@ def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = full.unionByName(boundary.drop("cum")).select(
         "doc_id", "score", "toks"
     )
-    # Materialize the (tiny: 3 longs/row) selection eagerly, then free
-    # the cached corpus projection — in a long-lived shared session
-    # (driver correctness sweep, pytest) an un-released cache per query
-    # accumulates exactly the block-manager pressure ckpt.py exists to
-    # prevent (r6 advice).  The checkpoint IS the returned result, so
-    # nothing re-reads `scored` after the unpersist.
-    out = out.localCheckpoint(eager=True)
-    scored.unpersist()
-    return out
+    return out, scored
 
 
 _STOP_DUCK = "[" + ",".join(f"'{w}'" for w in _STOPWORDS.split(",")) + "]"

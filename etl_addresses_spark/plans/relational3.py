@@ -340,7 +340,13 @@ def _segments_expr(col: str, d: int):
 # 40-42 (banded levenshtein returns -1 past the threshold; -1 & 7 = 7
 # sorts above every valid distance for free), the key the low 40 bits
 # — ~1.1e12 ids; keys outside [0, 2^40) fall back to the band tier.
+# The 3-bit dist field is only sound for d <= DENSE_MAX_DIST = 6: at
+# d = 7 the -1 sentinel (&7 = 7) would alias a VALID distance and
+# survive the post-fold threshold filter, and for d > 7 true distances
+# truncate mod 8 — so the public entry points guard d and fall back to
+# the band tier (always correct, just not the minimal-constant plan).
 DENSE_BUCKET_ROWS = 2048
+DENSE_MAX_DIST = 6
 _PACK_BITS = 40
 _PACK_SENTINEL = 1 << 62
 
@@ -379,6 +385,10 @@ def fuzzy_match_dense_for(
     => ~10^7 names per GB); past that the same kernel runs as a
     block-partitioned theta join (tile both sides, same fold).
     """
+    if not (0 <= d <= DENSE_MAX_DIST):
+        # the 3-bit packed dist field cannot represent d > 6 (the -1
+        # beyond-threshold sentinel would alias dist 7) — band tier
+        return fuzzy_match_blocked_for(suppliers, customers, d)
     spark = suppliers.sparkSession
     stats = customers.agg(
         F.count(F.lit(1)).alias("n"),
@@ -433,8 +443,17 @@ def fuzzy_match_dense_for(
             ).alias("c_custkey"),
         )
     )
+    # name recovery: with DUPLICATE c_custkey values the equi-join can
+    # attach a row whose distance differs from the fold's reported
+    # dist, so verify dist on the recovered pair before the min(c_name)
+    # tie-break — this keeps the (dist, key, name) answer identity with
+    # the band tier for any input, not just unique-key dimensions.
     return (
         best.join(F.broadcast(customers), "c_custkey")
+        .filter(
+            F.expr(f"levenshtein(s_name, c_name, {d})").cast("long")
+            == F.col("dist")
+        )
         .groupBy("s_suppkey", "s_name", "dist", "c_custkey")
         .agg(F.min("c_name").alias("c_name"))
         .select("s_suppkey", "s_name", "c_custkey", "c_name", "dist")
@@ -596,11 +615,38 @@ def fuzzy_name_match_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONTENT — candidates require an exact substring hit, orders of
     magnitude rarer (measured with tools/stress_fuzzy.py --passjoin).
     Same oracle as the other two tiers: three algorithms, one
-    hash-checked answer."""
-    return fuzzy_match_passjoin_for(
+    hash-checked answer.
+
+    GATED since round 8 (r7 verdict item 2): the salted fixture names
+    pass PassJoin's length gate (21/(6+1) = 3.0) but their segments
+    are ~90% constant, so the segment equi-join degenerates PAST the
+    cross product (segment_collision_estimate = 4.17 measured in
+    r7_fuzzy_signature_bounds.json — 185 s at sf0.1).  The standalone
+    row now applies the SAME measured-selectivity rule the dispatcher
+    uses: PassJoin runs only when the segment keys actually prune,
+    else the dense packed-fold tier answers (identically — the gate
+    picks the plan, never the result).  `fuzzy_title_match_passjoin`
+    (relational7.py) stays the in-regime demonstration where the
+    segment join is the winning plan."""
+    return fuzzy_match_passjoin_guarded_for(
         load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"),
         load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
     )
+
+
+def fuzzy_match_passjoin_guarded_for(
+    suppliers: DataFrame, customers: DataFrame, d: int = FUZZY_MAX_DIST
+) -> DataFrame:
+    """PassJoin with the dispatcher's own out-of-regime guard: run the
+    segment tier only when `segment_collision_estimate` says the
+    segment equi-join prunes (<= PASSJOIN_COLLISION_MAX); otherwise
+    the equi-join would degenerate to (or past) the cross product, so
+    fall back to the dense packed-fold tier.  One model-sized
+    estimator job; both branches are answer-identical."""
+    collision = segment_collision_estimate(customers, "c_name", d)
+    if collision <= PASSJOIN_COLLISION_MAX:
+        return fuzzy_match_passjoin_for(suppliers, customers, d)
+    return fuzzy_match_dense_for(suppliers, customers, d)
 
 
 def passjoin_candidates(

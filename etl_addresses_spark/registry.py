@@ -52,6 +52,27 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class Entry:
     query: QueryFn
     oracle: str | None
+    # "product" rows are the plans a user would run at scale;
+    # "validation" rows exist to equivalence-check a product row
+    # against a semantically-identical baseline (all-pairs reference,
+    # single-tier demonstration) and are NOT the recommended plan —
+    # ledgers and verdicts separate the two (r7 verdict item 5).
+    # Strategy VARIANTS that are function parameters rather than
+    # registry rows (flagship's broadcast/reference_knn) are already
+    # outside the registry and need no tag.
+    tier: str = "product"
+
+
+# Validation-class rows (everything else defaults to "product"):
+#  - fuzzy_name_match: the definitional all-pairs argmin the tiered
+#    dispatcher is equivalence-checked against (docstring states the
+#    scale story; fuzzy_name_match_blocked is the product path);
+#  - fuzzy_name_match_passjoin: single-tier demonstration row, gated
+#    out-of-regime since r8 (dispatcher embodies the product rule).
+TIERS: dict[str, str] = {
+    "fuzzy_name_match": "validation",
+    "fuzzy_name_match_passjoin": "validation",
+}
 
 
 _ALL: dict[str, Entry] = {
@@ -203,71 +224,79 @@ _ALL: dict[str, Entry] = {
     ),
 }
 
+# apply tier tags (Entry is frozen; rebuild the tagged rows)
+_ALL = {
+    name: (
+        Entry(e.query, e.oracle, TIERS[name]) if name in TIERS else e
+    )
+    for name, e in _ALL.items()
+}
+
 # The grading driver cross-checks exactly the FIRST 50 registry entries
-# (dict order) against DuckDB each round.  Round-7 rotation, derived
-# MECHANICALLY from tools/coverage_ledger.py regenerated at r6 HEAD
-# (oldest-first, every round — the binding form of the staleness
-# invariant given the 166-entry/50-slot pigeonhole): after the r06
-# driver run, 16 entries remain at r03 (the alphabetical tail the r06
-# window could not fit) and 50 at r04.  The window is those 16 r03
-# entries, plus any new r7 entries (no driver row exists yet), plus
-# the alphabetically-first r04 entries up to the 50-slot cap.  The
-# r04 tail that does not fit stays full-sweep-green at HEAD via
-# CORRECTNESS_FULL artifacts and goes FIRST into the r8 window.
+# (dict order) against DuckDB each round.  Round-8 rotation, derived
+# MECHANICALLY from tools/evidence/coverage_ledger_r07.md (oldest-first,
+# every round — the binding form of the staleness invariant given the
+# 169-entry/50-slot pigeonhole): after the r07 driver run, 19 entries
+# remain at r04 (the tail the r07 window could not fit) and 49 at r05.
+# The window is those 19 r04 entries plus the alphabetically-first 31
+# r05 entries.  The r05 tail that does not fit stays full-sweep-green
+# at HEAD via CORRECTNESS_FULL artifacts and goes FIRST into the r9
+# window.  Two rows under r7-verdict scrutiny land fresh driver
+# evidence this round by construction: fuzzy_name_match_passjoin
+# (newly gated) and graph_bfs_distances (bench-regression re-check).
 DRIVER_WINDOW: list[str] = [
-    # -- latest driver evidence is ROUND 3 (ledger tail, all 16) ----
-    "semantic_dedup",
-    "simhash_fingerprints",
-    "simhash_near_pairs",
-    "skew_salted_distinct",
-    "spatiotemporal_join_knn",
-    "split_train_val_test",
-    "sql_grouping_sets",
-    "stream_purchase_view_join",
-    "stream_session_windows",
-    "stream_stateful_user_totals",
-    "stream_static_enrich",
-    "stream_windowed_counts",
-    "token_count_bpe",
-    "triangle_count",
-    "window_range_time",
-    "zorder_extents",
-    # -- latest driver evidence is ROUND 4 (ledger order, first 31) -
-    "agg_distinct_counts",
-    "agg_percentiles",
-    "agg_pricing_summary",
-    "agg_rollup",
-    "ann_quantized_topk",
-    "anomaly_zscore_events",
-    "contrastive_hard_negatives",
-    "dedup_clusters_star",
-    "dedup_incremental_lsh",
-    "delimited_roundtrip_csv",
-    "docs_with_embeddings",
-    "embedding_near_dup",
-    "events_ohlc_bars",
-    "fuzzy_name_match_blocked",
-    "interval_overlap_bucketed",
-    "join_anti_customers",
-    "join_outer_order_counts",
-    "join_region_volume",
-    "join_semi_orders",
-    "mixture_rebalance",
-    "multimodal_audio_features",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_image_dedup",
-    "multimodal_meta",
-    "multimodal_pixel_stats",
-    "partitioned_sink_prune",
-    "pipeline_curate_stats",
-    "rawtext_log_roundtrip",
-    "reference_e2e_ndjson",
-    "relation_degrees",
-    # -- new round 7: no driver row exists yet ----------------------
-    "drift_ks_events",
-    "bpe_merge_table",
-    "bpe_encode_stats",
+    # -- latest driver evidence is ROUND 4 (ledger tail, all 19) ----
+    "sample_weighted_k",
+    "scalar_json_extract",
+    "set_except_buyers",
+    "stats_correlation",
+    "stream_ohlc_bars",
+    "stream_purchase_view_full_join",
+    "stream_purchase_view_left_join",
+    "stream_sliding_windows",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_stats",
+    "text_tfidf_top_terms",
+    "transform_logs",
+    "transform_relations",
+    "vocab_oov_rate",
+    "window_lag_delta",
+    "window_locf_fill",
+    "window_running_total",
+    # -- latest driver evidence is ROUND 5 (ledger order, first 31) -
+    "agg_cube",
+    "agg_pivot_case",
+    "ann_ivf_topk",
+    "ann_recall_eval",
+    "asof_join_events",
+    "cosine_topk_fast",
+    "dedup_clusters",
+    "dedup_exact",
+    "drift_psi_events",
+    "embedding_gram_matrix",
+    "embedding_pc_scores",
+    "embedding_top_pc",
+    "events_sessionize",
+    "fuzzy_name_match",
+    "fuzzy_name_match_passjoin",
+    "fuzzy_title_match_passjoin",
+    "graph_bfs_distances",
+    "graph_communities_labelprop",
+    "join_topk_order_revenue",
+    "merge_upsert",
+    "ngram_jaccard_pairs",
+    "q19_disjunctive_revenue",
+    "q21_sole_late_supplier",
+    "q2_min_cost_part",
+    "q3_shipping_priority",
+    "q4_late_shipments",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
 ]
 
 

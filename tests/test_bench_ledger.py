@@ -27,9 +27,13 @@ def test_query_times_handles_both_shapes():
 def test_committed_evidence_covers_registry():
     from etl_addresses_spark.registry import REGISTRY
 
-    latest = load_evidence()
-    missing = sorted(set(REGISTRY) - set(latest))
+    history = load_evidence()
+    missing = sorted(set(REGISTRY) - set(history))
     assert not missing, f"entries with no bench row anywhere: {missing}"
-    # later rounds win: every recorded round is a positive int and the
-    # r7 rotation means nothing should predate round 1
-    assert all(rnd >= 1 and sec >= 0 for rnd, sec in latest.values())
+    # full per-round history: every recorded round is a positive int
+    # and every timing non-negative (r8 shape: {query: {round: sec}})
+    assert all(
+        rnd >= 1 and sec >= 0
+        for rounds in history.values()
+        for rnd, sec in rounds.items()
+    )

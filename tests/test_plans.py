@@ -421,12 +421,33 @@ def test_q5_broadcasts_dims_no_cartesian(spark):
 
 def test_passjoin_no_cartesian(spark):
     from etl_addresses_spark.plans import relational3
+    from etl_addresses_spark.sources.tables import load_table
 
-    plan = _plan(relational3.fuzzy_name_match_passjoin(spark, SF_SMALL))
-    # content blocking must be an equi-join on the segment key
+    # the PassJoin TIER itself (un-gated seam): content blocking must
+    # be an equi-join on the segment key — no row-level product
+    s = load_table(spark, SF_SMALL, "supplier").select("s_suppkey", "s_name")
+    c = load_table(spark, SF_SMALL, "customer").select("c_custkey", "c_name")
+    plan = _plan(relational3.fuzzy_match_passjoin_for(s, c))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # and the argmin must partial-aggregate (map-side combine)
+    assert "partial_min" in plan
+
+
+def test_passjoin_row_gates_to_dense_on_uniform_fixture(spark):
+    """The registered row is GATED since r8: the uniform fixture's
+    segment keys collide past the cross product, so the guard must
+    route to the dense packed-fold tier — whose signature is the
+    bucket-packed broadcast product (a BNLJ over |C|/2048 bucket ROWS,
+    deliberately) with the packed-long aggregate fold, not the
+    segment equi-join that measured 185 s at sf0.1."""
+    from etl_addresses_spark.plans import relational3
+
+    plan = _plan(relational3.fuzzy_name_match_passjoin(spark, SF_SMALL))
+    # dense-tier fingerprints: the bucketed broadcast product + the
+    # allocation-free packed fold + map-side partial argmin
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "aggregate(arr" in plan
     assert "partial_min" in plan
 
 

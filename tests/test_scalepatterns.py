@@ -158,16 +158,22 @@ def test_quality_budget_select_invariants(spark):
 
 def test_quality_budget_select_no_global_sort(spark):
     from etl_addresses_spark.operators.scalepatterns import (
-        quality_budget_select,
+        quality_budget_select_plan,
     )
 
-    plan = quality_budget_select(
-        spark, SF_ORACLE
-    )._jdf.queryExecution().executedPlan().toString()
-    # the corpus never range-partitions (no global sort); only the
-    # <=1001-row score-class table may see a single-partition window
-    assert "rangepartitioning" not in plan.lower()
-    assert "CartesianProduct" not in plan
+    # the LAZY builder: the public entry localCheckpoints eagerly, so
+    # its plan is a LogicalRDD scan and would pass these vacuously
+    out, scored = quality_budget_select_plan(spark, SF_ORACLE)
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the corpus never range-partitions (no global sort); only the
+        # <=1001-row score-class table may see a single-partition window
+        assert "rangepartitioning" not in plan.lower()
+        assert "CartesianProduct" not in plan
+        # the plan really is the selection, not a checkpoint scan
+        assert "LogicalRDD" not in out._jdf.queryExecution().analyzed().toString()
+    finally:
+        scored.unpersist()
 
 
 def test_drift_ks_invariants(spark):

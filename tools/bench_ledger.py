@@ -4,7 +4,10 @@ tools/coverage_ledger.py (r6 verdict item 3).
 The correctness ledger answers "when was this entry last proven
 right"; this one answers "when was this entry last TIMED", so a perf
 regression in a rarely-benched row is visible as staleness instead of
-silently waiting for a driver window.
+silently waiting for a driver window.  Since r8 the table also carries
+the PREVIOUS round's timing and the ratio — regression detection needs
+a baseline pair (r7 verdict item 7) — and the registry tier, so
+validation-class rows are never mistaken for production paths.
 
 Evidence sources, in round order:
   - BENCH_r{N}.json            driver bench artifacts (parsed.queries;
@@ -59,14 +62,15 @@ def _query_times(obj) -> dict[str, float]:
     return out
 
 
-def load_evidence() -> dict[str, tuple[int, float]]:
-    """{query: (latest round with a timing, that round's best sec)}."""
-    latest: dict[str, tuple[int, float]] = {}
+def load_evidence() -> dict[str, dict[int, float]]:
+    """{query: {round: best sec in that round}} (min across artifacts
+    of the same round)."""
+    history: dict[str, dict[int, float]] = {}
 
     def record(rnd: int, times: dict[str, float]) -> None:
         for name, sec in times.items():
-            if name not in latest or rnd >= latest[name][0]:
-                latest[name] = (rnd, sec)
+            rounds = history.setdefault(name, {})
+            rounds[rnd] = min(sec, rounds.get(rnd, sec))
 
     for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
         m = re.search(r"_r(\d+)", os.path.basename(path))
@@ -89,32 +93,50 @@ def load_evidence() -> dict[str, tuple[int, float]]:
         except (OSError, json.JSONDecodeError):
             continue
         record(int(m.group(1)), _query_times(artifact))
-    return latest
+    return history
 
 
 def main() -> int:
     from etl_addresses_spark.registry import REGISTRY
 
-    latest = load_evidence()
+    history = load_evidence()
     md = "--md" in sys.argv
     rows = []
     missing = 0
     for name in sorted(REGISTRY):
-        if name in latest:
-            rnd, sec = latest[name]
-            rows.append((name, f"r{rnd:02d}", f"{sec:.2f}"))
+        tier = REGISTRY[name].tier
+        rounds = history.get(name, {})
+        if rounds:
+            latest = max(rounds)
+            prevs = [r for r in rounds if r < latest]
+            cur = f"{rounds[latest]:.2f}"
+            if prevs:
+                prev = max(prevs)
+                ratio = (
+                    rounds[latest] / rounds[prev] if rounds[prev] else float("inf")
+                )
+                prev_s, delta = f"r{prev:02d}:{rounds[prev]:.2f}", f"{ratio:.2f}x"
+            else:
+                prev_s, delta = "-", "-"
+            rows.append((name, tier, f"r{latest:02d}", cur, prev_s, delta))
         else:
-            rows.append((name, "-", "-"))
+            rows.append((name, tier, "-", "-", "-", "-"))
             missing += 1
     if md:
-        print("| query | latest bench | sec |")
-        print("|---|---|---|")
+        print("| query | tier | latest bench | sec | prev | delta |")
+        print("|---|---|---|---|---|---|")
         for r in rows:
-            print(f"| {r[0]} | {r[1]} | {r[2]} |")
+            print("| " + " | ".join(r) + " |")
     else:
-        print(f"{'query':35s} {'bench':>6s} {'sec':>8s}")
+        print(
+            f"{'query':35s} {'tier':>10s} {'bench':>6s} {'sec':>8s}"
+            f" {'prev':>12s} {'delta':>7s}"
+        )
         for r in rows:
-            print(f"{r[0]:35s} {r[1]:>6s} {r[2]:>8s}")
+            print(
+                f"{r[0]:35s} {r[1]:>10s} {r[2]:>6s} {r[3]:>8s}"
+                f" {r[4]:>12s} {r[5]:>7s}"
+            )
     print(
         f"-- {len(rows)} entries, {missing} with no bench row anywhere",
         file=sys.stderr,
