@@ -293,6 +293,87 @@ def test_fuzzy_dense_matches_bruteforce_reference(spark, s_names, c_names, d):
 
 
 @given(
+    st.lists(st.text(NAME_ALPHA, min_size=1, max_size=14), min_size=1,
+             max_size=6, unique=True),
+    st.lists(st.text(NAME_ALPHA, min_size=1, max_size=14), min_size=1,
+             max_size=10, unique=True),
+    st.integers(min_value=7, max_value=9),
+)
+@settings(max_examples=6, deadline=None)
+def test_fuzzy_dense_guard_beyond_pack_range(spark, s_names, c_names, d):
+    """r8 guard (r7 advice item 1): d > DENSE_MAX_DIST cannot use the
+    3-bit packed dist field (-1 sentinel aliases 7; d > 7 truncates
+    mod 8), so `fuzzy_match_dense_for` must STILL return the exact
+    brute-force threshold-argmin via the band-tier fallback — the
+    regime the old property tests (capped at d=6) never reached."""
+    from etl_addresses_spark.plans.relational3 import fuzzy_match_dense_for
+
+    s_df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(s_names)], "s_suppkey long, s_name string"
+    )
+    c_df = spark.createDataFrame(
+        [(j, n) for j, n in enumerate(c_names)], "c_custkey long, c_name string"
+    )
+    got = {
+        r.s_suppkey: (r.c_custkey, r.c_name, r.dist)
+        for r in fuzzy_match_dense_for(s_df, c_df, d=d).collect()
+    }
+    for i, sn in enumerate(s_names):
+        cands = sorted(
+            (_py_levenshtein(sn, cn), j, cn) for j, cn in enumerate(c_names)
+        )
+        dist, j, cn = cands[0]
+        if dist <= d:
+            assert got[i] == (j, cn, dist), (d, sn, cands[:3], got.get(i))
+        else:
+            assert i not in got, (d, sn, cands[:3], got.get(i))
+
+
+@given(
+    st.lists(st.text(NAME_ALPHA, min_size=1, max_size=10), min_size=1,
+             max_size=5, unique=True),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.text(NAME_ALPHA, min_size=1, max_size=10),
+        ),
+        min_size=1, max_size=10,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=8, deadline=None)
+def test_fuzzy_dense_duplicate_keys_keep_band_tie_break(
+    spark, s_names, c_pairs, d
+):
+    """r8 fix (r7 advice item 2): with DUPLICATE c_custkey values the
+    dense tier's name recovery must verify the recovered pair's
+    distance before the min(c_name) tie-break, so its answer stays
+    identical to the band tier's min(struct(dist, key, name)) — keys
+    here are drawn from {0,1,2} so collisions are the common case."""
+    from etl_addresses_spark.plans.relational3 import (
+        fuzzy_match_blocked_for,
+        fuzzy_match_dense_for,
+    )
+
+    s_df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(s_names)], "s_suppkey long, s_name string"
+    )
+    c_df = spark.createDataFrame(
+        list(c_pairs), "c_custkey long, c_name string"
+    )
+    dense = {
+        r.s_suppkey: (r.c_custkey, r.c_name, r.dist)
+        for r in fuzzy_match_dense_for(s_df, c_df, d=d).collect()
+    }
+    band = {
+        r.s_suppkey: (r.c_custkey, r.c_name, r.dist)
+        for r in fuzzy_match_blocked_for(s_df, c_df, d=d).collect()
+    }
+    assert dense == band, (d, dense, band)
+
+
+@given(
     st.text("abcXY012", min_size=0, max_size=12),
     st.text("abcXY012", min_size=0, max_size=12),
 )
