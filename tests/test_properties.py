@@ -374,6 +374,45 @@ def test_fuzzy_dense_duplicate_keys_keep_band_tie_break(
 
 
 @given(
+    st.lists(st.text(NAME_ALPHA, min_size=1, max_size=30), min_size=1,
+             max_size=6, unique=True),
+    st.lists(st.text(NAME_ALPHA, min_size=1, max_size=30), min_size=1,
+             max_size=10, unique=True),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=8, deadline=None)
+def test_fuzzy_auto_dispatcher_matches_bruteforce_reference(
+    spark, s_names, c_names, d
+):
+    """End-to-end seam check of the PRODUCT dispatcher: whatever tier
+    `fuzzy_match_auto_for` picks (the estimator jobs + tier rule +
+    chosen plan, together), the answer must be exactly the brute-force
+    threshold-argmin — name lengths up to 30 chars make different
+    examples land in different tiers."""
+    from etl_addresses_spark.plans.relational3 import fuzzy_match_auto_for
+
+    s_df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(s_names)], "s_suppkey long, s_name string"
+    )
+    c_df = spark.createDataFrame(
+        [(j, n) for j, n in enumerate(c_names)], "c_custkey long, c_name string"
+    )
+    got = {
+        r.s_suppkey: (r.c_custkey, r.c_name, r.dist)
+        for r in fuzzy_match_auto_for(s_df, c_df, d=d).collect()
+    }
+    for i, sn in enumerate(s_names):
+        cands = sorted(
+            (_py_levenshtein(sn, cn), j, cn) for j, cn in enumerate(c_names)
+        )
+        dist, j, cn = cands[0]
+        if dist <= d:
+            assert got[i] == (j, cn, dist), (d, sn, cands[:3], got.get(i))
+        else:
+            assert i not in got, (d, sn, cands[:3], got.get(i))
+
+
+@given(
     st.text("abcXY012", min_size=0, max_size=12),
     st.text("abcXY012", min_size=0, max_size=12),
 )
