@@ -144,7 +144,11 @@ def _round_ctes(r: int) -> str:
     merged vocab w{r}.  m{r} and w{r} are MATERIALIZED: w{r} is
     referenced by both c{r+1} and w{r+1}, and m{r} three times inside
     w{r} — inlining would re-expand the whole chain per reference
-    (exponential at {BPE_MERGES} rounds)."""
+    (exponential at {BPE_MERGES} rounds).  When the corpus exhausts
+    mergeable pairs before round r, m{r} is EMPTY — the CASE keeps
+    w{r} = w{r-1} instead of NULL-propagating the scalar subquery
+    through replace() (which silently emptied the encode-stats oracle
+    on degenerate corpora; the Spark side simply stops applying)."""
     return f"""
 c{r} AS (
   SELECT l[i] || ' ' || l[i + 1] AS p, sum(n) AS f
@@ -157,12 +161,14 @@ m{r} AS MATERIALIZED (
   FROM c{r} ORDER BY f DESC, p ASC LIMIT 1
 ),
 w{r} AS MATERIALIZED (
-  SELECT trim(replace(
-           replace(' ' || sw || ' ',
-                   ' ' || (SELECT p FROM m{r}) || ' ',
-                   ' ' || (SELECT replace(p, ' ', '') FROM m{r}) || ' '),
-           ' ' || (SELECT p FROM m{r}) || ' ',
-           ' ' || (SELECT replace(p, ' ', '') FROM m{r}) || ' ')) AS sw,
+  SELECT CASE WHEN (SELECT count(*) FROM m{r}) = 0 THEN sw
+         ELSE trim(replace(
+                replace(' ' || sw || ' ',
+                        ' ' || (SELECT p FROM m{r}) || ' ',
+                        ' ' || (SELECT replace(p, ' ', '') FROM m{r}) || ' '),
+                ' ' || (SELECT p FROM m{r}) || ' ',
+                ' ' || (SELECT replace(p, ' ', '') FROM m{r}) || ' '))
+         END AS sw,
          n
   FROM w{r - 1}
 )"""

@@ -637,15 +637,24 @@ def fuzzy_name_match_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fuzzy_match_passjoin_guarded_for(
     suppliers: DataFrame, customers: DataFrame, d: int = FUZZY_MAX_DIST
 ) -> DataFrame:
-    """PassJoin with the dispatcher's own out-of-regime guard: run the
-    segment tier only when `segment_collision_estimate` says the
-    segment equi-join prunes (<= PASSJOIN_COLLISION_MAX); otherwise
-    the equi-join would degenerate to (or past) the cross product, so
-    fall back to the dense packed-fold tier.  One model-sized
-    estimator job; both branches are answer-identical."""
-    collision = segment_collision_estimate(customers, "c_name", d)
-    if collision <= PASSJOIN_COLLISION_MAX:
-        return fuzzy_match_passjoin_for(suppliers, customers, d)
+    """PassJoin with the dispatcher's own FULL passjoin gate — both
+    conditions of `choose_fuzzy_tier` rule 1: median length must give
+    segments >= {PASSJOIN_MIN_SEG} chars (short segments carry no
+    content even when technically distinct), AND the measured
+    `segment_collision_estimate` must show the segment equi-join
+    prunes (<= {PASSJOIN_COLLISION_MAX}); otherwise the join would
+    degenerate toward (or past) the cross product, so fall back to
+    the dense packed-fold tier.  Model-sized estimator jobs (two
+    length histograms + at most one collision aggregation); both
+    branches are answer-identical."""
+    s_hist = _length_histogram(suppliers, "s_name")
+    c_hist = _length_histogram(customers, "c_name")
+    if s_hist and c_hist:
+        med = min(_median_length(s_hist), _median_length(c_hist))
+        if med / (d + 1) >= PASSJOIN_MIN_SEG:
+            collision = segment_collision_estimate(customers, "c_name", d)
+            if collision <= PASSJOIN_COLLISION_MAX:
+                return fuzzy_match_passjoin_for(suppliers, customers, d)
     return fuzzy_match_dense_for(suppliers, customers, d)
 
 

@@ -224,7 +224,12 @@ _ALL: dict[str, Entry] = {
     ),
 }
 
-# apply tier tags (Entry is frozen; rebuild the tagged rows)
+# apply tier tags (Entry is frozen; rebuild the tagged rows); the
+# keys must exist — a typo'd TIERS entry must fail loudly, not stay
+# silently "product"
+_unknown_tiers = set(TIERS) - set(_ALL)
+if _unknown_tiers:
+    raise KeyError(f"TIERS names unknown registry entries: {_unknown_tiers}")
 _ALL = {
     name: (
         Entry(e.query, e.oracle, TIERS[name]) if name in TIERS else e
@@ -237,7 +242,7 @@ _ALL = {
 # MECHANICALLY from tools/evidence/coverage_ledger_r07.md (oldest-first,
 # every round — the binding form of the staleness invariant given the
 # 169-entry/50-slot pigeonhole): after the r07 driver run, 19 entries
-# remain at r04 (the tail the r07 window could not fit) and 49 at r05.
+# remain at r04 (the tail the r07 window could not fit) and 50 at r05.
 # The window is those 19 r04 entries plus the alphabetically-first 31
 # r05 entries.  The r05 tail that does not fit stays full-sweep-green
 # at HEAD via CORRECTNESS_FULL artifacts and goes FIRST into the r9
@@ -271,6 +276,7 @@ DRIVER_WINDOW: list[str] = [
     "ann_ivf_topk",
     "ann_recall_eval",
     "asof_join_events",
+    "bucketed_join_colocated",
     "cosine_topk_fast",
     "dedup_clusters",
     "dedup_exact",
@@ -296,7 +302,6 @@ DRIVER_WINDOW: list[str] = [
     "q6_forecast_revenue",
     "q7_nation_volume",
     "q8_market_share",
-    "q9_profit_by_nation_year",
 ]
 
 

@@ -67,6 +67,47 @@ def test_bpe_tie_stability_property(spark):
     run()
 
 
+def test_bpe_oracle_survives_pair_exhaustion(spark):
+    """Degenerate-corpus parity (r8 self-review finding): when the
+    corpus exhausts mergeable pairs before BPE_MERGES rounds, the
+    Spark side stops applying merges — and the DuckDB oracle must
+    keep w{r} = w{r-1} instead of NULL-propagating the empty round's
+    scalar subquery through replace(), which used to empty the
+    encode-stats result entirely."""
+    import duckdb
+
+    from etl_addresses_spark.operators.bpe import (
+        BPE_ENCODE_STATS_SQL,
+        BPE_MERGE_TABLE_SQL,
+        bpe_train_for,
+        _apply_merge,
+        _vocab_for,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([("ab ab ab",)], "text string")
+    # pairs exhaust after ONE merge ('a b' -> 'ab'); rounds 2..k empty
+    merges = bpe_train_for(docs, 8)
+    assert merges == [(1, "a", "b", 3)], merges
+    cur = _vocab_for(docs)
+    for _, lhs, rhs, _f in merges:
+        cur = _apply_merge(cur, lhs, rhs)
+    spark_tokens = {
+        (r.tok, r.n)
+        for r in cur.select(
+            F.explode(F.split("sw", " ")).alias("tok"), "n"
+        ).collect()
+    }
+    assert spark_tokens == {("ab", 3)}
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT 'ab ab ab' AS text")
+    merge_rows = con.execute(BPE_MERGE_TABLE_SQL).fetchall()
+    assert merge_rows == [(1, "a", "b", 3)], merge_rows
+    enc = con.execute(BPE_ENCODE_STATS_SQL).fetchall()
+    assert enc == [("ab", 3)], enc
+
+
 def test_bpe_merge_table_matches_python_reference(spark):
     docs = load_table(spark, SF_ORACLE, "documents")
     counts: Counter = Counter()

@@ -1,0 +1,48 @@
+"""The DRIVER_WINDOW rotation policy, enforced mechanically (r8
+self-review finding: a hand-transcribed window silently skipped
+`bucketed_join_colocated` past its oldest-first turn).
+
+Policy (registry.py comment, binding form): each round the window is
+the 50 registry entries with the OLDEST driver-round evidence, where
+entries with no driver row yet (new this round) count as oldest of
+all; ties break alphabetically.  Evidence source = the committed
+CORRECTNESS_r*.json driver artifacts, same parser the coverage ledger
+uses."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo/tools")
+
+from coverage_ledger import load_evidence  # noqa: E402
+
+from etl_addresses_spark.registry import _ALL, DRIVER_WINDOW  # noqa: E402
+
+
+def test_window_is_the_50_oldest_driver_entries():
+    driver, _full = load_evidence()
+    expected = sorted(
+        _ALL, key=lambda n: (driver.get(n, -1), n)
+    )[: len(DRIVER_WINDOW)]
+    if set(DRIVER_WINDOW) == set(expected):
+        return
+    # The OTHER valid state: the driver has already scored this very
+    # window (its entries all carry the max round), which flips them
+    # from oldest to newest without any code change — the window is
+    # then correct-but-spent, and the NEXT round's builder must
+    # rotate (the ledger + verdict enforce that).
+    max_round = max(driver.values(), default=0)
+    spent = all(driver.get(n) == max_round for n in DRIVER_WINDOW)
+    assert spent, (
+        "window is neither the 50 oldest nor freshly driven",
+        sorted(set(expected) - set(DRIVER_WINDOW)),
+        sorted(set(DRIVER_WINDOW) - set(expected)),
+    )
+
+
+def test_window_size_and_membership():
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+    missing = [n for n in DRIVER_WINDOW if n not in _ALL]
+    assert not missing, missing
