@@ -234,9 +234,15 @@ def _reference_knn_candidates_grid(hn: DataFrame, segs: DataFrame) -> DataFrame:
     )
     # A segment indexed in several block cells would appear per cell:
     # dedup to one candidate row per (point, segment) before ranking.
+    # The repartition on houseNumberId makes ONE exchange serve both
+    # the dedup (HashPartitioning on a subset satisfies the 3-key
+    # ClusteredDistribution) and the per-point rank/nsafe windows
+    # below — without it the plan shuffles the wide candidate rows
+    # twice (measured 8.9 -> 6.9 s alone at sf0.1).
     local = (
         probes.join(seg_cells, "cell")
         .drop("cell")
+        .repartition("houseNumberId")
         .dropDuplicates(["houseNumberId", "streetId", "seg_index"])
     )
     boxdist2, bbox_hit = _knn_pair_metrics(local)
