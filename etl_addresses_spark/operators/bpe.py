@@ -214,12 +214,10 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k is TakeOrderedAndProject (no global sort).  Train-time and
     apply-time merge rules are the same code path (`_apply_merge`),
     which is the property a production tokenizer must keep."""
-    merges = (
-        bpe_merge_table(spark, sf_dir).orderBy("rank").collect()
-    )
+    merges = bpe_train_for(load_table(spark, sf_dir, "documents"), BPE_MERGES)
     cur = _vocab(spark, sf_dir)
-    for m in merges:
-        cur = _apply_merge(cur, m.lhs, m.rhs)
+    for _rank, lhs, rhs, _freq in merges:
+        cur = _apply_merge(cur, lhs, rhs)
     tokens = cur.select(F.explode(F.split("sw", " ")).alias("tok"), "n")
     return (
         tokens.groupBy("tok")

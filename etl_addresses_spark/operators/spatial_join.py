@@ -197,6 +197,46 @@ def _knn_pair_metrics(pairs: DataFrame):
     return boxdist2, bbox_hit
 
 
+def _grid_knn_local(hn: DataFrame, segs: DataFrame) -> DataFrame:
+    """The grid-kNN's deduped block-local candidate set — ONE row per
+    (point, segment) whose segment is indexed in the point's 5x5 cell
+    neighborhood.  Shared by `_reference_knn_candidates_grid` and the
+    escalation-residue census (tools/knn_residue.py) so the census
+    always measures exactly the production candidate pipeline.
+
+    The repartition on houseNumberId makes ONE exchange serve both
+    the dedup (HashPartitioning on a subset satisfies the 3-key
+    ClusteredDistribution) and the per-point rank/nsafe windows
+    downstream — without it the plan shuffles the wide candidate rows
+    twice (measured 8.9 -> 5.3 s alone at sf0.1; 48.6 -> 27.2 s at
+    10x).  Skew bound: one partition key = one point's candidates,
+    capped by its 25-cell neighborhood's segment count."""
+    from etl_addresses_spark.functions.geo import point_neighbor_cells
+
+    seg_cells = segs.withColumn(
+        "cell",
+        F.explode(
+            segment_cells(
+                F.col("seg_lat1"),
+                F.col("seg_lon1"),
+                F.col("seg_lat2"),
+                F.col("seg_lon2"),
+            )
+        ),
+    )
+    probes = hn.withColumn(
+        "cell", F.explode(point_neighbor_cells(F.col("pt_lat"), F.col("pt_lon")))
+    )
+    # A segment indexed in several block cells would appear per cell:
+    # dedup to one candidate row per (point, segment) before ranking.
+    return (
+        probes.join(seg_cells, "cell")
+        .drop("cell")
+        .repartition("houseNumberId")
+        .dropDuplicates(["houseNumberId", "streetId", "seg_index"])
+    )
+
+
 def _reference_knn_candidates_grid(hn: DataFrame, segs: DataFrame) -> DataFrame:
     """Grid-prefiltered STRICT reference-parity kNN — same output as
     `_reference_knn_candidates`, scale-safe physical plan.
@@ -216,35 +256,8 @@ def _reference_knn_candidates_grid(hn: DataFrame, segs: DataFrame) -> DataFrame:
     from pyspark.sql import Window as W
 
     from etl_addresses_spark.config import GRID_CELL_DEG, KNN_FANOUT
-    from etl_addresses_spark.functions.geo import point_neighbor_cells
 
-    seg_cells = segs.withColumn(
-        "cell",
-        F.explode(
-            segment_cells(
-                F.col("seg_lat1"),
-                F.col("seg_lon1"),
-                F.col("seg_lat2"),
-                F.col("seg_lon2"),
-            )
-        ),
-    )
-    probes = hn.withColumn(
-        "cell", F.explode(point_neighbor_cells(F.col("pt_lat"), F.col("pt_lon")))
-    )
-    # A segment indexed in several block cells would appear per cell:
-    # dedup to one candidate row per (point, segment) before ranking.
-    # The repartition on houseNumberId makes ONE exchange serve both
-    # the dedup (HashPartitioning on a subset satisfies the 3-key
-    # ClusteredDistribution) and the per-point rank/nsafe windows
-    # below — without it the plan shuffles the wide candidate rows
-    # twice (measured 8.9 -> 6.9 s alone at sf0.1).
-    local = (
-        probes.join(seg_cells, "cell")
-        .drop("cell")
-        .repartition("houseNumberId")
-        .dropDuplicates(["houseNumberId", "streetId", "seg_index"])
-    )
+    local = _grid_knn_local(hn, segs)
     boxdist2, bbox_hit = _knn_pair_metrics(local)
     w = W.partitionBy("houseNumberId")
     worder = w.orderBy(

@@ -649,12 +649,16 @@ def fuzzy_match_passjoin_guarded_for(
     branches are answer-identical."""
     s_hist = _length_histogram(suppliers, "s_name")
     c_hist = _length_histogram(customers, "c_name")
+    seg_collision = None
     if s_hist and c_hist:
         med = min(_median_length(s_hist), _median_length(c_hist))
         if med / (d + 1) >= PASSJOIN_MIN_SEG:
-            collision = segment_collision_estimate(customers, "c_name", d)
-            if collision <= PASSJOIN_COLLISION_MAX:
-                return fuzzy_match_passjoin_for(suppliers, customers, d)
+            seg_collision = segment_collision_estimate(customers, "c_name", d)
+    # the dispatcher's rule is the single source of truth; this row's
+    # contract is just narrower (passjoin when rule 1 fires, else the
+    # dense tier — never band, so the demonstration stays two-branch)
+    if choose_fuzzy_tier(s_hist, c_hist, d, seg_collision) == "passjoin":
+        return fuzzy_match_passjoin_for(suppliers, customers, d)
     return fuzzy_match_dense_for(suppliers, customers, d)
 
 

@@ -11,9 +11,12 @@ uses."""
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
 
 from coverage_ledger import load_evidence  # noqa: E402
 
@@ -28,12 +31,16 @@ def test_window_is_the_50_oldest_driver_entries():
     if set(DRIVER_WINDOW) == set(expected):
         return
     # The OTHER valid state: the driver has already scored this very
-    # window (its entries all carry the max round), which flips them
-    # from oldest to newest without any code change — the window is
-    # then correct-but-spent, and the NEXT round's builder must
-    # rotate (the ledger + verdict enforce that).
+    # window, which flips its entries from oldest to newest without
+    # any code change — the window is then correct-but-spent, and the
+    # NEXT round's builder must rotate (ledger + verdict enforce
+    # that).  "any" rather than "all": a red row in the scored window
+    # keeps its OLD round, and must not turn a correctly-built window
+    # into a test failure.  A typo'd rotation still fails: a freshly
+    # rotated window contains only old-round entries, so no member
+    # carries the max round.
     max_round = max(driver.values(), default=0)
-    spent = all(driver.get(n) == max_round for n in DRIVER_WINDOW)
+    spent = any(driver.get(n) == max_round for n in DRIVER_WINDOW)
     assert spent, (
         "window is neither the 50 oldest nor freshly driven",
         sorted(set(expected) - set(DRIVER_WINDOW)),

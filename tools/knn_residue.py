@@ -5,6 +5,10 @@ MEASURE at 10x is the residue fraction — if it grows with scale the
 O(points x segments) fallback term eventually dominates; if it stays
 a small constant fraction the plan survives.
 
+The candidate set comes from the SAME code path the production plan
+runs (`spatial_join._grid_knn_local`), so the census can never drift
+from the plan it claims to measure.
+
 Usage: python tools/knn_residue.py [sf_dir ...]
 Writes tools/evidence/r8_knn_residue.json.
 """
@@ -15,7 +19,8 @@ import json
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 from etl_addresses_spark.operators import spatial_join as sj  # noqa: E402
 from etl_addresses_spark.plans.flagship import (  # noqa: E402
@@ -31,39 +36,27 @@ def residue(spark, sf_dir: str) -> dict:
     hn = sj._prepare_house_numbers(house_numbers_df(spark, sf_dir))
     segs = sj._prepare_segments(streets_df(spark, sf_dir))
     from etl_addresses_spark.config import GRID_CELL_DEG, KNN_FANOUT
-    from etl_addresses_spark.functions.geo import point_neighbor_cells
 
-    seg_cells = segs.withColumn(
-        "cell",
-        F.explode(
-            sj.segment_cells(
-                F.col("seg_lat1"),
-                F.col("seg_lon1"),
-                F.col("seg_lat2"),
-                F.col("seg_lon2"),
-            )
-        ),
-    )
-    probes = hn.withColumn(
-        "cell", F.explode(point_neighbor_cells(F.col("pt_lat"), F.col("pt_lon")))
-    )
-    local = (
-        probes.join(seg_cells, "cell")
-        .drop("cell")
-        .dropDuplicates(["houseNumberId", "streetId", "seg_index"])
-    )
-    boxdist2, _ = sj._knn_pair_metrics(local)
-    safe2 = (2.0 * GRID_CELL_DEG) ** 2
-    # per-point count of provably-complete local candidates (the same
-    # _nsafe the plan computes); a point is SAFE when >= KNN_FANOUT
-    per_point = (
-        local.withColumn("_is_safe", (boxdist2 < F.lit(safe2)).cast("int"))
-        .groupBy("houseNumberId")
-        .agg(F.sum("_is_safe").alias("nsafe"))
-    )
-    n_points = hn.count()
-    n_segs = segs.count()
-    n_safe = per_point.filter(F.col("nsafe") >= KNN_FANOUT).count()
+    # the production candidate pipeline, cached: the census reads it
+    # twice (pair count + per-point safe count)
+    local = sj._grid_knn_local(hn, segs).cache()
+    try:
+        boxdist2, _ = sj._knn_pair_metrics(local)
+        safe2 = (2.0 * GRID_CELL_DEG) ** 2
+        # per-point count of provably-complete local candidates (the
+        # same _nsafe the plan computes); a point is SAFE when the
+        # count reaches KNN_FANOUT
+        per_point = (
+            local.withColumn("_is_safe", (boxdist2 < F.lit(safe2)).cast("int"))
+            .groupBy("houseNumberId")
+            .agg(F.sum("_is_safe").alias("nsafe"))
+        )
+        n_points = hn.count()
+        n_segs = segs.count()
+        n_safe = per_point.filter(F.col("nsafe") >= KNN_FANOUT).count()
+        local_pairs = local.count()
+    finally:
+        local.unpersist()
     n_escalated = n_points - n_safe
     return {
         "sf_dir": sf_dir,
@@ -72,7 +65,7 @@ def residue(spark, sf_dir: str) -> dict:
         "escalated_points": n_escalated,
         "escalated_fraction": round(n_escalated / n_points, 6) if n_points else None,
         "escalation_pair_cost": n_escalated * n_segs,
-        "local_pair_cost": local.count(),
+        "local_pair_cost": local_pairs,
     }
 
 
@@ -89,7 +82,7 @@ def main() -> None:
         out["pair_cost_ratio"] = round(
             rs[1]["escalation_pair_cost"] / rs[0]["escalation_pair_cost"], 2
         )
-    path = "/root/repo/tools/evidence/r8_knn_residue.json"
+    path = os.path.join(REPO, "tools", "evidence", "r8_knn_residue.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
