@@ -156,18 +156,39 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
 """
 
 
-def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance similarity join: each supplier matched to its
-    lexically closest customer name (levenshtein argmin, deterministic
-    tie-break).  The all-pairs shape is fine for a small dim x dim
-    pair; at scale this becomes a blocked/prefix-filtered join."""
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey"), F.col("s_name")
-    )
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey"), F.col("c_name")
-    )
-    pairs = s.crossJoin(c).select(
+# Absolute caps for the all-pairs VALIDATION baseline below (r8
+# verdict item 2): a baseline need not be full-cartesian at the full
+# fixture to prove equivalence, and an uncapped cross product grows
+# quadratically with sf — 46.5 s at sf0.1 and unrunnable beyond.  A
+# deterministic hash-ORDERED top-k (Knuth multiplicative hash, key
+# tie-break) bounds the pair count at 200 x 2000 = 400k levenshtein
+# cells REGARDLESS of sf, while at sf0.01 (the driver's oracle scale,
+# 100 suppliers x 1500 customers) both caps exceed the table sizes, so
+# the checked result is byte-identical to the historical uncapped row.
+FUZZY_ALLPAIRS_S_CAP = 200
+FUZZY_ALLPAIRS_C_CAP = 2000
+_KNUTH = 2654435761  # 2^32 / golden ratio; exact in int64 for our keys
+
+
+def _hash_sample(df: DataFrame, key: str, k: int) -> DataFrame:
+    """Deterministic pseudo-random top-k: order by a multiplicative
+    hash of the key (tie-broken by the key itself — total order) and
+    take k.  Plans as TakeOrderedAndProject (per-partition top-k +
+    single merge), never a full sort; the SAME integer arithmetic is
+    expressible in DuckDB SQL, so oracle rows sample identically."""
+    h = (F.col(key).cast("long") * F.lit(_KNUTH)) % F.lit(1 << 32)
+    return df.orderBy(h.asc(), F.col(key).asc()).limit(k)
+
+
+def fuzzy_match_allpairs_for(
+    suppliers: DataFrame, customers: DataFrame
+) -> DataFrame:
+    """The DEFINITIONAL all-pairs argmin over supplied frames (columns
+    s_suppkey/s_name and c_custkey/c_name): every pair scored, window
+    argmin with deterministic tie-break.  Deliberately quadratic —
+    this is the equivalence oracle the tiered dispatcher is tested
+    against, never a product path; callers bound its inputs."""
+    pairs = suppliers.crossJoin(customers).select(
         "s_suppkey",
         "s_name",
         "c_custkey",
@@ -182,13 +203,40 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-FUZZY_NAME_MATCH_SQL = """
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join, all-pairs VALIDATION baseline:
+    each sampled supplier matched to its lexically closest sampled
+    customer name (levenshtein argmin, deterministic tie-break).  Runs
+    on the `_hash_sample` capped subset so the cross product stays
+    O(1) in sf; the scale path is the tiered dispatcher
+    (`fuzzy_name_match_blocked`), equivalence-tested against this
+    baseline on the same sampled frames in tests/test_relational3.py."""
+    s = _hash_sample(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"),
+        "s_suppkey",
+        FUZZY_ALLPAIRS_S_CAP,
+    )
+    c = _hash_sample(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        "c_custkey",
+        FUZZY_ALLPAIRS_C_CAP,
+    )
+    return fuzzy_match_allpairs_for(s, c)
+
+
+FUZZY_NAME_MATCH_SQL = f"""
+WITH s AS (SELECT s_suppkey, s_name FROM supplier
+           ORDER BY (s_suppkey * {_KNUTH}) % 4294967296, s_suppkey
+           LIMIT {FUZZY_ALLPAIRS_S_CAP}),
+     c AS (SELECT c_custkey, c_name FROM customer
+           ORDER BY (c_custkey * {_KNUTH}) % 4294967296, c_custkey
+           LIMIT {FUZZY_ALLPAIRS_C_CAP})
 SELECT s_suppkey, s_name, c_custkey, c_name, dist FROM (
   SELECT s_suppkey, s_name, c_custkey, c_name,
     levenshtein(s_name, c_name) AS dist,
     row_number() OVER (PARTITION BY s_suppkey
                        ORDER BY levenshtein(s_name, c_name) ASC, c_custkey ASC) AS rn
-  FROM supplier CROSS JOIN customer)
+  FROM s CROSS JOIN c)
 WHERE rn = 1
 """
 

@@ -34,14 +34,16 @@ def test_window_is_the_50_oldest_driver_entries():
     # window, which flips its entries from oldest to newest without
     # any code change — the window is then correct-but-spent, and the
     # NEXT round's builder must rotate (ledger + verdict enforce
-    # that).  "any" rather than "all": a red row in the scored window
-    # keeps its OLD round, and must not turn a correctly-built window
-    # into a test failure.  A typo'd rotation still fails: a freshly
-    # rotated window contains only old-round entries, so no member
-    # carries the max round.
+    # that).  Majority rather than "any" (r8 advice: a single
+    # max-round member must not excuse a mis-rotated window forever),
+    # but not "all": a red row in the scored window keeps its OLD
+    # round and must not turn a correctly-built window into a test
+    # failure.  A typo'd rotation still fails: a freshly rotated
+    # window contains only old-round entries, so far fewer than half
+    # its members carry the max round.
     max_round = max(driver.values(), default=0)
-    spent = any(driver.get(n) == max_round for n in DRIVER_WINDOW)
-    assert spent, (
+    at_max = sum(1 for n in DRIVER_WINDOW if driver.get(n) == max_round)
+    assert at_max > len(DRIVER_WINDOW) // 2, (
         "window is neither the 50 oldest nor freshly driven",
         sorted(set(expected) - set(DRIVER_WINDOW)),
         sorted(set(DRIVER_WINDOW) - set(expected)),
