@@ -102,6 +102,47 @@ def _apply_merge(cur: DataFrame, lhs: str, rhs: str) -> DataFrame:
     return cur.select(F.trim(F.replace(once, pat, rep)).alias("sw"), "n")
 
 
+# Apply-side plan-depth budget (r8 verdict item 3).  CollapseProject
+# folds consecutive `_apply_merge` projections into ONE nested
+# expression, which is the fastest plan while it fits — but expression
+# depth grows linearly with merge count and Catalyst dies on the
+# fixture between k=128 (1.05 s, already superlinear analysis cost)
+# and k=192 (driver StringBuilder blow-up stringifying the nested
+# Concat; tools/evidence/r9_bpe_apply_ladder.json).  64 folded merges
+# per whole-stage-codegen segment measured 0.49 s — a ~3x margin below
+# the death point — and `bpe_apply_for` localCheckpoints between
+# segments, so a production 32k-merge vocab is 500 bounded segments,
+# never a 32k-deep expression.  At k <= BPE_APPLY_BATCH (the
+# registered k=16 rows) the loop takes zero checkpoints and the plan
+# is byte-identical to the historical single folded chain.
+BPE_APPLY_BATCH = 64
+
+
+def bpe_apply_for(
+    cur: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    batch: int = BPE_APPLY_BATCH,
+) -> DataFrame:
+    """Encode a space-joined vocab frame (columns sw, n) with a learned
+    merge list, in rank order — the SCALE tier of tokenizer apply.
+    Merges are folded `batch` at a time into one codegen segment with a
+    lineage-truncating localCheckpoint between segments, so plan depth
+    is O(batch) regardless of merge-table size while per-row work stays
+    the identical `_apply_merge` rule the trainer used.  Result is
+    batch-invariant (replace is applied in the same global order;
+    hypothesis-tested in tests/test_bpe.py)."""
+    chain = CheckpointChain()
+    for seg_start in range(0, len(merges), batch):
+        for _rank, lhs, rhs, _freq in merges[seg_start : seg_start + batch]:
+            cur = _apply_merge(cur, lhs, rhs)
+        if seg_start + batch < len(merges):
+            # interior barrier only: the FINAL segment stays lazy so
+            # the caller's aggregation fuses with it (k <= batch means
+            # no checkpoint at all — the historical folded plan)
+            cur = chain.step(cur, "bpe_apply")
+    return cur
+
+
 def bpe_train_for(docs: DataFrame, k: int) -> list[tuple[int, str, str, int]]:
     """Train the first k BPE merges over a documents frame (column
     `text`); returns [(rank, lhs, rhs, freq), ...] — the seam the
@@ -207,17 +248,15 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a total order, so the top-k set is deterministic).
 
     The merge table is model-sized (k rows) and collected once — the
-    kmeans-centroid precedent — then applied as literal replace
-    chains; tokenization of the full corpus costs one scan + the
-    vocab-sized merge passes (CollapseProject folds the k apply
-    projections into ONE whole-stage-codegen pass), and the final
-    top-k is TakeOrderedAndProject (no global sort).  Train-time and
-    apply-time merge rules are the same code path (`_apply_merge`),
-    which is the property a production tokenizer must keep."""
+    kmeans-centroid precedent — then applied via `bpe_apply_for`:
+    literal replace chains folded {BPE_APPLY_BATCH} merges per
+    whole-stage-codegen segment (at the registered k={BPE_MERGES} that
+    is ONE segment, no checkpoint), and the final top-k is
+    TakeOrderedAndProject (no global sort).  Train-time and apply-time
+    merge rules are the same code path (`_apply_merge`), which is the
+    property a production tokenizer must keep."""
     merges = bpe_train_for(load_table(spark, sf_dir, "documents"), BPE_MERGES)
-    cur = _vocab(spark, sf_dir)
-    for _rank, lhs, rhs, _freq in merges:
-        cur = _apply_merge(cur, lhs, rhs)
+    cur = bpe_apply_for(_vocab(spark, sf_dir), merges)
     tokens = cur.select(F.explode(F.split("sw", " ")).alias("tok"), "n")
     return (
         tokens.groupBy("tok")

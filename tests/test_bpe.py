@@ -108,6 +108,40 @@ def test_bpe_oracle_survives_pair_exhaustion(spark):
     assert enc == [("ab", 3)], enc
 
 
+def test_bpe_apply_batch_invariance(spark):
+    """The batched scale-tier apply (`bpe_apply_for`, r8 verdict item
+    3) must produce exactly the single-folded-chain result for ANY
+    batch size: segmentation changes plan depth and checkpoint
+    placement, never the merge order or the per-row replace rule.
+    Random corpora over a tie-heavy alphabet, batch sizes that force
+    0, 1, and many interior checkpoints for the same merge list."""
+    from hypothesis import given, settings, strategies as st
+
+    from etl_addresses_spark.operators.bpe import (
+        _vocab_for,
+        bpe_apply_for,
+        bpe_train_for,
+    )
+
+    alphabet = st.sampled_from(list("ab'\\$."))
+    word = st.text(alphabet=alphabet, min_size=1, max_size=6)
+    corpus = st.lists(word, min_size=1, max_size=24)
+
+    @settings(max_examples=4, deadline=None)
+    @given(corpus=corpus)
+    def run(corpus):
+        docs = spark.createDataFrame([(" ".join(corpus),)], "text string")
+        merges = bpe_train_for(docs, 8)
+        results = []
+        for batch in (1, 3, 10**9):
+            vocab = _vocab_for(docs)
+            enc = bpe_apply_for(vocab, merges, batch=batch)
+            results.append(sorted((r.sw, r.n) for r in enc.collect()))
+        assert results[0] == results[1] == results[2], results
+
+    run()
+
+
 def test_bpe_merge_table_matches_python_reference(spark):
     docs = load_table(spark, SF_ORACLE, "documents")
     counts: Counter = Counter()
