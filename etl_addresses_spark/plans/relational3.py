@@ -614,6 +614,25 @@ def choose_fuzzy_tier(
     return "dense"
 
 
+def _fuzzy_gate_stats(
+    suppliers: DataFrame, customers: DataFrame, d: int
+) -> tuple[dict[int, int], dict[int, int], float | None]:
+    """The dispatcher's estimator preamble, shared by every dispatch
+    point (r8 advice: two verbatim copies could drift): the two
+    model-sized length-histogram jobs, plus the segment-collision
+    aggregation ONLY when the median-length gate passes (None
+    otherwise — `choose_fuzzy_tier` reads None as 'job skipped,
+    passjoin ineligible')."""
+    s_hist = _length_histogram(suppliers, "s_name")
+    c_hist = _length_histogram(customers, "c_name")
+    seg_collision = None
+    if s_hist and c_hist:
+        med = min(_median_length(s_hist), _median_length(c_hist))
+        if med / (d + 1) >= PASSJOIN_MIN_SEG:
+            seg_collision = segment_collision_estimate(customers, "c_name", d)
+    return s_hist, c_hist, seg_collision
+
+
 def fuzzy_match_auto_for(
     suppliers: DataFrame, customers: DataFrame, d: int = FUZZY_MAX_DIST
 ) -> DataFrame:
@@ -622,13 +641,7 @@ def fuzzy_match_auto_for(
     only when the length gate passes), then the tier whose pruning
     signal the data actually has.  All tiers return identical
     answers; the dispatch only decides the PLAN."""
-    s_hist = _length_histogram(suppliers, "s_name")
-    c_hist = _length_histogram(customers, "c_name")
-    seg_collision = None
-    if s_hist and c_hist:
-        med = min(_median_length(s_hist), _median_length(c_hist))
-        if med / (d + 1) >= PASSJOIN_MIN_SEG:
-            seg_collision = segment_collision_estimate(customers, "c_name", d)
+    s_hist, c_hist, seg_collision = _fuzzy_gate_stats(suppliers, customers, d)
     tier = choose_fuzzy_tier(s_hist, c_hist, d, seg_collision)
     if tier == "passjoin":
         return fuzzy_match_passjoin_for(suppliers, customers, d)
@@ -693,15 +706,10 @@ def fuzzy_match_passjoin_guarded_for(
     prunes (<= {PASSJOIN_COLLISION_MAX}); otherwise the join would
     degenerate toward (or past) the cross product, so fall back to
     the dense packed-fold tier.  Model-sized estimator jobs (two
-    length histograms + at most one collision aggregation); both
-    branches are answer-identical."""
-    s_hist = _length_histogram(suppliers, "s_name")
-    c_hist = _length_histogram(customers, "c_name")
-    seg_collision = None
-    if s_hist and c_hist:
-        med = min(_median_length(s_hist), _median_length(c_hist))
-        if med / (d + 1) >= PASSJOIN_MIN_SEG:
-            seg_collision = segment_collision_estimate(customers, "c_name", d)
+    length histograms + at most one collision aggregation, via the
+    shared `_fuzzy_gate_stats` preamble); both branches are
+    answer-identical."""
+    s_hist, c_hist, seg_collision = _fuzzy_gate_stats(suppliers, customers, d)
     # the dispatcher's rule is the single source of truth; this row's
     # contract is just narrower (passjoin when rule 1 fires, else the
     # dense tier — never band, so the demonstration stays two-branch)

@@ -30,10 +30,21 @@ def test_committed_evidence_covers_registry():
     history = load_evidence()
     missing = sorted(set(REGISTRY) - set(history))
     assert not missing, f"entries with no bench row anywhere: {missing}"
-    # full per-round history: every recorded round is a positive int
-    # and every timing non-negative (r8 shape: {query: {round: sec}})
+    # full per-round history: every recorded round is a positive int,
+    # every source one of the two harness tags, every timing
+    # non-negative (r9 shape: {query: {round: {source: sec}}})
     assert all(
-        rnd >= 1 and sec >= 0
+        rnd >= 1 and src in ("driver", "local") and sec >= 0
         for rounds in history.values()
-        for rnd, sec in rounds.items()
+        for rnd, by_src in rounds.items()
+        for src, sec in by_src.items()
     )
+    # both harnesses actually contribute somewhere (source tagging is
+    # load-bearing for the delta column)
+    sources = {
+        src
+        for rounds in history.values()
+        for by_src in rounds.values()
+        for src in by_src
+    }
+    assert sources == {"driver", "local"}, sources

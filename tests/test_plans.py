@@ -451,6 +451,33 @@ def test_passjoin_row_gates_to_dense_on_uniform_fixture(spark):
     assert "partial_min" in plan
 
 
+def test_grid_knn_single_exchange_fusion(spark):
+    """Pin the r8 exchange fusion (spatial_join._grid_knn_local,
+    measured 8.9 -> 5.3 s alone at sf0.1): the repartition on
+    houseNumberId must be the ONLY shuffle between the cell candidate
+    join and the per-point argmin window — it serves both the 3-key
+    dropDuplicates (subset partitioning satisfies the
+    ClusteredDistribution) and the window's hashpartitioning.
+    Removing the seam re-introduces a second exchange (the
+    dropDuplicates' own 3-key shuffle), which this count catches."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from etl_addresses_spark.operators import spatial_join as sj
+    from etl_addresses_spark.plans.flagship import (
+        house_numbers_df,
+        streets_df,
+    )
+
+    hn = sj._prepare_house_numbers(house_numbers_df(spark, SF_SMALL))
+    segs = sj._prepare_segments(streets_df(spark, SF_SMALL))
+    local = sj._grid_knn_local(hn, segs)
+    boxdist2, _ = sj._knn_pair_metrics(local)
+    w = W.partitionBy("houseNumberId").orderBy(boxdist2.asc())
+    plan = _plan(local.withColumn("_rank", F.row_number().over(w)))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_correlation_double_stays_off_decimal_path(spark):
     from etl_addresses_spark.operators import sketches
 

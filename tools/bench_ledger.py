@@ -7,7 +7,11 @@ regression in a rarely-benched row is visible as staleness instead of
 silently waiting for a driver window.  Since r8 the table also carries
 the PREVIOUS round's timing and the ratio — regression detection needs
 a baseline pair (r7 verdict item 7) — and the registry tier, so
-validation-class rows are never mistaken for production paths.
+validation-class rows are never mistaken for production paths.  Since
+r9 each timing is tagged with its harness source and the delta prefers
+same-source pairs; a cross-source ratio (driver vs local — different
+load/session conditions) is annotated with a trailing '~' rather than
+presented as trustworthy (r8 advice).
 
 Evidence sources, in round order:
   - BENCH_r{N}.json            driver bench artifacts (parsed.queries;
@@ -62,15 +66,19 @@ def _query_times(obj) -> dict[str, float]:
     return out
 
 
-def load_evidence() -> dict[str, dict[int, float]]:
-    """{query: {round: best sec in that round}} (min across artifacts
-    of the same round)."""
-    history: dict[str, dict[int, float]] = {}
+def load_evidence() -> dict[str, dict[int, dict[str, float]]]:
+    """{query: {round: {source: best sec}}} (min across artifacts of
+    the same round AND source).  Source is 'driver' for the graded
+    BENCH_r*.json artifacts and 'local' for committed bench.py runs
+    under tools/evidence/ — kept separate because the two harnesses
+    run under different load/session conditions, and a ratio across
+    them can misread as a regression (r8 advice)."""
+    history: dict[str, dict[int, dict[str, float]]] = {}
 
-    def record(rnd: int, times: dict[str, float]) -> None:
+    def record(rnd: int, source: str, times: dict[str, float]) -> None:
         for name, sec in times.items():
-            rounds = history.setdefault(name, {})
-            rounds[rnd] = min(sec, rounds.get(rnd, sec))
+            by_src = history.setdefault(name, {}).setdefault(rnd, {})
+            by_src[source] = min(sec, by_src.get(source, sec))
 
     for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
         m = re.search(r"_r(\d+)", os.path.basename(path))
@@ -80,7 +88,7 @@ def load_evidence() -> dict[str, dict[int, float]]:
             artifact = json.load(open(path))
         except (OSError, json.JSONDecodeError):
             continue
-        record(int(m.group(1)), _query_times(artifact.get("parsed")))
+        record(int(m.group(1)), "driver", _query_times(artifact.get("parsed")))
 
     for path in sorted(
         glob.glob(os.path.join(REPO, "tools", "evidence", "r*_bench*.json"))
@@ -92,7 +100,7 @@ def load_evidence() -> dict[str, dict[int, float]]:
             artifact = json.load(open(path))
         except (OSError, json.JSONDecodeError):
             continue
-        record(int(m.group(1)), _query_times(artifact))
+        record(int(m.group(1)), "local", _query_times(artifact))
     return history
 
 
@@ -108,14 +116,26 @@ def main() -> int:
         rounds = history.get(name, {})
         if rounds:
             latest = max(rounds)
-            prevs = [r for r in rounds if r < latest]
-            cur = f"{rounds[latest]:.2f}"
-            if prevs:
-                prev = max(prevs)
-                ratio = (
-                    rounds[latest] / rounds[prev] if rounds[prev] else float("inf")
-                )
-                prev_s, delta = f"r{prev:02d}:{rounds[prev]:.2f}", f"{ratio:.2f}x"
+            cur_src, cur_val = min(
+                rounds[latest].items(), key=lambda kv: kv[1]
+            )
+            cur = f"{cur_val:.2f}"
+            # same-source prior round preferred; a cross-source ratio
+            # (different harness) is annotated '~' rather than trusted
+            same_src = [r for r in rounds if r < latest and cur_src in rounds[r]]
+            any_src = [r for r in rounds if r < latest]
+            if same_src:
+                prev = max(same_src)
+                prev_val, mark = rounds[prev][cur_src], ""
+            elif any_src:
+                prev = max(any_src)
+                prev_val, mark = min(rounds[prev].values()), "~"
+            else:
+                prev_val = None
+            if prev_val is not None:
+                ratio = cur_val / prev_val if prev_val else float("inf")
+                prev_s = f"r{prev:02d}:{prev_val:.2f}"
+                delta = f"{ratio:.2f}x{mark}"
             else:
                 prev_s, delta = "-", "-"
             rows.append((name, tier, f"r{latest:02d}", cur, prev_s, delta))

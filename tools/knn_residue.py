@@ -9,8 +9,10 @@ The candidate set comes from the SAME code path the production plan
 runs (`spatial_join._grid_knn_local`), so the census can never drift
 from the plan it claims to measure.
 
-Usage: python tools/knn_residue.py [sf_dir ...]
-Writes tools/evidence/r8_knn_residue.json.
+Usage: python tools/knn_residue.py [--out PATH] [sf_dir ...]
+Writes tools/evidence/knn_residue_last_run.json unless --out is given
+(round evidence should be copied/named explicitly so later reruns
+never overwrite earlier rounds' artifacts).
 """
 
 from __future__ import annotations
@@ -70,7 +72,13 @@ def residue(spark, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    dirs = sys.argv[1:] or [
+    args = sys.argv[1:]
+    path = os.path.join(REPO, "tools", "evidence", "knn_residue_last_run.json")
+    if "--out" in args:
+        i = args.index("--out")
+        path = args[i + 1]
+        del args[i : i + 2]
+    dirs = args or [
         "/root/testdata/sf0.1",
         "/tmp/spark_graft_scaled_10x_sf0.1",
     ]
@@ -78,11 +86,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out = {"queries": [residue(spark, d) for d in dirs if os.path.isdir(d)]}
     rs = out["queries"]
-    if len(rs) == 2 and rs[0]["escalation_pair_cost"]:
-        out["pair_cost_ratio"] = round(
-            rs[1]["escalation_pair_cost"] / rs[0]["escalation_pair_cost"], 2
-        )
-    path = os.path.join(REPO, "tools", "evidence", "r8_knn_residue.json")
+    if len(rs) == 2:
+        # A 0-escalation baseline is itself the strongest scale signal
+        # the census can emit — say so explicitly instead of silently
+        # dropping the key (r8 advice): a missing ratio must always
+        # mean "not a 2-dir run", never "zero residue".
+        if rs[0]["escalation_pair_cost"]:
+            out["pair_cost_ratio"] = round(
+                rs[1]["escalation_pair_cost"] / rs[0]["escalation_pair_cost"], 2
+            )
+        else:
+            out["pair_cost_ratio"] = None
+            out["pair_cost_ratio_note"] = (
+                "baseline escalation_pair_cost is 0 (no escalated points"
+                " at the base fixture); scaled cost is "
+                f"{rs[1]['escalation_pair_cost']}"
+            )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
