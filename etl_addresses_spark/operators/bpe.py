@@ -266,6 +266,100 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed merge list for the SEGMENTED apply path: 96 merges > one
+# BPE_APPLY_BATCH, so the registered row below actually executes the
+# two-segment checkpointed plan under the driver's oracle gate — not
+# just in pytest.  The list is a deterministic literal (frequent
+# English letters, all ordered pairs), NOT trained: training 96 rounds
+# would cost ~16 s/run for no extra apply-side coverage, and apply
+# parity is exactly what this row checks (merges that match nothing
+# are no-ops in BOTH engines, so realism of the list is irrelevant to
+# the contract).
+_FIXED_ALPHA = "etaoinshrd"
+BPE_FIXED_MERGES: list[tuple[int, str, str, int]] = [
+    (i + 1, a, b, 0)
+    for i, (a, b) in enumerate(
+        (a, b) for a in _FIXED_ALPHA for b in _FIXED_ALPHA
+    )
+][:96]
+
+
+def bpe_apply_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BPE_TOPK_TOKENS} token histogram after encoding the corpus
+    vocabulary with the fixed {len} 96-merge list via `bpe_apply_for`
+    — the SCALE-tier apply (96 > BPE_APPLY_BATCH=64 forces one interior
+    localCheckpoint, i.e. the segmented plan the r9 ladder measured),
+    oracle-checked against DuckDB running the identical double-replace
+    chain."""
+    cur = bpe_apply_for(_vocab(spark, sf_dir), BPE_FIXED_MERGES)
+    tokens = cur.select(F.explode(F.split("sw", " ")).alias("tok"), "n")
+    return (
+        tokens.groupBy("tok")
+        .agg(F.sum("n").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(BPE_TOPK_TOKENS)
+    )
+
+
+# DuckDB's binder caps expression recursion at depth 128, and each
+# merge adds ~4 nesting levels (concat + 2 replaces + trim), so the
+# oracle chain is chunked into CTEs of 24 merges (~96 deep each) —
+# the SQL-side analogue of the Spark tier's own plan-depth batching.
+_SQL_APPLY_CHUNK = 24
+
+
+def _sql_apply_expr(col: str, merges: list[tuple[int, str, str, int]]) -> str:
+    """The `_apply_merge` rule as one nested DuckDB expression: per
+    merge, pad -> replace twice -> trim, in rank order.  Mechanical
+    codegen mirror of the Spark chain; fixed-literal merges only (the
+    trained rows' oracle uses the CTE-per-round form instead because
+    their patterns are data-dependent)."""
+    e = col
+    for _rank, lhs, rhs, _freq in merges:
+        p = f" {lhs} {rhs} ".replace("'", "''")
+        q = f" {lhs}{rhs} ".replace("'", "''")
+        e = f"trim(replace(replace(' ' || {e} || ' ', '{p}', '{q}'), '{p}', '{q}'))"
+    return e
+
+
+def _sql_apply_ctes(
+    merges: list[tuple[int, str, str, int]]
+) -> tuple[str, str]:
+    """(CTE chain, final CTE name): w0 -> a1 -> a2 -> ..., each CTE
+    applying {_SQL_APPLY_CHUNK} merges, keeping every expression under
+    DuckDB's binder recursion cap."""
+    parts = []
+    prev = "w0"
+    for ci in range(0, len(merges), _SQL_APPLY_CHUNK):
+        chunk = merges[ci : ci + _SQL_APPLY_CHUNK]
+        cur = f"a{ci // _SQL_APPLY_CHUNK + 1}"
+        parts.append(
+            f"{cur} AS (SELECT {_sql_apply_expr('sw', chunk)} AS sw, n"
+            f" FROM {prev})"
+        )
+        prev = cur
+    return ",\n".join(parts), prev
+
+
+_APPLY_CTES, _APPLY_LAST = _sql_apply_ctes(BPE_FIXED_MERGES)
+
+BPE_APPLY_BATCHED_SQL = f"""
+WITH w0 AS (
+  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sw,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE w <> ''
+  GROUP BY 1
+),
+{_APPLY_CTES}
+SELECT tok, CAST(sum(n) AS BIGINT) AS freq
+FROM (SELECT unnest(string_split(sw, ' ')) AS tok, n FROM {_APPLY_LAST})
+GROUP BY tok
+ORDER BY freq DESC, tok ASC
+LIMIT {BPE_TOPK_TOKENS}
+"""
+
+
 BPE_ENCODE_STATS_SQL = (
     BPE_MERGE_TABLE_SQL[: BPE_MERGE_TABLE_SQL.index("\nSELECT rank")]
     + f"""

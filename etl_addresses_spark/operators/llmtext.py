@@ -557,11 +557,17 @@ QUERIES_LLMDATA = {
 # round 7: BPE merge-table training (operators/bpe.py) — registered
 # through the llm-data dict so the registry assembly stays one-line.
 from etl_addresses_spark.operators.bpe import (  # noqa: E402
+    BPE_APPLY_BATCHED_SQL,
     BPE_ENCODE_STATS_SQL,
     BPE_MERGE_TABLE_SQL,
+    bpe_apply_batched,
     bpe_encode_stats,
     bpe_merge_table,
 )
 
 QUERIES_LLMDATA["bpe_merge_table"] = (bpe_merge_table, BPE_MERGE_TABLE_SQL)
 QUERIES_LLMDATA["bpe_encode_stats"] = (bpe_encode_stats, BPE_ENCODE_STATS_SQL)
+# round 9: the SCALE-tier apply under the oracle gate — 96 fixed
+# merges > BPE_APPLY_BATCH, so the driver checks the segmented
+# checkpointed plan, not only pytest
+QUERIES_LLMDATA["bpe_apply_batched"] = (bpe_apply_batched, BPE_APPLY_BATCHED_SQL)

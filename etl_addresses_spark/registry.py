@@ -245,13 +245,16 @@ _ALL = {
 # every round — the binding form of the staleness invariant given the
 # 169-entry/50-slot pigeonhole): after the r08 driver run, 19 entries
 # remain at r05 (the tail the r08 window could not fit) and 50 at r06.
-# The window is those 19 r05 entries plus the alphabetically-first 31
+# The window is the round's NEW entry (no driver evidence yet = oldest
+# of all) plus those 19 r05 entries plus the alphabetically-first 30
 # r06 entries.  tests/test_driver_window.py recomputes this list from
 # the committed CORRECTNESS_r*.json artifacts, so a transcription slip
 # (the r8 `bucketed_join_colocated` incident) fails pytest.  The r06
 # tail that does not fit stays full-sweep-green at HEAD via
 # CORRECTNESS_FULL artifacts and goes FIRST into the r10 window.
 DRIVER_WINDOW: list[str] = [
+    # -- NEW this round (no driver evidence yet) --------------------
+    "bpe_apply_batched",
     # -- latest driver evidence is ROUND 5 (ledger tail, all 19) ----
     "q9_profit_by_nation_year",
     "scalar_string_date",
@@ -303,7 +306,6 @@ DRIVER_WINDOW: list[str] = [
     "pii_redact",
     "profile_columns",
     "q10_returned_revenue",
-    "q11_important_parts",
 ]
 
 
