@@ -56,19 +56,31 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damping: float = DAMPING) 
         .cache()
     )
     n_nodes = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).cache()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # Loop-invariant prework (r9: the old per-iteration
+    # ranks-left-join-out_deg was evaluated TWICE per round — once
+    # under the dangling aggregate, once under contribs — because
+    # Spark does not CSE across DataFrame branches).  Both the
+    # edge-with-degree table and the dangling-node SET are fixed
+    # across iterations: join degree onto the edges once (both sides
+    # already hash-partitioned on src, no extra exchange) and
+    # anti-join the dangling set once, so each round runs exactly one
+    # ranks join per consumer instead of a duplicated three-way.
+    e_deg = e.join(out_deg, "src").cache()
+    dangling_nodes = nodes.join(
+        out_deg, nodes.node == out_deg.src, "left_anti"
+    ).cache()
 
     chain = CheckpointChain()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iters):
-        with_deg = ranks.join(out_deg, ranks.node == out_deg.src, "left")
         # mass from dangling nodes (no out-edges) spreads uniformly.
         # It rides the SAME job as the rank update: a 1-row aggregate
         # broadcast into the select, instead of a per-iteration
         # driver-side collect() — one Spark job per iteration total
         # (the eager localCheckpoint below is the only action).
         dangling_df = (
-            with_deg.filter(F.col("out_deg").isNull())
+            ranks.join(dangling_nodes, "node", "left_semi")
             .agg(
                 F.coalesce(
                     F.sum(F.col("rank").cast(_DEC)), F.lit(0).cast(_DEC)
@@ -77,15 +89,18 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damping: float = DAMPING) 
                 .alias("dangling")
             )
         )
+        # per-edge contribution rank/out_deg: identical operands (and
+        # therefore bit-identical doubles) to the former per-node
+        # division — the DECIMAL sum is exact, so regrouping the sum
+        # by edge instead of node cannot move the result either
         contribs = (
-            with_deg.filter(F.col("out_deg").isNotNull())
-            .select(
-                F.col("node").alias("c_src"),
-                (F.col("rank") / F.col("out_deg")).alias("contrib"),
-            )
-            .join(e, F.col("c_src") == e.src)
+            ranks.join(e_deg, ranks.node == e_deg.src)
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("contrib").cast(_DEC)).cast("double").alias("recv"))
+            .agg(
+                F.sum((F.col("rank") / F.col("out_deg")).cast(_DEC))
+                .cast("double")
+                .alias("recv")
+            )
         )
         # Same float association as the former driver-side arithmetic:
         # ((1-d)/n + (d*dangling)/n) + d*recv.
