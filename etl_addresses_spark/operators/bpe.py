@@ -109,8 +109,9 @@ def _apply_merge(cur: DataFrame, lhs: str, rhs: str) -> DataFrame:
 # fixture between k=128 (1.05 s, already superlinear analysis cost)
 # and k=192 (driver StringBuilder blow-up stringifying the nested
 # Concat; tools/evidence/r9_bpe_apply_ladder.json).  64 folded merges
-# per whole-stage-codegen segment measured 0.49 s — a ~3x margin below
-# the death point — and `bpe_apply_for` localCheckpoints between
+# per whole-stage-codegen segment measured 1.09 s full-span (still
+# pre-superlinear; k=16 is 0.49 s) — a ~3x margin below the death
+# point — and `bpe_apply_for` localCheckpoints between
 # segments, so a production 32k-merge vocab is 500 bounded segments,
 # never a 32k-deep expression.  At k <= BPE_APPLY_BATCH (the
 # registered k=16 rows) the loop takes zero checkpoints and the plan
@@ -256,14 +257,7 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge rules are the same code path (`_apply_merge`), which is the
     property a production tokenizer must keep."""
     merges = bpe_train_for(load_table(spark, sf_dir, "documents"), BPE_MERGES)
-    cur = bpe_apply_for(_vocab(spark, sf_dir), merges)
-    tokens = cur.select(F.explode(F.split("sw", " ")).alias("tok"), "n")
-    return (
-        tokens.groupBy("tok")
-        .agg(F.sum("n").alias("freq"))
-        .orderBy(F.desc("freq"), F.asc("tok"))
-        .limit(BPE_TOPK_TOKENS)
-    )
+    return _token_histogram(bpe_apply_for(_vocab(spark, sf_dir), merges))
 
 
 # Fixed merge list for the SEGMENTED apply path: 96 merges > one
@@ -284,14 +278,11 @@ BPE_FIXED_MERGES: list[tuple[int, str, str, int]] = [
 ][:96]
 
 
-def bpe_apply_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{BPE_TOPK_TOKENS} token histogram after encoding the corpus
-    vocabulary with the fixed {len} 96-merge list via `bpe_apply_for`
-    — the SCALE-tier apply (96 > BPE_APPLY_BATCH=64 forces one interior
-    localCheckpoint, i.e. the segmented plan the r9 ladder measured),
-    oracle-checked against DuckDB running the identical double-replace
-    chain."""
-    cur = bpe_apply_for(_vocab(spark, sf_dir), BPE_FIXED_MERGES)
+def _token_histogram(cur: DataFrame) -> DataFrame:
+    """Top-{BPE_TOPK_TOKENS} tokens of an encoded vocab frame by
+    corpus frequency (freq DESC, token ASC — a total order, so the
+    top-k set is deterministic); TakeOrderedAndProject, no global
+    sort.  Shared tail of both apply-side rows."""
     tokens = cur.select(F.explode(F.split("sw", " ")).alias("tok"), "n")
     return (
         tokens.groupBy("tok")
@@ -299,6 +290,16 @@ def bpe_apply_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("tok"))
         .limit(BPE_TOPK_TOKENS)
     )
+
+
+def bpe_apply_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BPE_TOPK_TOKENS} token histogram after encoding the corpus
+    vocabulary with the fixed 96-merge list via `bpe_apply_for` — the
+    SCALE-tier apply (96 > BPE_APPLY_BATCH=64 forces one interior
+    localCheckpoint, i.e. the segmented plan the r9 ladder measured),
+    oracle-checked against DuckDB running the identical double-replace
+    chain."""
+    return _token_histogram(bpe_apply_for(_vocab(spark, sf_dir), BPE_FIXED_MERGES))
 
 
 # DuckDB's binder caps expression recursion at depth 128, and each

@@ -275,7 +275,7 @@ DRIVER_WINDOW: list[str] = [
     "transform_objects",
     "window_frames",
     "window_topk_per_group",
-    # -- latest driver evidence is ROUND 6 (ledger order, first 31) -
+    # -- latest driver evidence is ROUND 6 (ledger order, first 30) -
     "ann_ivf_lloyd_topk",
     "ann_pq_topk",
     "approx_quantiles_orders",

@@ -142,6 +142,35 @@ def test_bpe_apply_batch_invariance(spark):
     run()
 
 
+def test_bpe_apply_segments_truncate_lineage(spark):
+    """The scale property of `bpe_apply_for` is PLAN SHAPE, not just
+    answers: past BPE_APPLY_BATCH merges the chain must be broken by a
+    localCheckpoint (analyzed plan scans a LogicalRDD instead of
+    carrying every earlier merge projection), while at k <= batch the
+    plan must stay one unbroken projection chain over the source —
+    zero checkpoints, the historical folded plan."""
+    from etl_addresses_spark.operators.bpe import _vocab_for, bpe_apply_for
+
+    # parquet-backed source: a createDataFrame seed is ITSELF a
+    # LogicalRDD scan, which would make the folded-case assertion
+    # vacuous
+    docs = load_table(spark, SF_ORACLE, "documents").limit(4)
+    merges = [(i + 1, "a", "b", 0) for i in range(3)]
+
+    def analyzed(df) -> str:
+        return df._jdf.queryExecution().analyzed().toString()
+
+    folded = bpe_apply_for(_vocab_for(docs), merges, batch=10)
+    assert "LogicalRDD" not in analyzed(folded)
+
+    segmented = bpe_apply_for(_vocab_for(docs), merges, batch=2)
+    plan = analyzed(segmented)
+    assert "LogicalRDD" in plan
+    # ...and the final segment rides lazily ON the checkpoint: only
+    # the last (3 - 2) = 1 merge's replace survives in the plan text
+    assert plan.count("replace(") == 2  # one merge = two replaces
+
+
 def test_bpe_merge_table_matches_python_reference(spark):
     docs = load_table(spark, SF_ORACLE, "documents")
     counts: Counter = Counter()

@@ -76,6 +76,8 @@ def main() -> None:
     path = os.path.join(REPO, "tools", "evidence", "knn_residue_last_run.json")
     if "--out" in args:
         i = args.index("--out")
+        if i + 1 >= len(args):
+            raise SystemExit("usage: knn_residue.py [--out PATH] [sf_dir ...]")
         path = args[i + 1]
         del args[i : i + 2]
     dirs = args or [
