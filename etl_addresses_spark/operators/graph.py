@@ -70,6 +70,14 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damping: float = DAMPING) 
     dangling_nodes = nodes.join(
         out_deg, nodes.node == out_deg.src, "left_anti"
     ).cache()
+    # materialize the two loop-lived caches off the raw-edge cache,
+    # then drop it: e is never read inside the loop, and holding both
+    # edge copies for 10 rounds is exactly the block-manager residue
+    # pressure ckpt.py documents (review fix; two edge-scan jobs of
+    # already-cached data, amortized over the iterations)
+    e_deg.count()
+    dangling_nodes.count()
+    e.unpersist()
 
     chain = CheckpointChain()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))

@@ -116,22 +116,34 @@ def main() -> int:
         rounds = history.get(name, {})
         if rounds:
             latest = max(rounds)
-            cur_src, cur_val = min(
-                rounds[latest].items(), key=lambda kv: kv[1]
-            )
-            cur = f"{cur_val:.2f}"
-            # same-source prior round preferred; a cross-source ratio
-            # (different harness) is annotated '~' rather than trusted
-            same_src = [r for r in rounds if r < latest and cur_src in rounds[r]]
-            any_src = [r for r in rounds if r < latest]
-            if same_src:
-                prev = max(same_src)
-                prev_val, mark = rounds[prev][cur_src], ""
-            elif any_src:
-                prev = max(any_src)
-                prev_val, mark = min(rounds[prev].values()), "~"
+            # A same-source pair from ANY source beats a cross-source
+            # ratio — even when a different source holds the latest
+            # round's fastest time (review fix: keying the pairing to
+            # the fastest source discarded available trusted pairs).
+            # Among same-source candidates prefer the most recent
+            # prior round, then the faster current value; cur is
+            # displayed from the PAIRED source so the ratio and the
+            # sec column never mix harnesses.
+            candidates = [
+                (prev, rounds[latest][src], rounds[prev][src])
+                for src in rounds[latest]
+                for prev in rounds
+                if prev < latest and src in rounds[prev]
+            ]
+            if candidates:
+                prev, cur_val, prev_val = max(
+                    candidates, key=lambda t: (t[0], -t[1])
+                )
+                mark = ""
             else:
-                prev_val = None
+                cur_val = min(rounds[latest].values())
+                any_src = [r for r in rounds if r < latest]
+                if any_src:
+                    prev = max(any_src)
+                    prev_val, mark = min(rounds[prev].values()), "~"
+                else:
+                    prev_val = None
+            cur = f"{cur_val:.2f}"
             if prev_val is not None:
                 ratio = cur_val / prev_val if prev_val else float("inf")
                 prev_s = f"r{prev:02d}:{prev_val:.2f}"
