@@ -43,10 +43,21 @@ from etl_addresses_spark.operators.similarity import (
     _pair_dot_seq,
     _rank_topk,
 )
-from etl_addresses_spark.sources.tables import load_table
+from etl_addresses_spark.sources.tables import fan_out, load_table
 
 DEFAULT_K_MOD = 100
 DEFAULT_ITERS = 3
+# Hard cap on the centroid count (r9 scale fix): the % k_mod seed rule
+# makes k grow LINEARLY with the corpus, so per-iteration assignment
+# cost (n x k) grows quadratically — measured 34-36x wall at 10x data
+# with linear shuffle (r9_scale_sf1_batch6.json).  Real IVF/k-means
+# indexes treat the list count as a FIXED index knob (FAISS nlist),
+# not a data-proportional quantity; the cap is the deterministic
+# first-{KMEANS_MAX_K}-by-vec_id subset of the % k_mod seeds, which is
+# the IDENTICAL seed set whenever the corpus has fewer qualifying rows
+# (sf0.01: 20, sf0.1: 200 — both driver scales unchanged), and bounds
+# Lloyd cost to linear-in-N beyond it.
+KMEANS_MAX_K = 256
 
 
 def _sqdist(a, b) -> F.Column:
@@ -71,18 +82,34 @@ _CENT_SCHEMA = T.StructType(
 
 
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest centroid per vector: broadcast join + argmin."""
+    """Nearest centroid per vector: broadcast join + argmin.
+
+    The argmin is min(struct(d2, cent_id)) over NARROW rows — the
+    flagship pattern, with one k-means-specific twist.  A struct min
+    plans as SortAggregate (UnsafeRow agg buffers cannot hold mutable
+    structs, so no HashAggregate), and partial SortAggregate SORTS its
+    input per partition first — so whatever rides the scored rows gets
+    sorted n x k times.  The r8 row_number window had the same shape
+    (shuffle+sort of all scored rows) and measured 35-43 s/iteration
+    at 10x with the 64-float embedding array on every row.  Dropping
+    the payload makes the sorted rows ~24 bytes: score narrow, argmin
+    narrow, then re-attach the embedding with ONE n-row join on
+    vec_id (measured 34 s -> ~4 s for the iteration pipeline at 10x).
+    The (d2, cent_id) struct order reproduces the window's exact
+    deterministic tie-break."""
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id",
-        "embedding",
-        "cent_id",
-        _sqdist(F.col("embedding"), F.col("cent_emb")).alias("d2"),
+        F.struct(
+            _sqdist(F.col("embedding"), F.col("cent_emb")).alias("d2"),
+            F.col("cent_id"),
+        ).alias("s"),
     )
-    w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cluster_id"), "d2")
+    best = scored.groupBy("vec_id").agg(F.min("s").alias("m"))
+    return vecs.join(best, "vec_id").select(
+        "vec_id",
+        "embedding",
+        F.col("m.cent_id").alias("cluster_id"),
+        F.col("m.d2").alias("d2"),
     )
 
 
@@ -94,12 +121,23 @@ def kmeans_fit(
     """Lloyd's algorithm; returns (centroids DataFrame, SSE history —
     one value per iteration, non-increasing)."""
     spark = e.sparkSession
-    vecs = e.select("vec_id", "embedding")
-    cents = e.filter(F.col("vec_id") % k_mod == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
-            "cent_emb"
-        ),
+    # fan_out (tables.py): the assignment kernel does k x d interpreted
+    # multiplies per ROW, while the corpus parquet is bytes-small — a
+    # 20k x 64-float table is ~2 scan splits, which serializes the
+    # whole n x k scoring on 2 cores (measured 31 s/iteration at 10x;
+    # 36 s of the 10x ladder's 142 s wall was THIS stage at
+    # parallelism 2 — r9_scale_sf1_batch6c vs 6d)
+    vecs = fan_out(e.select("vec_id", "embedding"), spark)
+    cents = (
+        e.filter(F.col("vec_id") % k_mod == 0)
+        .orderBy("vec_id")
+        .limit(KMEANS_MAX_K)  # fixed index knob; see constant above
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "cent_emb"
+            ),
+        )
     )
     cent_rows = {r.cent_id: list(r.cent_emb) for r in cents.collect()}
     history: list[float] = []
@@ -150,7 +188,8 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     DEFAULT_ITERS Lloyd iterations (rows-only: iterative op)."""
     e = load_table(spark, sf_dir, "embeddings")
     cents, _ = kmeans_fit(e)
-    assigned = _assign(e.select("vec_id", "embedding"), cents)
+    # final assignment pays the same k x d fan-out as training: fan_out
+    assigned = _assign(fan_out(e.select("vec_id", "embedding"), spark), cents)
     return assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum(F.col("d2").cast("decimal(28,10)")).cast("double").alias("sse"),
@@ -178,6 +217,7 @@ c0 AS MATERIALIZED (
   SELECT vec_id AS cent_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent_emb
   FROM embeddings WHERE vec_id % {k_mod} = 0
+  ORDER BY vec_id LIMIT {KMEANS_MAX_K}
 )"""
     for k in range(1, iters + 2):
         p = k - 1
@@ -278,7 +318,10 @@ def ann_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored by exact cosine, top-10 per query."""
     e = load_table(spark, sf_dir, "embeddings")
     cents, _ = kmeans_fit(e)
-    vecs = e.select("vec_id", "embedding")
+    # fan_out: both the corpus cell assignment and (below) the candidate
+    # scoring are k x d / |list| x d interpreted kernels over a
+    # bytes-small scan (see kmeans_fit)
+    vecs = fan_out(e.select("vec_id", "embedding"), spark)
     assigned = _assign(vecs, cents).select(
         "vec_id", "embedding", F.col("cluster_id").alias("list_id")
     )

@@ -287,7 +287,23 @@ def embedding_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: 16 fused projection expressions per row map-side, the
     band explode is 4x, and the self-join shuffles on (band_idx,
     band_bits) — skewed hot buckets split by AQE.  Fully oracle-checked
-    (the ±1 literals embed in both engines' plans)."""
+    (the ±1 literals embed in both engines' plans).
+
+    SCALE KNOB (r9 10x ladder, r9_scale_sf1_batch6.json): band WIDTH
+    must grow with the corpus.  At {SRP_BAND_BITS}=4 bits a random
+    pair collides with prob 1/16 per band, so candidate volume is
+    ~n^2/8 REGARDLESS of data — quadratic by construction (measured
+    177x wall at 10x; the verify pass, not the join, is the cost).
+    That selectivity is deliberate here: the registered row's verify
+    threshold (cosine >= 0.3) is permissive, and banded-LSH recall at
+    a low threshold requires narrow bands (4-bit: ~0.42 recall at
+    cosine 0.3; 16-bit: ~1e-3 — useless).  Production near-dup
+    mining runs at cosine >= 0.9 where 16-bit bands keep recall AND
+    cut random collisions to 2^-16 (candidates ~n^2/16384, linear-ish
+    to ~10M vectors); the engine's corpus-scale near-dup paths are
+    `embedding_near_dup` (blocked), `semantic_dedup` (clustered), and
+    the ANN stack — this row demonstrates the banded shape with its
+    selectivity/recall tradeoff stated rather than hidden."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     norm = F.sqrt(_pair_dot_seq(F.col("embedding"), F.col("embedding")))
     signs = _srp_signs()

@@ -83,6 +83,18 @@ What to look for: the A-ES key is a map-side projection (hash-derived
 uniform, no rand()), and the global top-K is TakeOrderedAndProject —
 per-partition heaps merged on the driver, never a full sort."""),
     ]
+    from etl_addresses_spark.operators import bpe
+
+    sections += [
+        ("Segmented BPE apply (bpe_apply_batched, 96 fixed merges)",
+         plan(bpe.bpe_apply_batched(spark, SF)), """
+What to look for: the scan is a LogicalRDD/"Scan ExistingRDD" — the
+interior localCheckpoint after the first 64-merge codegen segment
+truncated the lineage, so the visible plan carries only the FINAL
+<=64-merge replace projection (bounded expression depth at any vocab
+size; the unsegmented chain dies in Catalyst near k=192), and the
+top-k is TakeOrderedAndProject, never a global sort."""),
+    ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("# PLANS — physical-plan evidence (sf0.001, local[32])\n\n")
         fh.write("Generated by tools/dump_plans.py; regression-pinned by tests/test_plans.py.\n")

@@ -131,11 +131,24 @@ def build_scaled(spark) -> None:
                 ),
             )
         if t == "embeddings":
+            # per-replica deterministic SIGN FLIPS (r9 fix): the old
+            # epsilon perturbation kept cross-replica cosines ~1, so
+            # every SRP band bucket held all FACTOR copies of a vector
+            # and near-pair output grew ~FACTOR^2 (srp_lsh measured
+            # 177x wall at 10x) — a replica-construction degeneracy,
+            # not a plan signal.  Flipping dimension signs per replica
+            # preserves within-replica dot products EXACTLY (s_i^2=1)
+            # while decorrelating replicas (x . (s@x) ~ 0) — the
+            # embedding analogue of the documents word-salt.  r=0
+            # keeps the original data; the epsilon term still breaks
+            # exact ties between same-sign-pattern replicas.
             rep = rep.withColumn(
                 "embedding",
                 F.expr(
-                    "transform(embedding, (x, i) -> cast(x + "
-                    "(_r % 7 - 3) * 1.0e-4 * ((i % 5) + 1) as float))"
+                    "transform(embedding, (x, i) -> cast("
+                    "(x + (_r % 7 - 3) * 1.0e-4 * ((i % 5) + 1))"
+                    " * if(_r = 0, 1.0, 1.0 - 2.0 * ((_r * 31 + i * 17) % 97 % 2))"
+                    " as float))"
                 ),
             )
         rep.drop("_r").write.mode("overwrite").parquet(
