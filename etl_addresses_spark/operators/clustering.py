@@ -55,8 +55,9 @@ DEFAULT_ITERS = 3
 # not a data-proportional quantity; the cap is the deterministic
 # first-{KMEANS_MAX_K}-by-vec_id subset of the % k_mod seeds, which is
 # the IDENTICAL seed set whenever the corpus has fewer qualifying rows
-# (sf0.01: 20, sf0.1: 200 — both driver scales unchanged), and bounds
-# Lloyd cost to linear-in-N beyond it.
+# (5 seeds at sf0.01, 20 at sf0.1, 200 at the 10x replica — every
+# fixture in use stays under the cap, so all committed hashes are
+# unchanged), and bounds Lloyd cost to linear-in-N beyond ~25x.
 KMEANS_MAX_K = 256
 
 
