@@ -104,8 +104,10 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id % 50 == 0), bit-reproducible sequential-fold scoring."""
     e = load_table(spark, sf_dir, "embeddings")
     norms = _norms(e)
+    # fan_out: |queries| x d decimal folds per corpus ROW over a
+    # bytes-small scan (r9 batch7: 3.8 s at sf0.1 was 1-2 splits wide)
     corpus = (
-        e.join(norms, "vec_id")
+        fan_out(e, spark).join(norms, "vec_id")
         .select(
             F.col("vec_id").alias("cand_id"),
             F.col("embedding").alias("cand_emb"),
@@ -571,9 +573,11 @@ def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qe").alias("q_qe"),
         F.col("qnorm2").alias("q_norm2"),
     )
-    pairs = qv.crossJoin(F.broadcast(queries)).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
+    # fan_out: the int-dot kernel is |queries| x d per corpus row
+    # (r9 batch7: 38x wall at 10x before widening the scan)
+    pairs = fan_out(qv, e.sparkSession).crossJoin(
+        F.broadcast(queries)
+    ).filter(F.col("vec_id") != F.col("query_id"))
     dot = F.aggregate(
         F.zip_with(F.col("q_qe"), F.col("qe"), lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -726,7 +730,9 @@ def ann_pq_topk_for(e: DataFrame, centroid_mod: int = 100) -> DataFrame:
     # encode: nearest codeword per (vector, subspace); min(struct)
     # argmin with the dense rank as tie-break, then per-vector sorted
     # reassembly into a codes array + reconstruction norm.
-    subvecs = e.select(
+    # fan_out: encode is M x k sq-l2 folds per row; the scan is
+    # bytes-small (r9 batch7)
+    subvecs = fan_out(e, e.sparkSession).select(
         "vec_id", F.posexplode(sub_expr).alias("m", "sv")
     )
     best = (
@@ -805,8 +811,11 @@ def ann_pq_topk_for(e: DataFrame, centroid_mod: int = 100) -> DataFrame:
             F.element_at(F.col("codes"), m.cast("int")).cast("int"),
         ),
     )
+    # fan_out again for the ADC scan: codes is a narrow agg output
+    # whose exchange AQE coalesces to 1-2 partitions, which would bound
+    # the |queries| x M lookup kernel at that width
     scored = (
-        codes.crossJoin(F.broadcast(luts))
+        fan_out(codes, e.sparkSession).crossJoin(F.broadcast(luts))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
