@@ -5,8 +5,8 @@ executors; only the k x dim centroid matrix crosses the driver per
 iteration (metadata, not data).
 
 * assignment — corpus x broadcast(centroids) squared-L2, argmin via
-  row_number with an (d2, cent_id) tie-break: one broadcast join, no
-  shuffle of the corpus.
+  a narrow min(struct(d2, cent_id)) with the same tie-break: one
+  broadcast join; only n argmin rows reach the exchange.
 * update — posexplode to (cluster, pos, val), groupBy average: one
   shuffle of n x dim scalar rows with map-side partial aggregation.
   Per-dimension agg expressions would avoid the explode but blow past
@@ -52,13 +52,19 @@ DEFAULT_ITERS = 3
 # cost (n x k) grows quadratically — measured 34-36x wall at 10x data
 # with linear shuffle (r9_scale_sf1_batch6.json).  Real IVF/k-means
 # indexes treat the list count as a FIXED index knob (FAISS nlist),
-# not a data-proportional quantity; the cap is the deterministic
-# first-{KMEANS_MAX_K}-by-vec_id subset of the % k_mod seeds, which is
-# the IDENTICAL seed set whenever the corpus has fewer qualifying rows
-# (5 seeds at sf0.01, 20 at sf0.1, 200 at the 10x replica — every
-# fixture in use stays under the cap, so all committed hashes are
-# unchanged), and bounds Lloyd cost to linear-in-N beyond ~25x.
+# not a data-proportional quantity; the cap takes the {KMEANS_MAX_K}
+# qualifying seeds that sort FIRST by a Knuth multiplicative hash of
+# vec_id (key tie-break) — a deterministic pseudo-random subset of the
+# WHOLE id range, so capped seeds stay representative of every replica
+# / id region (a first-K-by-id cap would draw all seeds from the
+# earliest ids — r9 review finding), while remaining the IDENTICAL
+# seed SET whenever the corpus has fewer qualifying rows (5 seeds at
+# sf0.01, 20 at sf0.1, 200 at the 10x replica — every fixture in use
+# stays under the cap, so all committed hashes are unchanged).  Plans
+# as TakeOrderedAndProject, never a global sort; bounds Lloyd cost to
+# linear-in-N beyond ~25x.
 KMEANS_MAX_K = 256
+_KNUTH = 2654435761  # same constant as the fuzzy baseline's sampler
 
 
 def _sqdist(a, b) -> F.Column:
@@ -82,7 +88,9 @@ _CENT_SCHEMA = T.StructType(
 )
 
 
-def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign(
+    vecs: DataFrame, cents: DataFrame, attach_embedding: bool = True
+) -> DataFrame:
     """Nearest centroid per vector: broadcast join + argmin.
 
     The argmin is min(struct(d2, cent_id)) over NARROW rows — the
@@ -106,6 +114,14 @@ def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
         ).alias("s"),
     )
     best = scored.groupBy("vec_id").agg(F.min("s").alias("m"))
+    if not attach_embedding:
+        # consumers that aggregate labels/d2 only (kmeans_cluster_sizes)
+        # skip the corpus re-scan + n-row join entirely
+        return best.select(
+            "vec_id",
+            F.col("m.cent_id").alias("cluster_id"),
+            F.col("m.d2").alias("d2"),
+        )
     return vecs.join(best, "vec_id").select(
         "vec_id",
         "embedding",
@@ -131,7 +147,10 @@ def kmeans_fit(
     vecs = fan_out(e.select("vec_id", "embedding"), spark)
     cents = (
         e.filter(F.col("vec_id") % k_mod == 0)
-        .orderBy("vec_id")
+        .orderBy(
+            ((F.col("vec_id").cast("long") * F.lit(_KNUTH)) % F.lit(1 << 32)).asc(),
+            F.col("vec_id").asc(),
+        )
         .limit(KMEANS_MAX_K)  # fixed index knob; see constant above
         .select(
             F.col("vec_id").alias("cent_id"),
@@ -189,8 +208,13 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     DEFAULT_ITERS Lloyd iterations (rows-only: iterative op)."""
     e = load_table(spark, sf_dir, "embeddings")
     cents, _ = kmeans_fit(e)
-    # final assignment pays the same k x d fan-out as training: fan_out
-    assigned = _assign(fan_out(e.select("vec_id", "embedding"), spark), cents)
+    # final assignment pays the same k x d fan-out as training: fan_out;
+    # the embedding never leaves the argmin, so skip the join-back
+    assigned = _assign(
+        fan_out(e.select("vec_id", "embedding"), spark),
+        cents,
+        attach_embedding=False,
+    )
     return assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum(F.col("d2").cast("decimal(28,10)")).cast("double").alias("sse"),
@@ -218,7 +242,7 @@ c0 AS MATERIALIZED (
   SELECT vec_id AS cent_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent_emb
   FROM embeddings WHERE vec_id % {k_mod} = 0
-  ORDER BY vec_id LIMIT {KMEANS_MAX_K}
+  ORDER BY (vec_id * {_KNUTH}) % 4294967296, vec_id LIMIT {KMEANS_MAX_K}
 )"""
     for k in range(1, iters + 2):
         p = k - 1

@@ -104,15 +104,18 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id % 50 == 0), bit-reproducible sequential-fold scoring."""
     e = load_table(spark, sf_dir, "embeddings")
     norms = _norms(e)
-    # fan_out: |queries| x d decimal folds per corpus ROW over a
-    # bytes-small scan (r9 batch7: 3.8 s at sf0.1 was 1-2 splits wide)
-    corpus = (
-        fan_out(e, spark).join(norms, "vec_id")
-        .select(
+    # fan_out AFTER the norms join (r9 review): below the join, the
+    # kernel's width would be the JOIN output's partitioning — fine
+    # while norms auto-broadcasts, but an SMJ regime would re-coalesce
+    # the bytes-small output to 1-2 partitions and re-serialize the
+    # |queries| x d scoring (batch7: 3.8 s at sf0.1 was 1-2 splits)
+    corpus = fan_out(
+        e.join(norms, "vec_id").select(
             F.col("vec_id").alias("cand_id"),
             F.col("embedding").alias("cand_emb"),
             F.col("norm").alias("cand_norm"),
-        )
+        ),
+        spark,
     )
     queries = (
         e.join(norms, "vec_id")

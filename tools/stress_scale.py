@@ -89,8 +89,14 @@ KEYS = {
 COPY = ["region", "nation"]
 
 
+# Generator version rides the marker filename: a formula change (the
+# r9 sign-flip fix) must invalidate pre-existing /tmp builds, or reruns
+# silently benchmark stale replica data (r9 review finding).
+GEN = "v4"
+
+
 def build_scaled(spark) -> None:
-    marker = os.path.join(OUT, "_BUILT")
+    marker = os.path.join(OUT, f"_BUILT_{GEN}")
     if os.path.exists(marker):
         return
     os.makedirs(OUT, exist_ok=True)
@@ -139,15 +145,31 @@ def build_scaled(spark) -> None:
             # not a plan signal.  Flipping dimension signs per replica
             # preserves within-replica dot products EXACTLY (s_i^2=1)
             # while decorrelating replicas (x . (s@x) ~ 0) — the
-            # embedding analogue of the documents word-salt.  r=0
-            # keeps the original data; the epsilon term still breaks
-            # exact ties between same-sign-pattern replicas.
+            # embedding analogue of the documents word-salt.  The sign
+            # bit comes from Murmur3 `hash(_r, i)` — a linear parity
+            # like (_r*31 + i*17) % 97 % 2 was tried first and left
+            # delta-r=3 replica pairs at ~0.9 sign agreement, i.e.
+            # still-degenerate cosine ~0.9 copies (r9 review, verified
+            # numerically).  Replica 0 is the base data EXACTLY (both
+            # the epsilon tie-breaker and the flip are gated on _r>0).
+            # sign flips ALONE leave energy-concentrated vectors
+            # correlated (measured max |cross-replica cosine| 0.65 on
+            # the v3 build: a dominant dimension keeps its energy
+            # share whatever its sign), so v4 composes them with a
+            # per-replica dimension PERMUTATION i -> (i*p + q) mod 64
+            # (p odd => coprime with 64 => bijection).  Within-replica
+            # dot products stay EXACT (bijection + s_i^2 = 1); cross-
+            # replica products mix unrelated coordinates.
             rep = rep.withColumn(
                 "embedding",
                 F.expr(
                     "transform(embedding, (x, i) -> cast("
-                    "(x + (_r % 7 - 3) * 1.0e-4 * ((i % 5) + 1))"
-                    " * if(_r = 0, 1.0, 1.0 - 2.0 * ((_r * 31 + i * 17) % 97 % 2))"
+                    "if(_r = 0, x,"
+                    " (element_at(embedding,"
+                    "    pmod(i * (1 + 2 * pmod(hash(_r, 1), 32))"
+                    "         + pmod(hash(_r, 2), 64), 64) + 1)"
+                    "  + (_r % 7 - 3) * 1.0e-4 * ((i % 5) + 1))"
+                    " * (1.0 - 2.0 * pmod(hash(_r, i), 2)))"
                     " as float))"
                 ),
             )
