@@ -42,6 +42,11 @@ from etl_addresses_spark.operators.similarity import (
     QUERY_MOD,
     _pair_dot_seq,
     _rank_topk,
+    pq_adc_expr,
+    pq_codebook,
+    pq_encode,
+    pq_query_luts,
+    recall_vs_exact,
 )
 from etl_addresses_spark.sources.tables import fan_out, load_table
 
@@ -335,6 +340,152 @@ SELECT query_id, rank, cand_id, cosine FROM (
 WHERE rank <= {TOPK_K}
 """
     )
+
+
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ ANN (the FAISS IVFADC index shape, Jegou et al.):
+    coarse-quantize the corpus into Lloyd-refined Voronoi lists, PQ-encode
+    every vector to 8 codes, then answer queries by probing the nprobe=2
+    nearest lists and ADC-scoring ONLY the candidate codes in them.
+
+    This closes the r9 verdict's missing composite: `ann_ivf_topk` had
+    the candidate PRUNE (scan 2 lists, not the corpus) and `ann_pq_topk`
+    had the MEMORY compression (8 B codes, LUT scoring) but the scan
+    side of PQ was still brute over all codes.  Composed, a query
+    touches ~2n/k candidates at 8 B each — at 100 TB that is the only
+    index shape where both the bytes read AND the pairs scored shrink.
+
+    Physical plan: two broadcast-joined interpreted kernels (corpus
+    cell-assignment and PQ encode, both fan_out-widened), one n-row
+    shuffle join codes⋈lists on vec_id, then a broadcast HASH join on
+    list_id against the (query, probed-list, LUT) frame — the corpus
+    never meets the query set in a cartesian (plan-asserted in tests;
+    the only nested-loop joins touch model-sized frames, queries x k
+    centroids), unlike the brute ADC's corpus-wide crossJoin.
+    Everything is bit-reproducible (sequential folds, rank
+    tie-breaks), so this doubly-approximate composite is still fully
+    oracle-checked: the DuckDB twin unrolls the same 3 Lloyd
+    iterations and reuses similarity.PQ_SQL_CTES verbatim.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_fit(e)
+    # fan_out: cell assignment is k x d folds per row over a
+    # bytes-small scan (see kmeans_fit)
+    vecs = fan_out(e.select("vec_id", "embedding"), spark)
+    # inverted lists: narrow (vec_id, list_id) labels only — the
+    # embedding never rides past the argmin (r9 kmeans lesson)
+    lists = _assign(vecs, cents, attach_embedding=False).select(
+        "vec_id", F.col("cluster_id").alias("list_id")
+    )
+    pq_cents = pq_codebook(e)
+    codes = pq_encode(e, pq_cents)
+    luts = pq_query_luts(e, pq_cents)
+    # query probes: nprobe=2 nearest coarse centroids, same
+    # deterministic (d2, cent_id) tie-break as the Lloyd-IVF row
+    queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    probe_scored = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "cent_id",
+        _sqdist(F.col("q_emb"), F.col("cent_emb")).alias("d2"),
+    )
+    wp = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cent_id"))
+    probes = (
+        probe_scored.withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= 2)
+        .select("query_id", F.col("cent_id").alias("list_id"))
+    )
+    # (query, probed list, LUT) — |queries| x nprobe rows carrying the
+    # M x k double LUT: model-sized, broadcast to the candidate scan
+    probe_luts = probes.join(luts, "query_id")
+    # fan_out above the ADC kernel: codes⋈lists is a narrow agg/join
+    # output whose exchange AQE coalesces to 1-2 partitions (r9 batch7)
+    cand = (
+        fan_out(codes.join(lists, "vec_id"), spark)
+        .join(F.broadcast(probe_luts), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        (
+            pq_adc_expr() / (F.col("q_norm") * F.sqrt(F.col("recon_norm2")))
+        ).alias("pq_cosine"),
+    )
+    return _rank_topk(scored, "pq_cosine")
+
+
+def ann_ivf_pq_oracle_sql(
+    k_mod: int = DEFAULT_K_MOD, iters: int = DEFAULT_ITERS
+) -> str:
+    from etl_addresses_spark.operators.similarity import (
+        PQ_ADC_SQL,
+        PQ_SQL_CTES,
+        TOPK_K,
+    )
+
+    final = iters + 1
+    return (
+        _kmeans_ctes(k_mod, iters)
+        + f""",
+{PQ_SQL_CTES},
+ivf_lists AS MATERIALIZED (
+  SELECT vec_id, cluster_id AS list_id FROM a{final}
+),
+probes AS MATERIALIZED (
+  SELECT query_id, cluster_id AS list_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY d2 ASC, cluster_id ASC) AS r
+    FROM (
+      SELECT v.vec_id AS query_id, c.cent_id AS cluster_id,
+             {_duckdb_sqdist('v.embedding', 'c.cent_emb')} AS d2
+      FROM vecs v CROSS JOIN c{iters} c
+      WHERE v.vec_id % {QUERY_MOD} = 0))
+  WHERE r <= 2
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+    {PQ_ADC_SQL}
+      / (q.q_norm * sqrt(c.recon_norm2)) AS pq_cosine
+  FROM codes c
+  JOIN ivf_lists l ON l.vec_id = c.vec_id
+  JOIN probes p ON p.list_id = l.list_id
+  JOIN luts q ON q.query_id = p.query_id
+  WHERE c.vec_id <> p.query_id
+)
+SELECT query_id, rank, cand_id, pq_cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY pq_cosine DESC, cand_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {TOPK_K}
+"""
+    )
+
+
+def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the composed IVF-PQ index vs the exact cosine top-k,
+    as data (the ann_recall_eval pattern): the promotion gate a real
+    index build would run.  Recall here compounds BOTH approximations
+    (coarse prune misses + ADC quantization error), so it sits below
+    the IVF-only row's — that separation is the point of publishing
+    the eval per index tier."""
+    from etl_addresses_spark.operators.similarity import cosine_topk_fast
+
+    return recall_vs_exact(
+        cosine_topk_fast(spark, sf_dir).select("query_id", "cand_id"),
+        ann_ivf_pq_topk(spark, sf_dir).select("query_id", "cand_id"),
+    )
+
+
+def ann_ivf_pq_recall_oracle_sql() -> str:
+    from etl_addresses_spark.operators.similarity import (
+        COSINE_TOPK_SQL,
+        recall_eval_sql,
+    )
+
+    return recall_eval_sql(COSINE_TOPK_SQL, ann_ivf_pq_oracle_sql())
 
 
 def ann_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

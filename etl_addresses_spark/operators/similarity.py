@@ -705,18 +705,22 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_pq_topk_for(load_table(spark, sf_dir, "embeddings"))
 
 
-def ann_pq_topk_for(e: DataFrame, centroid_mod: int = 100) -> DataFrame:
-    sub_expr = F.expr(
+def _pq_sub_expr() -> F.Column:
+    """Split `embedding` into the PQ_M sub-vectors (1-indexed slices)."""
+    return F.expr(
         f"transform(sequence(0, {PQ_M - 1}), "
         f"m -> slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB}))"
     )
-    # codebook: dense rank over cent_id -> (m, cidx, codeword) rows,
-    # M * k of them; broadcast everywhere it is used.
-    cents = (
+
+
+def pq_codebook(e: DataFrame, centroid_mod: int = 100) -> DataFrame:
+    """PQ codebook: dense rank over cent_id -> (m, cidx, codeword)
+    rows, M * k of them; broadcast everywhere it is used."""
+    return (
         e.filter(F.col("vec_id") % centroid_mod == 0)
         .select(
             F.col("vec_id").alias("cent_id"),
-            sub_expr.alias("subs"),
+            _pq_sub_expr().alias("subs"),
         )
         .withColumn(
             "cidx",
@@ -730,13 +734,17 @@ def ann_pq_topk_for(e: DataFrame, centroid_mod: int = 100) -> DataFrame:
         )
         .withColumn("cw_norm2", _pair_dot_seq(F.col("cw"), F.col("cw")))
     )
-    # encode: nearest codeword per (vector, subspace); min(struct)
-    # argmin with the dense rank as tie-break, then per-vector sorted
-    # reassembly into a codes array + reconstruction norm.
+
+
+def pq_encode(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """PQ-encode the corpus: nearest codeword per (vector, subspace);
+    min(struct) argmin with the dense rank as tie-break, then
+    per-vector sorted reassembly into a codes array + reconstruction
+    norm.  Returns (vec_id, codes array<long>, recon_norm2 double)."""
     # fan_out: encode is M x k sq-l2 folds per row; the scan is
     # bytes-small (r9 batch7)
     subvecs = fan_out(e, e.sparkSession).select(
-        "vec_id", F.posexplode(sub_expr).alias("m", "sv")
+        "vec_id", F.posexplode(_pq_sub_expr()).alias("m", "sv")
     )
     best = (
         subvecs.join(F.broadcast(cents), "m")
@@ -751,7 +759,7 @@ def ann_pq_topk_for(e: DataFrame, centroid_mod: int = 100) -> DataFrame:
             ).alias("b")
         )
     )
-    codes = best.groupBy("vec_id").agg(
+    return best.groupBy("vec_id").agg(
         F.transform(
             F.sort_array(
                 F.collect_list(F.struct(F.col("m"), F.col("b.cidx").alias("c")))
@@ -771,11 +779,15 @@ def ann_pq_topk_for(e: DataFrame, centroid_mod: int = 100) -> DataFrame:
             lambda acc, v: acc + v,
         ).alias("recon_norm2"),
     )
-    # per-query LUT: luts[m][cidx] = dot(q_sub[m], codeword[m][cidx]),
-    # nested arrays in canonical (m, cidx) order.
+
+
+def pq_query_luts(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-query ADC LUT: luts[m][cidx] = dot(q_sub[m],
+    codeword[m][cidx]), nested arrays in canonical (m, cidx) order.
+    Returns (query_id, q_norm, luts array<array<double>>)."""
     queries = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
-        F.posexplode(sub_expr).alias("m", "qsv"),
+        F.posexplode(_pq_sub_expr()).alias("m", "qsv"),
         _norm_col(F.col("embedding")).alias("q_norm"),
     )
     lut_m = (
@@ -797,15 +809,19 @@ def ann_pq_topk_for(e: DataFrame, centroid_mod: int = 100) -> DataFrame:
             ).alias("row")
         )
     )
-    luts = lut_m.groupBy("query_id", "q_norm").agg(
+    return lut_m.groupBy("query_id", "q_norm").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct(F.col("m"), F.col("row")))),
             lambda s: s.getField("row"),
         ).alias("luts")
     )
-    # ADC scan: every candidate's 8 codes looked up in the broadcast
-    # per-query tables; the fold over m is sequential by construction.
-    adc = F.aggregate(
+
+
+def pq_adc_expr() -> F.Column:
+    """ADC lookup sum: every candidate's PQ_M codes looked up in the
+    per-query `luts` column; the fold over m is sequential by
+    construction (bit-reproducible)."""
+    return F.aggregate(
         F.sequence(F.lit(1), F.lit(PQ_M)),
         F.lit(0.0),
         lambda acc, m: acc
@@ -814,6 +830,12 @@ def ann_pq_topk_for(e: DataFrame, centroid_mod: int = 100) -> DataFrame:
             F.element_at(F.col("codes"), m.cast("int")).cast("int"),
         ),
     )
+
+
+def ann_pq_topk_for(e: DataFrame, centroid_mod: int = 100) -> DataFrame:
+    cents = pq_codebook(e, centroid_mod)
+    codes = pq_encode(e, cents)
+    luts = pq_query_luts(e, cents)
     # fan_out again for the ADC scan: codes is a narrow agg output
     # whose exchange AQE coalesces to 1-2 partitions, which would bound
     # the |queries| x M lookup kernel at that width
@@ -823,9 +845,10 @@ def ann_pq_topk_for(e: DataFrame, centroid_mod: int = 100) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            (adc / (F.col("q_norm") * F.sqrt(F.col("recon_norm2")))).alias(
-                "pq_cosine"
-            ),
+            (
+                pq_adc_expr()
+                / (F.col("q_norm") * F.sqrt(F.col("recon_norm2")))
+            ).alias("pq_cosine"),
         )
     )
     return _rank_topk(scored, "pq_cosine")
@@ -840,8 +863,12 @@ def _duckdb_sq_l2(a: str, b: str) -> str:
     )
 
 
-ANN_PQ_TOPK_SQL = f"""
-WITH subbed AS (
+# The PQ pipeline's oracle CTE block (codebook -> encode -> per-query
+# LUTs), shared verbatim by ANN_PQ_TOPK_SQL (brute ADC over all codes)
+# and clustering.ann_ivf_pq_oracle_sql (ADC over IVF candidates only).
+# CTE names are disjoint from clustering._kmeans_ctes (vecs, c*, a*,
+# m*) by construction.
+PQ_SQL_CTES = f"""subbed AS (
   SELECT vec_id,
     list_transform(generate_series(0, {PQ_M - 1}),
       m -> embedding[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}]) AS subs,
@@ -890,14 +917,23 @@ lut_m AS (
 luts AS (
   SELECT query_id, q_norm, list("row" ORDER BY m) AS luts
   FROM lut_m GROUP BY query_id, q_norm
-),
+)"""
+
+# DuckDB twin of pq_adc_expr(): the sequential fold over the PQ_M
+# LUT lookups for (luts alias `q`, codes alias `c`).
+PQ_ADC_SQL = (
+    f"list_reduce(\n"
+    f"      list_prepend(CAST(0.0 AS DOUBLE),\n"
+    f"        list_transform(generate_series(1, {PQ_M}),\n"
+    f"          m -> q.luts[m][c.codes[m]])),\n"
+    f"      (x, y) -> x + y)"
+)
+
+ANN_PQ_TOPK_SQL = f"""
+WITH {PQ_SQL_CTES},
 scored AS (
   SELECT q.query_id, c.vec_id AS cand_id,
-    list_reduce(
-      list_prepend(CAST(0.0 AS DOUBLE),
-        list_transform(generate_series(1, {PQ_M}),
-          m -> q.luts[m][c.codes[m]])),
-      (x, y) -> x + y)
+    {PQ_ADC_SQL}
       / (q.q_norm * sqrt(c.recon_norm2)) AS pq_cosine
   FROM codes c CROSS JOIN luts q
   WHERE c.vec_id <> q.query_id
@@ -1040,8 +1076,16 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-up — at corpus scale the eval cost is the ANN query cost,
     the join touches only 2·k rows per query.  Recall is emitted as
     exact integers (n_hit of k) plus the derived double."""
-    exact = cosine_topk_fast(spark, sf_dir).select("query_id", "cand_id")
-    approx = ann_ivf_topk(spark, sf_dir).select("query_id", "cand_id")
+    return recall_vs_exact(
+        cosine_topk_fast(spark, sf_dir).select("query_id", "cand_id"),
+        ann_ivf_topk(spark, sf_dir).select("query_id", "cand_id"),
+    )
+
+
+def recall_vs_exact(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Shared recall@k finisher: (query_id, n_hit, recall) given the
+    exact and approximate (query_id, cand_id) top-k frames.  Used by
+    `ann_recall_eval` and clustering's `ann_ivf_pq_recall`."""
     hits = (
         approx.join(exact, ["query_id", "cand_id"], "left_semi")
         .groupBy("query_id")
@@ -1060,9 +1104,13 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_RECALL_EVAL_SQL = f"""
-WITH exact_tk AS ({COSINE_TOPK_SQL}),
-approx_tk AS ({ANN_IVF_TOPK_SQL}),
+def recall_eval_sql(exact_sql: str, approx_sql: str) -> str:
+    """DuckDB twin of `recall_vs_exact`, parameterized on the two
+    top-k query strings (each a full WITH..SELECT, nested as CTE
+    bodies)."""
+    return f"""
+WITH exact_tk AS ({exact_sql}),
+approx_tk AS ({approx_sql}),
 hits AS (
   SELECT a.query_id, count(*) AS n_hit
   FROM approx_tk a
@@ -1074,5 +1122,7 @@ SELECT q.query_id,
        coalesce(h.n_hit, 0) AS n_hit,
        coalesce(h.n_hit, 0) / {float(TOPK_K)} AS recall
 FROM (SELECT DISTINCT query_id FROM exact_tk) q
-LEFT JOIN hits h ON h.query_id = q.query_id
-"""
+LEFT JOIN hits h ON h.query_id = q.query_id"""
+
+
+ANN_RECALL_EVAL_SQL = recall_eval_sql(COSINE_TOPK_SQL, ANN_IVF_TOPK_SQL)

@@ -181,6 +181,16 @@ _ALL: dict[str, Entry] = {
     "ann_ivf_lloyd_topk": Entry(
         clustering.ann_ivf_lloyd_topk, clustering.ann_ivf_lloyd_oracle_sql()
     ),
+    # round 10: the composed IVF-PQ index (coarse Lloyd prune + ADC
+    # over candidate codes only — the FAISS IVFADC shape, the r9
+    # verdict's one missing ANN family member) and its recall-as-data
+    # promotion gate vs the exact cosine top-k.
+    "ann_ivf_pq_topk": Entry(
+        clustering.ann_ivf_pq_topk, clustering.ann_ivf_pq_oracle_sql()
+    ),
+    "ann_ivf_pq_recall": Entry(
+        clustering.ann_ivf_pq_recall, clustering.ann_ivf_pq_recall_oracle_sql()
+    ),
     "pagerank_relations": Entry(
         graph.pagerank_relations, graph.pagerank_oracle_sql()
     ),
@@ -240,72 +250,73 @@ _ALL = {
 }
 
 # The grading driver cross-checks exactly the FIRST 50 registry entries
-# (dict order) against DuckDB each round.  Round-9 rotation, derived
-# MECHANICALLY from tools/evidence/coverage_ledger_r08.md (oldest-first,
+# (dict order) against DuckDB each round.  Round-10 rotation, derived
+# MECHANICALLY from tools/evidence/coverage_ledger_r09.md (oldest-first,
 # every round — the binding form of the staleness invariant given the
-# 169-entry/50-slot pigeonhole): after the r08 driver run, 19 entries
-# remain at r05 (the tail the r08 window could not fit) and 50 at r06.
-# The window is the round's NEW entry (no driver evidence yet = oldest
-# of all) plus those 19 r05 entries plus the alphabetically-first 30
-# r06 entries.  tests/test_driver_window.py recomputes this list from
-# the committed CORRECTNESS_r*.json artifacts, so a transcription slip
-# (the r8 `bucketed_join_colocated` incident) fails pytest.  The r06
-# tail that does not fit stays full-sweep-green at HEAD via
-# CORRECTNESS_FULL artifacts and goes FIRST into the r10 window.
+# 172-entry/50-slot pigeonhole): the round's TWO new entries (no driver
+# evidence yet = oldest of all), the 20 entries whose latest driver
+# evidence is r06 (the tail the r09 window could not fit,
+# q11_important_parts first per the r9 verdict), then the
+# alphabetically-first 28 r07 entries.  tests/test_driver_window.py
+# recomputes this list from the committed CORRECTNESS_r*.json
+# artifacts, so a transcription slip (the r8 `bucketed_join_colocated`
+# incident) fails pytest.  The r07 tail that does not fit stays
+# full-sweep-green at HEAD via CORRECTNESS_FULL artifacts and goes
+# FIRST into the r11 window.
 DRIVER_WINDOW: list[str] = [
     # -- NEW this round (no driver evidence yet) --------------------
-    "bpe_apply_batched",
-    # -- latest driver evidence is ROUND 5 (ledger tail, all 19) ----
-    "q9_profit_by_nation_year",
-    "scalar_string_date",
-    "scd2_history",
-    "sessions_path_topk",
-    "set_intersect_buyers",
-    "sort_limit_global",
-    "spatiotemporal_join",
-    "st_contains_join",
-    "stats_correlation_double",
-    "stats_regression_group",
-    "stream_cdc_upsert",
-    "stream_dedup_keys",
-    "stream_restart_exactly_once",
-    "stream_topk_event_types",
-    "table_diff_snapshots",
-    "train_order_shuffle",
-    "transform_objects",
-    "window_frames",
-    "window_topk_per_group",
-    # -- latest driver evidence is ROUND 6 (ledger order, first 30) -
-    "ann_ivf_lloyd_topk",
-    "ann_pq_topk",
-    "approx_quantiles_orders",
-    "bloom_prune_join",
-    "bm25_topk",
-    "chunk_documents",
-    "cms_heavy_hitters",
-    "cohort_retention",
-    "compact_small_files",
-    "cosine_topk",
-    "curate_corpus",
-    "decontaminate_ngram",
-    "dedup_keep_best",
-    "dedup_substring_blocks",
-    "embedding_srp_lsh_pairs",
-    "events_window_agg",
-    "funnel_conversion",
-    "hll_distinct_parts",
-    "hll_mergeable_union",
-    "incremental_agg_merge",
-    "infer_addresses_metrics",
-    "interval_overlap_join",
-    "kmeans_cluster_sizes",
-    "lm_bigram_logprob",
-    "minhash_lsh_pairs",
-    "pack_sequences",
-    "pagerank_relations",
-    "pii_redact",
-    "profile_columns",
-    "q10_returned_revenue",
+    "ann_ivf_pq_recall",
+    "ann_ivf_pq_topk",
+    # -- latest driver evidence is ROUND 6 (ledger tail, all 20) ----
+    "q11_important_parts",
+    "q12_priority_by_status",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q20_dominant_suppliers",
+    "q22_idle_customers",
+    "quality_budget_select",
+    "quality_classifier_score",
+    "quality_gopher_flags",
+    "repetition_ngram_score",
+    "sample_fixed_k",
+    "sample_stratified",
+    "scalar_array_funcs",
+    "set_union_buyers",
+    "text_top_terms",
+    "unpivot_measures",
+    # -- latest driver evidence is ROUND 7 (ledger order, first 28) -
+    "agg_distinct_counts",
+    "agg_percentiles",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "ann_quantized_topk",
+    "anomaly_zscore_events",
+    "bpe_encode_stats",
+    "bpe_merge_table",
+    "contrastive_hard_negatives",
+    "dedup_clusters_star",
+    "dedup_incremental_lsh",
+    "delimited_roundtrip_csv",
+    "docs_with_embeddings",
+    "drift_ks_events",
+    "embedding_near_dup",
+    "events_ohlc_bars",
+    "fuzzy_name_match_blocked",
+    "interval_overlap_bucketed",
+    "join_anti_customers",
+    "join_outer_order_counts",
+    "join_region_volume",
+    "join_semi_orders",
+    "mixture_rebalance",
+    "multimodal_audio_features",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_image_dedup",
+    "multimodal_meta",
 ]
 
 

@@ -36,6 +36,46 @@ def test_ivf_lloyd_recall_vs_exact(spark):
     assert recall >= 0.3, f"Lloyd-IVF recall suspiciously low: {recall}"
 
 
+def test_ivf_pq_recall_row_bounds(spark):
+    """The composed IVF-PQ compounds BOTH approximations (coarse-prune
+    misses + ADC quantization), so its recall sits below the IVF-only
+    row's — but must stay a well-formed, non-degenerate eval: one row
+    per query, recall in [0, 1], and a fixture-measured mean floor
+    (0.29 at sf0.001 / 0.22 at sf0.01 when pinned)."""
+    rows = clustering.ann_ivf_pq_recall(spark, SF_ORACLE).collect()
+    n_queries = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .filter("vec_id % 50 = 0")
+        .count()
+    )
+    assert len(rows) == n_queries
+    assert all(0.0 <= r.recall <= 1.0 for r in rows)
+    mean = sum(r.recall for r in rows) / len(rows)
+    assert mean >= 0.15, f"IVF-PQ recall degenerate: {mean}"
+
+
+def test_ivf_pq_candidate_scan_is_hash_join(spark):
+    """The point of composing IVF with PQ: the corpus-side candidate
+    scan must be a broadcast HASH join on list_id (prune), never a
+    corpus-wide cartesian like the brute ADC's crossJoin.  Nested-loop
+    joins may only appear where a model-sized frame (k centroids) is
+    the build side — exactly two: corpus x cents assignment and
+    queries x cents probing."""
+    plan = (
+        clustering.ann_ivf_pq_topk(spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert any(
+        "BroadcastHashJoin [list_id" in ln for ln in plan.splitlines()
+    ), "candidate scan lost its list_id hash join (prune is gone)"
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan.count(
+        "BroadcastNestedLoopJoin"
+    )
+
+
 def test_kmeans_deterministic_rerun(spark):
     e = load_table(spark, SF_ORACLE, "embeddings")
     c1, h1 = clustering.kmeans_fit(e, iters=2)
