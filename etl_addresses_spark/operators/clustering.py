@@ -48,6 +48,7 @@ from etl_addresses_spark.operators.similarity import (
     pq_query_luts,
     recall_vs_exact,
 )
+from etl_addresses_spark.functions.hashing import knuth_order_col, knuth_order_sql
 from etl_addresses_spark.sources.tables import fan_out, load_table
 
 DEFAULT_K_MOD = 100
@@ -69,7 +70,6 @@ DEFAULT_ITERS = 3
 # as TakeOrderedAndProject, never a global sort; bounds Lloyd cost to
 # linear-in-N beyond ~25x.
 KMEANS_MAX_K = 256
-_KNUTH = 2654435761  # same constant as the fuzzy baseline's sampler
 
 
 def _sqdist(a, b) -> F.Column:
@@ -153,7 +153,7 @@ def kmeans_fit(
     cents = (
         e.filter(F.col("vec_id") % k_mod == 0)
         .orderBy(
-            ((F.col("vec_id").cast("long") * F.lit(_KNUTH)) % F.lit(1 << 32)).asc(),
+            knuth_order_col("vec_id").asc(),  # shared: functions/hashing.py
             F.col("vec_id").asc(),
         )
         .limit(KMEANS_MAX_K)  # fixed index knob; see constant above
@@ -247,7 +247,7 @@ c0 AS MATERIALIZED (
   SELECT vec_id AS cent_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent_emb
   FROM embeddings WHERE vec_id % {k_mod} = 0
-  ORDER BY (vec_id * {_KNUTH}) % 4294967296, vec_id LIMIT {KMEANS_MAX_K}
+  ORDER BY {knuth_order_sql('vec_id')}, vec_id LIMIT {KMEANS_MAX_K}
 )"""
     for k in range(1, iters + 2):
         p = k - 1

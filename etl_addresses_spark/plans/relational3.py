@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from etl_addresses_spark.functions.hashing import KNUTH, knuth_order_col, knuth_order_sql
 from etl_addresses_spark.sources.tables import load_table
 
 
@@ -167,7 +168,6 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
 # the checked result is byte-identical to the historical uncapped row.
 FUZZY_ALLPAIRS_S_CAP = 200
 FUZZY_ALLPAIRS_C_CAP = 2000
-_KNUTH = 2654435761  # 2^32 / golden ratio; exact in int64 for our keys
 
 
 def _hash_sample(df: DataFrame, key: str, k: int) -> DataFrame:
@@ -176,7 +176,7 @@ def _hash_sample(df: DataFrame, key: str, k: int) -> DataFrame:
     take k.  Plans as TakeOrderedAndProject (per-partition top-k +
     single merge), never a full sort; the SAME integer arithmetic is
     expressible in DuckDB SQL, so oracle rows sample identically."""
-    h = (F.col(key).cast("long") * F.lit(_KNUTH)) % F.lit(1 << 32)
+    h = knuth_order_col(key)  # shared definition: functions/hashing.py
     return df.orderBy(h.asc(), F.col(key).asc()).limit(k)
 
 
@@ -226,10 +226,10 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FUZZY_NAME_MATCH_SQL = f"""
 WITH s AS (SELECT s_suppkey, s_name FROM supplier
-           ORDER BY (s_suppkey * {_KNUTH}) % 4294967296, s_suppkey
+           ORDER BY {knuth_order_sql('s_suppkey')}, s_suppkey
            LIMIT {FUZZY_ALLPAIRS_S_CAP}),
      c AS (SELECT c_custkey, c_name FROM customer
-           ORDER BY (c_custkey * {_KNUTH}) % 4294967296, c_custkey
+           ORDER BY {knuth_order_sql('c_custkey')}, c_custkey
            LIMIT {FUZZY_ALLPAIRS_C_CAP})
 SELECT s_suppkey, s_name, c_custkey, c_name, dist FROM (
   SELECT s_suppkey, s_name, c_custkey, c_name,

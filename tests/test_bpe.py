@@ -167,8 +167,13 @@ def test_bpe_apply_segments_truncate_lineage(spark):
     plan = analyzed(segmented)
     assert "LogicalRDD" in plan
     # ...and the final segment rides lazily ON the checkpoint: only
-    # the last (3 - 2) = 1 merge's replace survives in the plan text
-    assert plan.count("replace(") == 2  # one merge = two replaces
+    # the last (3 - 2) = 1 merge's replace survives in the plan text.
+    # Count bare `replace(` only — `regexp_replace(` also contains the
+    # substring (r9 advice: the raw count held only because the vocab's
+    # regexp_replace is checkpointed out of the segmented plan, so any
+    # benign plan-text drift would skew it confusingly).
+    n_replace = plan.count("replace(") - plan.count("regexp_replace(")
+    assert n_replace == 2, n_replace  # one merge = two replaces
 
 
 def test_bpe_merge_table_matches_python_reference(spark):

@@ -51,10 +51,40 @@ def load_evidence() -> tuple[dict[str, int], dict[str, int]]:
     return driver, full
 
 
+def load_ladder_evidence() -> dict[str, tuple[int, int]]:
+    """Return {name: (latest round with scale-ladder evidence, factor)}.
+
+    A row counts as laddered when some committed r*_scale*.json carries
+    BOTH the sf0.1 baseline and a scaled (sf0.1xN) measurement for it —
+    the r9 verdict's ask: make "never-laddered" enumerable instead of
+    greppable, so the superlinear-row census (the r9 batch6 find: five
+    35x rows hiding in the never-scaled tail) can be run to completion
+    mechanically."""
+    ladder: dict[str, tuple[int, int]] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "tools/evidence/r*_scale*.json"))):
+        m = re.match(r"r(\d+)_", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        factor = data.get("factor") or 0
+        for name, row in data.get("queries", {}).items():
+            if isinstance(row, dict) and any(
+                k.startswith("sf0.1x") for k in row
+            ):
+                ladder[name] = max(ladder.get(name, (0, 0)), (rnd, factor))
+    return ladder
+
+
 def main() -> int:
     from etl_addresses_spark.registry import DRIVER_WINDOW, REGISTRY
 
     driver, full = load_evidence()
+    ladder = load_ladder_evidence()
     md = "--md" in sys.argv
     rows = []
     never = []
@@ -64,6 +94,7 @@ def main() -> int:
         latest = max(x for x in (d, fl, 0) if x is not None)
         if latest == 0:
             never.append(name)
+        lad = ladder.get(name)
         rows.append(
             (
                 name,
@@ -71,19 +102,22 @@ def main() -> int:
                 f"r{fl:02d}" if fl else "-",
                 f"r{latest:02d}" if latest else "NEVER",
                 "window" if name in DRIVER_WINDOW else "",
+                f"r{lad[0]:02d}:{lad[1]}x" if lad else "-",
             )
         )
     rows.sort(key=lambda r: (r[3], r[0]))
     if md:
-        print("| query | driver | full sweep | latest green | r-window |")
-        print("|---|---|---|---|---|")
+        print("| query | driver | full sweep | latest green | r-window | ladder |")
+        print("|---|---|---|---|---|---|")
         for r in rows:
             print("| " + " | ".join(r) + " |")
     else:
         w = max(len(r[0]) for r in rows)
-        print(f"{'query':<{w}}  driver  full  latest  window")
+        print(f"{'query':<{w}}  driver  full  latest  window  ladder")
         for r in rows:
-            print(f"{r[0]:<{w}}  {r[1]:>6}  {r[2]:>4}  {r[3]:>6}  {r[4]}")
+            print(
+                f"{r[0]:<{w}}  {r[1]:>6}  {r[2]:>4}  {r[3]:>6}  {r[4]:<6}  {r[5]}"
+            )
     stale = [r[0] for r in rows if r[3] != "NEVER" and int(r[3][1:]) <= 1]
     print(
         f"\n{len(rows)} registry entries; {len(never)} with no green evidence"

@@ -92,7 +92,7 @@ COPY = ["region", "nation"]
 # Generator version rides the marker filename: a formula change (the
 # r9 sign-flip fix) must invalidate pre-existing /tmp builds, or reruns
 # silently benchmark stale replica data (r9 review finding).
-GEN = "v4"
+GEN = "v5"
 
 
 def build_scaled(spark) -> None:
@@ -159,14 +159,18 @@ def build_scaled(spark) -> None:
             # per-replica dimension PERMUTATION i -> (i*p + q) mod 64
             # (p odd => coprime with 64 => bijection).  Within-replica
             # dot products stay EXACT (bijection + s_i^2 = 1); cross-
-            # replica products mix unrelated coordinates.
+            # replica products mix unrelated coordinates.  v5 (r9 advice):
+            # p = 3 + 2*pmod(hash,31) ∈ {3..63}, never 1 — at p=1, q=0
+            # the v4 permutation degenerated to the identity and that
+            # replica was sign-flips-only, exactly the v3 residual-
+            # correlation mode the permutation exists to remove.
             rep = rep.withColumn(
                 "embedding",
                 F.expr(
                     "transform(embedding, (x, i) -> cast("
                     "if(_r = 0, x,"
                     " (element_at(embedding,"
-                    "    pmod(i * (1 + 2 * pmod(hash(_r, 1), 32))"
+                    "    pmod(i * (3 + 2 * pmod(hash(_r, 1), 31))"
                     "         + pmod(hash(_r, 2), 64), 64) + 1)"
                     "  + (_r % 7 - 3) * 1.0e-4 * ((i % 5) + 1))"
                     " * (1.0 - 2.0 * pmod(hash(_r, i), 2)))"
