@@ -260,6 +260,32 @@ SRP_BITS = 16
 SRP_BAND_BITS = 4
 SRP_BANDS = SRP_BITS // SRP_BAND_BITS
 
+# Auto-banding budget (r9 verdict item 5, the fuzzy-dispatcher
+# precedent): expected RANDOM band collisions per vector ≈
+# bands · n / 2^bits / 2, so a fixed band width makes candidate mass
+# quadratic in n (measured 177x wall at 10x on 4-bit bands).  The rule
+# below picks the narrowest width whose expected random candidates
+# stay under this per-vector budget; 4096 is chosen so every
+# registered fixture (n = 200 / 2k / 20k at sf0.001/0.01/0.1) stays in
+# the historical 4-bit regime — committed hashes unchanged — while the
+# 10x replica (200k) auto-widens to 8-bit and ~1M+ corpora to 16-bit.
+SRP_AUTO_BUDGET_PER_VEC = 4096
+
+
+def srp_band_bits_for(n: int) -> int:
+    """Corpus-size-derived band width: the narrowest divisor of
+    SRP_BITS whose expected random candidate mass (bands · n²/2^bits/2
+    pairs) is ≤ SRP_AUTO_BUDGET_PER_VEC · n.  Monotone in n; falls
+    back to one full-width band when even 16 bits cannot bound the
+    budget (recall at the row's permissive threshold then drops, which
+    is the stated tradeoff — corpus-scale near-dup routes to the
+    blocked/clustered/ANN paths)."""
+    for bits in (4, 8, 16):
+        bands = SRP_BITS // bits
+        if bands * n * n / (2**bits) / 2 <= SRP_AUTO_BUDGET_PER_VEC * n:
+            return bits
+    return SRP_BITS
+
 
 def _srp_signs() -> list[list[float]]:
     """Deterministic ±1 hyperplane matrix (SRP_BITS x EMB_DIM), derived
@@ -294,22 +320,34 @@ def embedding_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_bits) — skewed hot buckets split by AQE.  Fully oracle-checked
     (the ±1 literals embed in both engines' plans).
 
-    SCALE KNOB (r9 10x ladder, r9_scale_sf1_batch6.json): band WIDTH
-    must grow with the corpus.  At {SRP_BAND_BITS}=4 bits a random
-    pair collides with prob 1/16 per band, so candidate volume is
-    ~n^2/8 REGARDLESS of data — quadratic by construction (measured
-    177x wall at 10x; the verify pass, not the join, is the cost).
-    That selectivity is deliberate here: the registered row's verify
-    threshold (cosine >= 0.3) is permissive, and banded-LSH recall at
-    a low threshold requires narrow bands (4-bit: ~0.42 recall at
-    cosine 0.3; 16-bit: ~1e-3 — useless).  Production near-dup
-    mining runs at cosine >= 0.9 where 16-bit bands keep recall AND
-    cut random collisions to 2^-16 (candidates ~n^2/16384, linear-ish
-    to ~10M vectors); the engine's corpus-scale near-dup paths are
-    `embedding_near_dup` (blocked), `semantic_dedup` (clustered), and
-    the ANN stack — this row demonstrates the banded shape with its
-    selectivity/recall tradeoff stated rather than hidden."""
+    AUTO-BANDED since round 10 (r9 verdict item 5, the
+    fuzzy-dispatcher precedent): band WIDTH is derived from the corpus
+    count by `srp_band_bits_for` — one model-sized count() job picks
+    the plan, exactly like `_fuzzy_gate_stats` picks the fuzzy tier.
+    At a fixed {SRP_BAND_BITS}=4 bits a random pair collides with
+    prob 1/16 per band, so candidate volume is ~n^2/8 REGARDLESS of
+    data — quadratic by construction (measured 177x wall at 10x,
+    r9_scale_sf1_batch6.json; the verify pass, not the join, is the
+    cost).  The rule keeps every registered fixture (n ≤ 20k) in the
+    historical 4-bit regime — committed hashes unchanged, and the
+    static DuckDB oracle stays the 4-bit mirror — while a 200k corpus
+    auto-widens to 8-bit and ~1M+ to 16-bit, bounding expected random
+    candidates at {SRP_AUTO_BUDGET_PER_VEC}·n.  Wider bands trade
+    recall at this row's permissive verify threshold (cosine ≥ 0.3:
+    4-bit ~0.42 recall, 16-bit ~1e-3), which is the stated banded-LSH
+    tradeoff — production near-dup mining runs at cosine ≥ 0.9 where
+    wide bands keep recall, and the engine's corpus-scale near-dup
+    paths are `embedding_near_dup` (blocked), `semantic_dedup`
+    (clustered), and the ANN stack."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    band_bits = srp_band_bits_for(e.count())
+    return embedding_srp_lsh_pairs_for(e, band_bits)
+
+
+def embedding_srp_lsh_pairs_for(
+    e: DataFrame, band_bits: int = SRP_BAND_BITS
+) -> DataFrame:
+    n_bands = SRP_BITS // band_bits
     norm = F.sqrt(_pair_dot_seq(F.col("embedding"), F.col("embedding")))
     signs = _srp_signs()
     bit_cols = []
@@ -328,10 +366,10 @@ def embedding_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.lit(j).alias("band_idx"),
                 F.concat(
-                    *bit_cols[j * SRP_BAND_BITS : (j + 1) * SRP_BAND_BITS]
+                    *bit_cols[j * band_bits : (j + 1) * band_bits]
                 ).alias("band"),
             )
-            for j in range(SRP_BANDS)
+            for j in range(n_bands)
         ]
     )
     banded = e.select(

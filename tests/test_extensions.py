@@ -174,6 +174,56 @@ def test_srp_lsh_pairs_verified_and_band_local(spark):
     assert len(keys) == len(set(keys))
 
 
+def test_srp_auto_band_rule():
+    """The corpus-size banding rule (r9 verdict item 5): every
+    registered fixture stays in the historical 4-bit regime (hashes
+    unchanged), larger corpora widen monotonically, and the selected
+    width always bounds expected random candidates at the budget."""
+    from etl_addresses_spark.operators.similarity import (
+        SRP_AUTO_BUDGET_PER_VEC,
+        SRP_BITS,
+        srp_band_bits_for,
+    )
+
+    # fixture counts: sf0.001 = 200, sf0.01 = 2k, sf0.1 = 20k vectors
+    assert [srp_band_bits_for(n) for n in (200, 2_000, 20_000)] == [4, 4, 4]
+    assert srp_band_bits_for(200_000) == 8  # the 10x replica
+    assert srp_band_bits_for(2_000_000) == 16
+    prev = 0
+    for n in (1, 100, 10_000, 10**5, 10**6, 10**7, 10**8):
+        bits = srp_band_bits_for(n)
+        assert bits >= prev, "band width must widen monotonically"
+        assert SRP_BITS % bits == 0
+        if bits < SRP_BITS:  # within-budget widths really bound the mass
+            bands = SRP_BITS // bits
+            assert bands * n * n / (2**bits) / 2 <= SRP_AUTO_BUDGET_PER_VEC * n
+        prev = bits
+
+
+def test_srp_wider_bands_emit_subset(spark):
+    """Band-alignment containment: an aligned 2w-bit band equality
+    implies both w-bit halves match, so pairs(16) ⊆ pairs(8) ⊆
+    pairs(4) on the same corpus — the recall/selectivity knob moves in
+    one direction only."""
+    from etl_addresses_spark.operators.similarity import (
+        embedding_srp_lsh_pairs_for,
+    )
+    from etl_addresses_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    out = {
+        bits: {
+            (r.vec_a, r.vec_b)
+            for r in embedding_srp_lsh_pairs_for(e, bits).collect()
+        }
+        for bits in (4, 8, 16)
+    }
+    assert out[16] <= out[8] <= out[4]
+    assert out[4], "4-bit fixture regime must surface pairs"
+
+
 def test_dedup_keep_best_partitions_corpus(spark):
     from etl_addresses_spark.operators import dedup
 
