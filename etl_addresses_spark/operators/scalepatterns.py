@@ -64,6 +64,22 @@ def _hexint_spark(h: str, start: int, nchars: int) -> str:
     )
 
 
+def _hexint_spark_big(h: str, start: int, nchars: int) -> str:
+    """BIGINT variant of _hexint_spark for widths past 7 hex chars:
+    ANSI mode overflows int32 at 8 chars (15 * 16^7 > 2^31), so every
+    per-char term is cast before the scale multiply.  DuckDB's integer
+    arithmetic is 64-bit already — _hexint_duck needs no twin."""
+    return (
+        "("
+        + " + ".join(
+            f"cast({_hx_spark(h, start + i)} as bigint)"
+            f" * {16 ** (nchars - 1 - i)}L"
+            for i in range(nchars)
+        )
+        + ")"
+    )
+
+
 def _hexint_duck(h: str, start: int, nchars: int) -> str:
     return (
         "("
@@ -187,8 +203,31 @@ GROUP BY layout, bucket
 # Bloom-filter join pruning: m=32768 bits (512 words), k=3.
 # ---------------------------------------------------------------------------
 
-_BLOOM_M = 32768  # bits
+_BLOOM_M = 32768  # bits (the FLOOR; see bloom_bits_for)
 _BLOOM_K = 3
+# Auto-sizing rule (r10 ladder fix, r10_scale_sf1_batch8a.json): a
+# FIXED m saturates as the build side grows — at 10x the ~300k urgent
+# keys drove the 32768-bit filter's fill ratio to ~1, every probe key
+# passed, and the downstream join shuffled 34-55x the bytes on 10x
+# data.  Real engines size the filter from the build cardinality
+# (Spark's runtime.bloomFilter uses expectedNumItems); this rule keeps
+# >= {_BLOOM_BITS_PER_KEY} bits/key (k=3 -> fpp ~3%), rounded up to a
+# power of two so `% m` stays cheap.  One model-sized count() job
+# picks m (the fuzzy-gate/SRP precedent).  Every registered fixture
+# stays at the 32768-bit floor (~300 urgent keys at sf0.001, ~3000 at
+# sf0.01 -> 8*n <= 32768), so committed hashes and the static DuckDB
+# oracle are unchanged; the 10x replica auto-sizes to 4M bits (~1 MB
+# of words — still trivially broadcastable).
+_BLOOM_BITS_PER_KEY = 8
+
+
+def bloom_bits_for(n_build: int) -> int:
+    """Smallest power-of-two m >= max(_BLOOM_M, bits_per_key * n)."""
+    m = _BLOOM_M
+    while m < _BLOOM_BITS_PER_KEY * n_build:
+        m *= 2
+    return m
+
 
 _MD5_SPARK = "md5(cast(cast({k} as string) as binary))"
 _MD5_DUCK = "md5(CAST({k} AS VARCHAR))"
@@ -199,9 +238,10 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, then measure the pruning against the exact semi-join.
 
     Build side: 3 md5-derived bit positions per key, bit_or-folded into
-    a <=1024-row (word, bits) table — constant size regardless of build
-    cardinality, which is why a bloom broadcast survives scales where a
-    key-set broadcast cannot.  Probe side: distinct keys explode to
+    a (word, bits) table sized from the build-side COUNT (see
+    bloom_bits_for — m/32 words, model-sized at any scale), which is
+    why a bloom broadcast survives scales where a key-set broadcast
+    cannot.  Probe side: distinct keys explode to
     their 3 (word, mask) probes, hash-join the broadcast bloom, and a
     key passes iff all 3 bits are set (no false negatives by
     construction).  Output: per returnflag, probe rows vs bloom-passing
@@ -211,11 +251,26 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").selectExpr(
+        "o_orderkey AS k"
+    )
+    return bloom_prune_join_for(urgent, li, bloom_bits_for(urgent.count()))
+
+
+def bloom_prune_join_for(
+    urgent: DataFrame, li: DataFrame, m_bits: int = _BLOOM_M
+) -> DataFrame:
     h = _MD5_SPARK.format(k="k")
 
     def probes(keys: DataFrame) -> DataFrame:
         ps = ", ".join(
-            f"{_hexint_spark(h, 1 + 4 * j, 4)} % {_BLOOM_M}"
+            # 8 hex chars = 32 bits per position (r10 fix: 4 chars =
+            # 16 bits silently capped the EFFECTIVE filter at 65536
+            # bits — probes never touched the upper bits of a larger
+            # m, so auto-sizing had no effect; measured fp_frac 1.0 at
+            # the 10x replica pre-fix).  3 positions x 8 chars fit the
+            # 32-char md5; the DuckDB oracle moves in lockstep.
+            f"{_hexint_spark_big(h, 1 + 8 * j, 8)} % {m_bits}"
             for j in range(_BLOOM_K)
         )
         # 32 bits per word (not 64): DuckDB range-checks signed left
@@ -224,9 +279,6 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k", "p div 32 AS word", "shiftleft(cast(1 as bigint), p % 32) AS mask"
         )
 
-    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").selectExpr(
-        "o_orderkey AS k"
-    )
     bloom = (
         probes(urgent)
         .groupBy("word")
@@ -266,8 +318,10 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bloom_probes_duck(src: str) -> str:
     h = _MD5_DUCK.format(k="k")
+    # 8 hex chars per position, in lockstep with the Spark side (the
+    # static oracle mirrors the fixture regime where m = _BLOOM_M).
     ps = ", ".join(
-        f"{_hexint_duck(h, 1 + 4 * j, 4)} % {_BLOOM_M}"
+        f"{_hexint_duck(h, 1 + 8 * j, 8)} % {_BLOOM_M}"
         for j in range(_BLOOM_K)
     )
     return f"""

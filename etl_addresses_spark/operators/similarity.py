@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F, Window as W
 
+from etl_addresses_spark.functions.hashing import knuth_order_col, knuth_order_sql
 from etl_addresses_spark.sources.tables import fan_out, load_table
 
 TOPK_K = 10
@@ -701,6 +702,20 @@ FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 
 PQ_M = 8  # subspaces (64-dim embeddings -> 8 dims per subspace)
 PQ_SUB = EMB_DIM // PQ_M
+# Hard cap on the PQ codebook size (r10 ladder fix, the KMEANS_MAX_K
+# posture): the % centroid_mod seed rule makes the per-subspace
+# codeword count grow LINEARLY with the corpus, so the encode kernel
+# (n x codewords x M sq-l2 folds) grows quadratically — the brute-ADC
+# row measured 25.2x wall at 10x pre-r9 and the composed IVF-PQ 4.57x
+# at 10x with 12x shuffle (r10_scale_sf1_batch8a.json) with encode as
+# the superlinear term.  Real PQ trains a FIXED codebook (FAISS: 2^8
+# codewords per subspace); the cap takes the qualifying seeds that
+# sort first by the shared Knuth hash (functions/hashing.py) — a
+# representative subset of the whole id range.  Every registered
+# fixture stays under the cap (20 codewords at sf0.01, 200 at sf0.1),
+# so committed hashes are unchanged; the 10x replica's 2000 qualifying
+# seeds clamp to 256 and encode cost returns to linear-in-n.
+PQ_MAX_CODEWORDS = 256
 
 
 def _sq_l2_seq(a: F.Column, b: F.Column) -> F.Column:
@@ -753,9 +768,15 @@ def _pq_sub_expr() -> F.Column:
 
 def pq_codebook(e: DataFrame, centroid_mod: int = 100) -> DataFrame:
     """PQ codebook: dense rank over cent_id -> (m, cidx, codeword)
-    rows, M * k of them; broadcast everywhere it is used."""
+    rows, M * k of them; broadcast everywhere it is used.  The seed
+    set is capped at PQ_MAX_CODEWORDS in Knuth-hash order (see the
+    constant above); cidx stays the dense rank by cent_id over the
+    capped SET, so fixtures under the cap produce byte-identical
+    codebooks to the historical uncapped ones."""
     return (
         e.filter(F.col("vec_id") % centroid_mod == 0)
+        .orderBy(knuth_order_col("vec_id").asc(), F.col("vec_id").asc())
+        .limit(PQ_MAX_CODEWORDS)
         .select(
             F.col("vec_id").alias("cent_id"),
             _pq_sub_expr().alias("subs"),
@@ -914,8 +935,10 @@ PQ_SQL_CTES = f"""subbed AS (
   FROM embeddings
 ),
 cents AS (
-  SELECT row_number() OVER (ORDER BY vec_id ASC) AS cidx, subs
-  FROM subbed WHERE vec_id % 100 = 0
+  SELECT row_number() OVER (ORDER BY cent_id ASC) AS cidx, subs
+  FROM (SELECT vec_id AS cent_id, subs FROM subbed WHERE vec_id % 100 = 0
+        ORDER BY {knuth_order_sql('vec_id')}, vec_id
+        LIMIT {PQ_MAX_CODEWORDS})
 ),
 codebook AS (
   SELECT cidx, m, cents.subs[m] AS cw,

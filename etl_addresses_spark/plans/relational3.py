@@ -688,11 +688,28 @@ def fuzzy_name_match_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     else the dense packed-fold tier answers (identically — the gate
     picks the plan, never the result).  `fuzzy_title_match_passjoin`
     (relational7.py) stays the in-regime demonstration where the
-    segment join is the winning plan."""
-    return fuzzy_match_passjoin_guarded_for(
+    segment join is the winning plan.
+
+    DOWN-FIXTURED since round 10 (the fuzzy_name_match precedent,
+    r10_scale_sf1_batch8a.json: 31.6x wall at 10x): this is a
+    validation-tier row whose out-of-regime branch is the dense
+    all-pairs fold, so its cost was quadratic in sf.  The same
+    `_hash_sample` caps bound it at {FUZZY_ALLPAIRS_S_CAP} x
+    {FUZZY_ALLPAIRS_C_CAP} pairs, O(1) in sf; at sf0.01 both caps
+    exceed the table sizes, so the checked result is byte-identical to
+    the historical row, and the oracle becomes FUZZY_NAME_MATCH_SQL
+    (all three tiers share one argmin answer on the same frames)."""
+    s = _hash_sample(
         load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"),
-        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        "s_suppkey",
+        FUZZY_ALLPAIRS_S_CAP,
     )
+    c = _hash_sample(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        "c_custkey",
+        FUZZY_ALLPAIRS_C_CAP,
+    )
+    return fuzzy_match_passjoin_guarded_for(s, c)
 
 
 def fuzzy_match_passjoin_guarded_for(
@@ -833,10 +850,13 @@ QUERIES3 = {
         fuzzy_name_match_blocked,
         FUZZY_NAME_MATCH_BLOCKED_SQL,
     ),
-    # round 5: third tier, same oracle — content blocking via segment
-    # pigeonhole (see fuzzy_name_match_passjoin docstring).
+    # round 5: third tier, same argmin answer — content blocking via
+    # segment pigeonhole (see fuzzy_name_match_passjoin docstring).
+    # Since round 10 the row runs on the same hash-sampled frames as
+    # fuzzy_name_match, so it shares THAT capped oracle (identical at
+    # sf0.01 where the caps exceed the table sizes).
     "fuzzy_name_match_passjoin": (
         fuzzy_name_match_passjoin,
-        FUZZY_NAME_MATCH_BLOCKED_SQL,
+        FUZZY_NAME_MATCH_SQL,
     ),
 }

@@ -77,7 +77,51 @@ def test_bloom_has_no_false_negatives_and_prunes(spark):
     assert n_fp < 0.05 * (n_rows - n_true)
 
 
-def test_cms_never_undercounts(spark):
+def test_bloom_auto_sizing_rule():
+    """bloom_bits_for (r10 ladder fix): fixtures stay at the 32768-bit
+    floor (hashes unchanged), larger build sides keep >= 8 bits/key,
+    and m is always a power of two."""
+    from etl_addresses_spark.operators.scalepatterns import (
+        _BLOOM_BITS_PER_KEY,
+        bloom_bits_for,
+    )
+
+    # ~300 / ~3000 urgent keys at sf0.001 / sf0.01: floor regime
+    assert bloom_bits_for(300) == 32768
+    assert bloom_bits_for(3000) == 32768
+    for n in (30_000, 300_000, 3_000_000):
+        m = bloom_bits_for(n)
+        assert m >= _BLOOM_BITS_PER_KEY * n
+        assert m & (m - 1) == 0
+        assert m < 2 * _BLOOM_BITS_PER_KEY * n  # never over-doubles
+
+
+def test_bloom_saturation_is_the_failure_mode(spark):
+    """Mechanism pin for the auto-sizing rule: the SAME pipeline with a
+    deliberately under-sized filter (m=1024 for ~300 keys: ~3.4 keys
+    per bit-triple) lets far more non-matching keys through than the
+    auto-sized one — the measured 10x degradation reproduced at test
+    scale."""
+    from etl_addresses_spark.operators.scalepatterns import (
+        bloom_bits_for,
+        bloom_prune_join_for,
+    )
+    from etl_addresses_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, SF_ORACLE, "orders")
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    urgent = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).selectExpr("o_orderkey AS k")
+
+    def fp(m_bits: int) -> int:
+        rows = bloom_prune_join_for(urgent, li, m_bits).collect()
+        return sum(r.n_false_pos for r in rows)
+
+    auto = fp(bloom_bits_for(urgent.count()))
+    saturated = fp(1024)
+    assert saturated > 10 * max(auto, 1), (saturated, auto)
     rows = cms_heavy_hitters(spark, SF_ORACLE).collect()
     assert len(rows) == 20
     for r in rows:
