@@ -216,8 +216,11 @@ w{r} AS MATERIALIZED (
 )"""
 
 
-BPE_MERGE_TABLE_SQL = (
-    """
+def bpe_merge_table_sql(k: int = BPE_MERGES) -> str:
+    """Unrolled k-round training oracle (MATERIALIZED per round, so
+    the chain stays linear in k — see _round_ctes)."""
+    return (
+        """
 WITH w0 AS MATERIALIZED (
   SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sw,
          CAST(count(*) AS BIGINT) AS n
@@ -227,16 +230,42 @@ WITH w0 AS MATERIALIZED (
   WHERE w <> ''
   GROUP BY 1
 ),"""
-    + ",".join(_round_ctes(r) for r in range(1, BPE_MERGES + 1))
-    + """
+        + ",".join(_round_ctes(r) for r in range(1, k + 1))
+        + """
 SELECT rank, split_part(p, ' ', 1) AS lhs, split_part(p, ' ', 2) AS rhs,
        f AS freq
 FROM ("""
-    + " UNION ALL ".join(
-        f"SELECT * FROM m{r}" for r in range(1, BPE_MERGES + 1)
+        + " UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, k + 1))
+        + ")"
     )
-    + ")"
-)
+
+
+BPE_MERGE_TABLE_SQL = bpe_merge_table_sql(BPE_MERGES)
+
+# Round-10 realism tier (r9 verdict item 6): a 64-merge trainer row.
+# Training is O(k) rounds of (pair-count agg + 1-row collect +
+# checkpointed merge); the committed ladder
+# (tools/evidence/r10_bpe_train_ladder.json) measured 3.06 / 4.44 /
+# 8.16 s at k = 16 / 32 / 64 on sf0.1 — per-round cost FLAT at
+# ~0.13-0.19 s (linear in k, no lineage leakage across rounds) — and
+# 2.84 s for k=16 on the 10x replica (corpus-axis flat: the per-round
+# cost is the fixed job overhead + a map-side pair-count agg whose
+# vocab, not corpus, sets the reduce size).  Under the verdict's ~12 s
+# registration bar, so it is a checked row, not just evidence.
+BPE_MERGES_K64 = 64
+
+
+def bpe_merge_table_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train {BPE_MERGES_K64} merges (see BPE_MERGES_K64 note)."""
+    merges = bpe_train_for(
+        load_table(spark, sf_dir, "documents"), BPE_MERGES_K64
+    )
+    return spark.createDataFrame(
+        merges, "rank bigint, lhs string, rhs string, freq bigint"
+    )
+
+
+BPE_MERGE_TABLE_K64_SQL = bpe_merge_table_sql(BPE_MERGES_K64)
 
 
 BPE_TOPK_TOKENS = 50

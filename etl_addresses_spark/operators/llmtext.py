@@ -559,10 +559,12 @@ QUERIES_LLMDATA = {
 from etl_addresses_spark.operators.bpe import (  # noqa: E402
     BPE_APPLY_BATCHED_SQL,
     BPE_ENCODE_STATS_SQL,
+    BPE_MERGE_TABLE_K64_SQL,
     BPE_MERGE_TABLE_SQL,
     bpe_apply_batched,
     bpe_encode_stats,
     bpe_merge_table,
+    bpe_merge_table_k64,
 )
 
 QUERIES_LLMDATA["bpe_merge_table"] = (bpe_merge_table, BPE_MERGE_TABLE_SQL)
@@ -571,3 +573,9 @@ QUERIES_LLMDATA["bpe_encode_stats"] = (bpe_encode_stats, BPE_ENCODE_STATS_SQL)
 # merges > BPE_APPLY_BATCH, so the driver checks the segmented
 # checkpointed plan, not only pytest
 QUERIES_LLMDATA["bpe_apply_batched"] = (bpe_apply_batched, BPE_APPLY_BATCHED_SQL)
+# round 10: the 64-merge trainer realism tier (ladder-backed; see
+# BPE_MERGES_K64 in operators/bpe.py)
+QUERIES_LLMDATA["bpe_merge_table_k64"] = (
+    bpe_merge_table_k64,
+    BPE_MERGE_TABLE_K64_SQL,
+)

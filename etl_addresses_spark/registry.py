@@ -257,7 +257,7 @@ _ALL = {
 # evidence yet = oldest of all), the 20 entries whose latest driver
 # evidence is r06 (the tail the r09 window could not fit,
 # q11_important_parts first per the r9 verdict), then the
-# alphabetically-first 28 r07 entries.  tests/test_driver_window.py
+# alphabetically-first 27 r07 entries.  tests/test_driver_window.py
 # recomputes this list from the committed CORRECTNESS_r*.json
 # artifacts, so a transcription slip (the r8 `bucketed_join_colocated`
 # incident) fails pytest.  The r07 tail that does not fit stays
@@ -267,6 +267,7 @@ DRIVER_WINDOW: list[str] = [
     # -- NEW this round (no driver evidence yet) --------------------
     "ann_ivf_pq_recall",
     "ann_ivf_pq_topk",
+    "bpe_merge_table_k64",
     # -- latest driver evidence is ROUND 6 (ledger tail, all 20) ----
     "q11_important_parts",
     "q12_priority_by_status",
@@ -316,7 +317,6 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_decode",
     "multimodal_frame_sample",
     "multimodal_image_dedup",
-    "multimodal_meta",
 ]
 
 
