@@ -213,11 +213,13 @@ _BLOOM_K = 3
 # (Spark's runtime.bloomFilter uses expectedNumItems); this rule keeps
 # >= {_BLOOM_BITS_PER_KEY} bits/key (k=3 -> fpp ~3%), rounded up to a
 # power of two so `% m` stays cheap.  One model-sized count() job
-# picks m (the fuzzy-gate/SRP precedent).  Every registered fixture
-# stays at the 32768-bit floor (~300 urgent keys at sf0.001, ~3000 at
-# sf0.01 -> 8*n <= 32768), so committed hashes and the static DuckDB
-# oracle are unchanged; the 10x replica auto-sizes to 4M bits (~1 MB
-# of words — still trivially broadcastable).
+# picks m (the fuzzy-gate/SRP precedent).  The sf0.001/sf0.01
+# fixtures (~300/~3000 urgent keys) stay at the 32768-bit floor;
+# sf0.1 (~30k keys) sizes to 262144 and the 10x replica to 4M bits
+# (~1 MB of words — still trivially broadcastable).  The DuckDB
+# oracle computes the SAME m via the _bloom_bits_sql CASE ladder
+# inside the query, so parity holds at every scale, not just the
+# floor regime (r10 review fix).
 _BLOOM_BITS_PER_KEY = 8
 
 
@@ -227,6 +229,22 @@ def bloom_bits_for(n_build: int) -> int:
     while m < _BLOOM_BITS_PER_KEY * n_build:
         m *= 2
     return m
+
+
+def _bloom_bits_sql(cnt: str) -> str:
+    """Integer-exact DuckDB mirror of bloom_bits_for as a CASE
+    doubling ladder (r10 review fix: a static m in the oracle broke
+    Spark/DuckDB parity the moment auto-sizing widened the filter —
+    at the sf0.1 fixture's ~30k urgent keys the Spark side already
+    uses 262144 bits).  No float log2 anywhere, so both engines pick
+    the IDENTICAL m at any count; the ladder tops out at 2^45 bits
+    (~4.4e12 build keys — far past anything a single filter should
+    hold)."""
+    branches = "\n    ".join(
+        f"WHEN {cnt} * {_BLOOM_BITS_PER_KEY} <= {1 << p} THEN {1 << p}"
+        for p in range(15, 46)
+    )
+    return f"CASE {branches} ELSE {1 << 46} END"
 
 
 _MD5_SPARK = "md5(cast(cast({k} as string) as binary))"
@@ -318,10 +336,12 @@ def bloom_prune_join_for(
 
 def _bloom_probes_duck(src: str) -> str:
     h = _MD5_DUCK.format(k="k")
-    # 8 hex chars per position, in lockstep with the Spark side (the
-    # static oracle mirrors the fixture regime where m = _BLOOM_M).
+    # 8 hex chars per position, in lockstep with the Spark side; m is
+    # the msize CTE's auto-sized value (the same CASE ladder as
+    # bloom_bits_for), so the oracle tracks the Spark filter at ANY
+    # scale — not just the fixture floor.
     ps = ", ".join(
-        f"{_hexint_duck(h, 1 + 8 * j, 8)} % {_BLOOM_M}"
+        f"{_hexint_duck(h, 1 + 8 * j, 8)} % (SELECT m FROM msize)"
         for j in range(_BLOOM_K)
     )
     return f"""
@@ -333,6 +353,10 @@ def _bloom_probes_duck(src: str) -> str:
 BLOOM_PRUNE_SQL = f"""
 WITH urgent AS (
   SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+msize AS (
+  SELECT {_bloom_bits_sql("cnt")} AS m
+  FROM (SELECT count(*) AS cnt FROM urgent)
 ),
 bloom AS (
   SELECT word, bit_or(mask) AS bits

@@ -253,9 +253,9 @@ _ALL = {
 # (dict order) against DuckDB each round.  Round-10 rotation, derived
 # MECHANICALLY from tools/evidence/coverage_ledger_r09.md (oldest-first,
 # every round — the binding form of the staleness invariant given the
-# 172-entry/50-slot pigeonhole): the round's TWO new entries (no driver
-# evidence yet = oldest of all), the 20 entries whose latest driver
-# evidence is r06 (the tail the r09 window could not fit,
+# 173-entry/50-slot pigeonhole): the round's THREE new entries (no
+# driver evidence yet = oldest of all), the 20 entries whose latest
+# driver evidence is r06 (the tail the r09 window could not fit,
 # q11_important_parts first per the r9 verdict), then the
 # alphabetically-first 27 r07 entries.  tests/test_driver_window.py
 # recomputes this list from the committed CORRECTNESS_r*.json
@@ -289,7 +289,7 @@ DRIVER_WINDOW: list[str] = [
     "set_union_buyers",
     "text_top_terms",
     "unpivot_measures",
-    # -- latest driver evidence is ROUND 7 (ledger order, first 28) -
+    # -- latest driver evidence is ROUND 7 (ledger order, first 27) -
     "agg_distinct_counts",
     "agg_percentiles",
     "agg_pricing_summary",

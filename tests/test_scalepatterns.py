@@ -122,6 +122,9 @@ def test_bloom_saturation_is_the_failure_mode(spark):
     auto = fp(bloom_bits_for(urgent.count()))
     saturated = fp(1024)
     assert saturated > 10 * max(auto, 1), (saturated, auto)
+
+
+def test_cms_never_undercounts(spark):
     rows = cms_heavy_hitters(spark, SF_ORACLE).collect()
     assert len(rows) == 20
     for r in rows:

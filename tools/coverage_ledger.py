@@ -73,8 +73,13 @@ def load_ladder_evidence() -> dict[str, tuple[int, int]]:
             continue
         factor = data.get("factor") or 0
         for name, row in data.get("queries", {}).items():
-            if isinstance(row, dict) and any(
-                k.startswith("sf0.1x") for k in row
+            # BOTH the sf0.1 baseline and a scaled measurement must be
+            # present — a scaled-only partial batch has no ratio and
+            # must not count as laddered (r10 review fix)
+            if (
+                isinstance(row, dict)
+                and "sf0.1" in row
+                and any(k.startswith("sf0.1x") for k in row)
             ):
                 ladder[name] = max(ladder.get(name, (0, 0)), (rnd, factor))
     return ladder
