@@ -144,14 +144,33 @@ def bpe_apply_for(
     return cur
 
 
+# Training-loop checkpoint cadence: merges fold LAZILY onto the last
+# checkpointed vocab and a new checkpoint lands every this-many rounds,
+# so a round normally costs ONE job (the pair-count agg + 1-row
+# collect, which replays <= cadence cheap replace() projections on top
+# of the checkpoint) instead of two (count + eager merge
+# materialization).  Measured on sf0.1: k=64 training 12.7 s -> 8.4 s,
+# k=16 2.40 -> 2.27 s (best-of-3, calibration 0.073;
+# tools/evidence/r10_bench_local_bpelazy.json) — merge tables
+# hash-identical.  32 folded replaces is half the
+# apply side's BPE_APPLY_BATCH=64 codegen-segment budget, far under
+# the k~192 Catalyst death point (r9_bpe_apply_ladder.json).
+BPE_TRAIN_CKPT_EVERY = 32
+
+
 def bpe_train_for(docs: DataFrame, k: int) -> list[tuple[int, str, str, int]]:
     """Train the first k BPE merges over a documents frame (column
     `text`); returns [(rank, lhs, rhs, freq), ...] — the seam the
     fixture query and the hypothesis tie-stability property both
-    drive."""
+    drive.  Identical merge output to the eager-per-round historical
+    loop (same counts, same tie order); only the checkpoint cadence
+    differs (BPE_TRAIN_CKPT_EVERY)."""
     chain = CheckpointChain()
-    cur = _vocab_for(docs)
+    # materialize the base vocab once: every pre-checkpoint round would
+    # otherwise re-run the word split+groupBy over the full corpus
+    cur = chain.step(_vocab_for(docs), "vocab")
     merges: list[tuple[int, str, str, int]] = []
+    pending = 0
     for rank in range(1, k + 1):
         counts = _adjacent_pair_counts(cur)
         top = counts.agg(
@@ -161,12 +180,14 @@ def bpe_train_for(docs: DataFrame, k: int) -> list[tuple[int, str, str, int]]:
             break
         pair, freq = top["p"], -top["nf"]
         lhs, rhs = pair.split(" ", 1)
-        # checkpoint the merged vocab: round cost stays O(|vocab|)
-        # instead of replaying every earlier merge, and the superseded
-        # iterate's blocks are freed as soon as this one materializes
-        cur = chain.step(_apply_merge(cur, lhs, rhs), "vocab")
+        cur = _apply_merge(cur, lhs, rhs)
         merges.append((rank, lhs, rhs, int(freq)))
-    # the merge list lives on the driver; nothing reads the vocab again
+        pending += 1
+        # no trailing checkpoint at rank == k: the vocab is never read
+        # again after the loop (the merge list lives on the driver)
+        if pending == BPE_TRAIN_CKPT_EVERY and rank < k:
+            cur = chain.step(cur, "vocab")
+            pending = 0
     chain.release("vocab")
     return merges
 

@@ -43,41 +43,23 @@ from etl_addresses_spark.sources.tables import load_table
 _HEX = "0123456789abcdef"
 
 
-def _hx_spark(h: str, pos: int) -> str:
-    """0..15 value of 1-based hex char `pos` of column-expr `h`."""
-    return f"(instr('{_HEX}', substring({h}, {pos}, 1)) - 1)"
-
-
 def _hx_duck(h: str, pos: int) -> str:
+    """0..15 value of 1-based hex char `pos` of column-expr `h`."""
     return f"(strpos('{_HEX}', substr({h}, {pos}, 1)) - 1)"
 
 
-def _hexint_spark(h: str, start: int, nchars: int) -> str:
-    """Big-endian integer from `nchars` hex chars starting at `start`."""
-    return (
-        "("
-        + " + ".join(
-            f"{_hx_spark(h, start + i)} * {16 ** (nchars - 1 - i)}"
-            for i in range(nchars)
-        )
-        + ")"
-    )
-
-
-def _hexint_spark_big(h: str, start: int, nchars: int) -> str:
-    """BIGINT variant of _hexint_spark for widths past 7 hex chars:
-    ANSI mode overflows int32 at 8 chars (15 * 16^7 > 2^31), so every
-    per-char term is cast before the scale multiply.  DuckDB's integer
-    arithmetic is 64-bit already — _hexint_duck needs no twin."""
-    return (
-        "("
-        + " + ".join(
-            f"cast({_hx_spark(h, start + i)} as bigint)"
-            f" * {16 ** (nchars - 1 - i)}L"
-            for i in range(nchars)
-        )
-        + ")"
-    )
+def _hexconv_spark(h: str, start: int, nchars: int) -> str:
+    """BIGINT from `nchars` hex chars via the built-in conv()
+    (base-16 -> base-10 string -> bigint): one call per slice instead
+    of nchars substring+instr terms (the per-char form also needed a
+    cast-per-term past 7 chars — ANSI int32 overflows at 15 * 16^7).
+    Measured on bloom_prune_join at sf0.1: the 24-term per-char form
+    cost ~0.5 s/run more than conv on the ~150k distinct probe keys
+    x 3 positions.  conv is unsigned-64 semantics, so 8 lowercase hex
+    chars (<= 0xffffffff) are exact.  DuckDB has no conv(); its oracle
+    keeps the per-char sum (_hexint_duck) — only the VALUES must match
+    across engines, not the expression shape."""
+    return f"cast(conv(substring({h}, {start}, {nchars}), 16, 10) as bigint)"
 
 
 def _hexint_duck(h: str, start: int, nchars: int) -> str:
@@ -288,7 +270,7 @@ def bloom_prune_join_for(
             # m, so auto-sizing had no effect; measured fp_frac 1.0 at
             # the 10x replica pre-fix).  3 positions x 8 chars fit the
             # 32-char md5; the DuckDB oracle moves in lockstep.
-            f"{_hexint_spark_big(h, 1 + 8 * j, 8)} % {m_bits}"
+            f"{_hexconv_spark(h, 1 + 8 * j, 8)} % {m_bits}"
             for j in range(_BLOOM_K)
         )
         # 32 bits per word (not 64): DuckDB range-checks signed left
@@ -413,8 +395,12 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     h = _MD5_SPARK.format(k="l_partkey")
+    # conv() slice extraction, not the per-char instr sum: this explode
+    # renders 4 buckets per lineitem row, so expression cost here is
+    # the operator's hot loop (same fix as the bloom probes — values
+    # identical, DuckDB oracle keeps its per-char form).
     buckets = ", ".join(
-        f"named_struct('j', {j}, 'bucket', {_hexint_spark(h, 1 + 3 * j, 3)})"
+        f"named_struct('j', {j}, 'bucket', {_hexconv_spark(h, 1 + 3 * j, 3)})"
         for j in range(_CMS_D)
     )
     cms = (
@@ -434,7 +420,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_cnt",
         "explode(array("
         + ", ".join(
-            f"named_struct('j', {j}, 'bucket', {_hexint_spark(th, 1 + 3 * j, 3)})"
+            f"named_struct('j', {j}, 'bucket', {_hexconv_spark(th, 1 + 3 * j, 3)})"
             for j in range(_CMS_D)
         )
         + ")) AS rb",
