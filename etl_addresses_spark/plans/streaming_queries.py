@@ -25,7 +25,10 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     the key columns are emitted so the result is order-independent."""
     stream = event_stream.read_events_stream(spark, sf_dir)
     out = event_stream.run_to_memory(
-        event_stream.dedup_stream(stream), "q_stream_dedup", mode="append"
+        event_stream.dedup_stream(stream),
+        "q_stream_dedup",
+        mode="append",
+        shuffle_partitions=event_stream.state_partitions_for(sf_dir),
     )
     return out.select("user_id", "event_type")
 
@@ -39,7 +42,9 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation, drained to batch."""
     stream = event_stream.read_events_stream(spark, sf_dir)
     out = event_stream.run_to_memory(
-        event_stream.windowed_counts(stream), "q_stream_win"
+        event_stream.windowed_counts(stream),
+        "q_stream_win",
+        shuffle_partitions=event_stream.state_partitions_for(sf_dir),
     )
     return out.select(
         F.date_format("window_start", _TS_FMT).alias("window_start"),
@@ -67,7 +72,9 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     two overlapping windows."""
     stream = event_stream.read_events_stream(spark, sf_dir)
     out = event_stream.run_to_memory(
-        event_stream.sliding_counts(stream), "q_stream_slide"
+        event_stream.sliding_counts(stream),
+        "q_stream_slide",
+        shuffle_partitions=event_stream.state_partitions_for(sf_dir),
     )
     return out.select(
         F.date_format("window_start", _TS_FMT).alias("window_start"),
@@ -103,7 +110,10 @@ def stream_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the preceding 30 minutes), drained to batch."""
     stream = event_stream.read_events_stream(spark, sf_dir)
     out = event_stream.run_to_memory(
-        event_stream.purchases_with_recent_views(stream), "q_stream_ssj", mode="append"
+        event_stream.purchases_with_recent_views(stream),
+        "q_stream_ssj",
+        mode="append",
+        shuffle_partitions=event_stream.state_partitions_for(sf_dir),
     )
     return out.select(
         "purchase_event_id",
@@ -147,6 +157,7 @@ def stream_purchase_view_left_join(spark: SparkSession, sf_dir: str) -> DataFram
         event_stream.purchases_with_optional_views(stream),
         "q_stream_ssj_left",
         mode="append",
+        shuffle_partitions=event_stream.state_partitions_for(sf_dir),
     )
     return out.select(
         "purchase_event_id",
@@ -212,6 +223,7 @@ def stream_purchase_view_full_join(spark: SparkSession, sf_dir: str) -> DataFram
         event_stream.purchases_with_views_full_outer(stream),
         "q_stream_ssj_full",
         mode="append",
+        shuffle_partitions=event_stream.state_partitions_for(sf_dir),
     )
     return out.select(
         "purchase_event_id",
@@ -304,7 +316,12 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value"
         ),
     )
-    return event_stream.run_to_memory(agg, "q_stream_enrich", mode="complete")
+    return event_stream.run_to_memory(
+        agg,
+        "q_stream_enrich",
+        mode="complete",
+        shuffle_partitions=event_stream.state_partitions_for(sf_dir),
+    )
 
 
 # The oracle needs the same customer-count constant; it is the table's
@@ -329,7 +346,9 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate is >=, unlike the batch sessionizer's > convention."""
     stream = event_stream.read_events_stream(spark, sf_dir)
     out = event_stream.run_to_memory(
-        event_stream.session_windows(stream), "q_stream_sess"
+        event_stream.session_windows(stream),
+        "q_stream_sess",
+        shuffle_partitions=event_stream.state_partitions_for(sf_dir),
     )
     return out.select(
         "user_id",
@@ -372,8 +391,21 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     input — making the result equal to the batch aggregate and
     oracle-checkable."""
     stream = event_stream.read_events_stream(spark, sf_dir)
+    # floor at the cluster parallelism, not just source volume: this
+    # operator's cost is PYTHON work (one Arrow-batched pandas call
+    # per user group), so fewer partitions idle workers — measured
+    # 1.39 -> 1.72 s at the bare volume-derived 4 vs back to ~1.3 s
+    # floored.  The state-store-overhead argument still caps the
+    # pure-JVM stateful rows (see state_partitions_for).
+    parts = max(
+        event_stream.state_partitions_for(sf_dir),
+        spark.sparkContext.defaultParallelism,
+    )
     out = event_stream.run_to_memory(
-        event_stream.stateful_user_totals(stream), "q_stream_state", mode="update"
+        event_stream.stateful_user_totals(stream),
+        "q_stream_state",
+        mode="update",
+        shuffle_partitions=parts,
     )
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
@@ -400,7 +432,10 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     the emitted set."""
     stream = event_stream.read_events_stream(spark, sf_dir)
     return event_stream.run_to_memory(
-        event_stream.ohlc_bars(stream), "q_stream_ohlc", mode="append"
+        event_stream.ohlc_bars(stream),
+        "q_stream_ohlc",
+        mode="append",
+        shuffle_partitions=event_stream.state_partitions_for(sf_dir),
     )
 
 
@@ -483,11 +518,19 @@ def stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped = event_stream.dedup_stream(stream, horizon="3650 days")
         return deduped.select("user_id", "event_type")
 
+    # Both runs share one checkpoint, whose state layout is pinned at
+    # run 1 — so size from the FULL events table (the volume the query
+    # will eventually hold state for), identically on restart.
+    parts = event_stream.state_partitions_for(sf_dir)
     # run 1: batch-1 files only, then a clean stop.
-    event_stream.run_with_checkpoint(restartable_query(), out_dir, ckpt_dir)
+    event_stream.run_with_checkpoint(
+        restartable_query(), out_dir, ckpt_dir, shuffle_partitions=parts
+    )
     # batch 2 lands in the source dir; restart against the same checkpoint.
     events.filter(F.col("ts") > F.lit(mid)).write.mode("append").parquet(src_dir)
-    event_stream.run_with_checkpoint(restartable_query(), out_dir, ckpt_dir)
+    event_stream.run_with_checkpoint(
+        restartable_query(), out_dir, ckpt_dir, shuffle_partitions=parts
+    )
     return spark.read.parquet(out_dir).select("user_id", "event_type")
 
 
@@ -512,7 +555,9 @@ def stream_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = event_stream.read_events_stream(spark, sf_dir)
     counts = event_stream.run_to_memory(
-        event_stream.windowed_counts(stream), "q_stream_topk"
+        event_stream.windowed_counts(stream),
+        "q_stream_topk",
+        shuffle_partitions=event_stream.state_partitions_for(sf_dir),
     )
     w = W.partitionBy("window_start").orderBy(
         F.desc("n"), F.asc("event_type")
@@ -666,16 +711,22 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # no stateful operator here, but each foreachBatch merge is a batch
+    # groupBy whose shuffle should match the (tiny) CDC feed, not the
+    # session default
+    with event_stream.scoped_shuffle_partitions(
+        spark, event_stream.state_partitions_for(src)
+    ):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     final = spark.read.parquet(state_paths[turn["i"] % 2])
     return final.filter(F.col("op") != "D").select(
         "o_orderkey", F.col("price").cast("double").alias("price")

@@ -156,23 +156,98 @@ ROCKSDB_STATE_CONF = {
 }
 
 
-def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+# --- state-store partition sizing -----------------------------------------
+#
+# A streaming query's stateful operators get one state store per
+# shuffle partition, and EVERY micro-batch pays per-partition store
+# open/commit/checkpoint overhead — a fixed cost that dominates when
+# the per-partition data is small.  Measured on
+# stream_purchase_view_join at sf0.1 (2 MB events): 5.1 s at 32
+# partitions -> 2.1 s at 8 -> 1.9 s at 4; the state machinery, not the
+# join, was 60% of the row.  So size state partitions from the SOURCE
+# VOLUME (the fuzzy-gate/SRP/bloom count-gate precedent): one
+# partition per ~64 MiB of input, floor 4.  At 100 TB/day this yields
+# thousands of stores (the parallelism you want); at test scale it
+# stops paying 32 store commits to shuffle 2 MB.  The partition count
+# is pinned into the query's checkpoint on first start (Spark refuses
+# to re-plan state layout), which is why the knob matters at CREATION
+# time and why these helpers take it explicitly rather than mutating
+# the session default.
+STREAM_STATE_BYTES_PER_PARTITION = 64 << 20
+STREAM_STATE_MIN_PARTITIONS = 4
+
+
+def state_partitions_for(source_dir: str) -> int:
+    """Volume-derived shuffle-partition count for a NEW streaming
+    query reading files under `source_dir` (a table path or its parent
+    sf dir).  Local-fs stat walk — the harness layout; an object-store
+    deployment would take the size from its catalog stats."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(source_dir):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return max(
+        STREAM_STATE_MIN_PARTITIONS,
+        math.ceil(total / STREAM_STATE_BYTES_PER_PARTITION),
+    )
+
+
+class scoped_shuffle_partitions:
+    """Scoped spark.sql.shuffle.partitions override: the value is read
+    at streaming-query START (incremental plan + state layout), so it
+    only needs to hold across start()+drain; the session default is
+    restored for whatever runs next."""
+
+    _KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self._spark, self._n = spark, n
+
+    def __enter__(self):
+        if self._n is not None:
+            self._old = self._spark.conf.get(self._KEY)
+            self._spark.conf.set(self._KEY, str(self._n))
+        return self
+
+    def __exit__(self, *exc):
+        if self._n is not None:
+            self._spark.conf.set(self._KEY, self._old)
+        return False
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    mode: str = "complete",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
     """Drain all available input synchronously into a memory sink and
     return the result as a batch DataFrame (test/smoke harness).
 
     `complete` for windowed aggregations (append would withhold windows
-    the watermark hasn't passed yet); `update` for stateful operators."""
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    the watermark hasn't passed yet); `update` for stateful operators.
+    `shuffle_partitions` (see state_partitions_for) sizes the state
+    stores for THIS query; results are partitioning-invariant — the
+    stateful operators are keyed, and the drained table is compared
+    order-insensitively."""
+    with scoped_shuffle_partitions(stream_df.sparkSession, shuffle_partitions):
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
@@ -310,7 +385,10 @@ def purchases_with_views_full_outer(events: DataFrame) -> DataFrame:
 
 
 def run_foreach_batch_overwrite(
-    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """foreachBatch sink: each micro-batch receives (batch_df, batch_id)
     and applies arbitrary writer logic — here a complete-mode aggregate
@@ -323,39 +401,47 @@ def run_foreach_batch_overwrite(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_dir)
 
-    q = (
-        stream_df.writeStream.outputMode("complete")
-        .foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with scoped_shuffle_partitions(stream_df.sparkSession, shuffle_partitions):
+        q = (
+            stream_df.writeStream.outputMode("complete")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return stream_df.sparkSession.read.parquet(out_dir)
 
 
 def run_with_checkpoint(
-    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Run append-mode into a parquet file sink with a checkpoint
     location (offset tracking + state store + exactly-once file
     commits) — the restartable production sink contract.  A restart
-    against the same checkpoint reprocesses nothing."""
-    q = (
-        stream_df.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    against the same checkpoint reprocesses nothing.  A RESTART reuses
+    the checkpoint's pinned state layout, so `shuffle_partitions` must
+    not change between runs against one checkpoint (callers pass the
+    same volume-derived value)."""
+    with scoped_shuffle_partitions(stream_df.sparkSession, shuffle_partitions):
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return stream_df.sparkSession.read.parquet(out_dir)
 
 
