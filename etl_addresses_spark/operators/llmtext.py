@@ -346,24 +346,24 @@ def _tf(term: str) -> F.Column:
     return F.size(F.expr(f"filter(split(text, ' '), x -> x = '{term}')"))
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-20 for the fixed query {table hash scan merge}.
+def bm25_scored(d: DataFrame) -> DataFrame:
+    """(doc_id, bm25) scores for the fixed query over a documents
+    frame — the scoring seam bm25_topk and the RRF hybrid fusion row
+    (operators/retrieval.py) share, so the two can never drift.
 
     Plan shape: one narrow pass computes per-doc term frequencies and
     doc length; one global aggregate (a single 1-row reduce) yields N,
     avgdl and per-term document frequencies; the 1-row stats frame is
-    broadcast back via crossJoin so scoring stays map-side.  Top-k ends
-    as TakeOrderedAndProject — no global sort.  At 100 TB the stats
-    pass is one cheap reduce and scoring remains embarrassingly
-    parallel; for open-vocabulary queries the same plan becomes an
-    inverted-index join (explode terms -> semi-join query terms ->
-    groupBy doc), which `text_top_terms` already demonstrates.
+    broadcast back via crossJoin so scoring stays map-side.  At 100 TB
+    the stats pass is one cheap reduce and scoring remains
+    embarrassingly parallel; for open-vocabulary queries the same plan
+    becomes an inverted-index join (explode terms -> semi-join query
+    terms -> groupBy doc), which `text_top_terms` already demonstrates.
 
     idf is the "linear" (log-free) variant (N - df + 0.5)/(df + 0.5):
     rank-equivalent to Robertson idf for single-query scoring and
     bit-portable across engines.
     """
-    d = load_table(spark, sf_dir, "documents")
     per_doc = d.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("double").alias("dl"),
@@ -395,8 +395,15 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (term_score(s[0]) + term_score(s[1]))
         + term_score(s[2])
     ) + term_score(s[3])
+    return scored.select("doc_id", score.alias("bm25"))
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the fixed query {table hash scan merge} (see
+    bm25_scored for the plan story); the finisher is
+    TakeOrderedAndProject — no global sort."""
     return (
-        scored.select("doc_id", score.alias("bm25"))
+        bm25_scored(load_table(spark, sf_dir, "documents"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_BM25_TOPK)
     )
@@ -413,8 +420,10 @@ def _duck_term_score(t: str) -> str:
     return f"({idf} * ((tf_{t} * ({k1} + 1.0e0)) / {denom}))"
 
 
-BM25_TOPK_SQL = f"""
-WITH per_doc AS (
+# CTE block ending in bm25_scored(doc_id, bm25) — shared verbatim by
+# BM25_TOPK_SQL and the RRF hybrid oracle (operators/retrieval.py), the
+# same single-source rule as the Spark-side bm25_scored seam.
+BM25_SCORED_CTES = f"""per_doc AS (
   SELECT doc_id,
     CAST(len(toks) AS DOUBLE) AS dl,
     {", ".join(
@@ -430,12 +439,19 @@ stats AS (
         for t in _BM25_TERMS
     )}
   FROM per_doc
-)
-SELECT doc_id,
-  ((({_duck_term_score(_BM25_TERMS[0])} + {_duck_term_score(_BM25_TERMS[1])})
-    + {_duck_term_score(_BM25_TERMS[2])})
-    + {_duck_term_score(_BM25_TERMS[3])}) AS bm25
-FROM per_doc CROSS JOIN stats
+),
+bm25_scored AS (
+  SELECT doc_id,
+    ((({_duck_term_score(_BM25_TERMS[0])} + {_duck_term_score(_BM25_TERMS[1])})
+      + {_duck_term_score(_BM25_TERMS[2])})
+      + {_duck_term_score(_BM25_TERMS[3])}) AS bm25
+  FROM per_doc CROSS JOIN stats
+)"""
+
+BM25_TOPK_SQL = f"""
+WITH {BM25_SCORED_CTES}
+SELECT doc_id, bm25
+FROM bm25_scored
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT {_BM25_TOPK}
 """

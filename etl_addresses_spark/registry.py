@@ -20,6 +20,7 @@ from etl_addresses_spark.operators import (
     linalg,
     llmtext,
     lmquality,
+    retrieval,
     polygon,
     scalepatterns,
     similarity,
@@ -142,6 +143,12 @@ _ALL: dict[str, Entry] = {
         name: Entry(fn, sql)
         for name, (fn, sql) in lmquality.QUERIES_LMQUALITY.items()
     },
+    # round 10: hybrid retrieval — RRF fusion of the BM25 and cosine
+    # rankings (integer ranks cross the fusion seam, so bit-portable).
+    **{
+        name: Entry(fn, sql)
+        for name, (fn, sql) in retrieval.QUERIES_RETRIEVAL.items()
+    },
     **{
         name: Entry(fn, sql)
         for name, (fn, sql) in linalg.QUERIES_LINALG.items()
@@ -257,17 +264,18 @@ _ALL = {
 # driver evidence yet = oldest of all), the 20 entries whose latest
 # driver evidence is r06 (the tail the r09 window could not fit,
 # q11_important_parts first per the r9 verdict), then the
-# alphabetically-first 27 r07 entries.  tests/test_driver_window.py
+# alphabetically-first 26 r07 entries.  tests/test_driver_window.py
 # recomputes this list from the committed CORRECTNESS_r*.json
 # artifacts, so a transcription slip (the r8 `bucketed_join_colocated`
 # incident) fails pytest.  The r07 tail that does not fit stays
 # full-sweep-green at HEAD via CORRECTNESS_FULL artifacts and goes
 # FIRST into the r11 window.
 DRIVER_WINDOW: list[str] = [
-    # -- NEW this round (no driver evidence yet) --------------------
+    # -- NEW this round (no driver evidence yet; rrf added late) ----
     "ann_ivf_pq_recall",
     "ann_ivf_pq_topk",
     "bpe_merge_table_k64",
+    "rrf_hybrid_topk",
     # -- latest driver evidence is ROUND 6 (ledger tail, all 20) ----
     "q11_important_parts",
     "q12_priority_by_status",
@@ -316,7 +324,6 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_audio_features",
     "multimodal_decode",
     "multimodal_frame_sample",
-    "multimodal_image_dedup",
 ]
 
 

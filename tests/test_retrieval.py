@@ -1,0 +1,54 @@
+"""RRF hybrid fusion: oracle parity, the RRF invariants, and the
+no-global-sort plan contract."""
+
+from __future__ import annotations
+
+from conftest import SF_ORACLE, assert_frames_match
+
+from etl_addresses_spark.operators.retrieval import (
+    RRF_CAND,
+    RRF_K,
+    RRF_HYBRID_SQL,
+    RRF_TOPK,
+    rrf_hybrid_topk,
+)
+
+
+def test_rrf_oracle(spark, ddb):
+    assert_frames_match(rrf_hybrid_topk(spark, SF_ORACLE), ddb.sql(RRF_HYBRID_SQL))
+
+
+def test_rrf_invariants(spark):
+    rows = rrf_hybrid_topk(spark, SF_ORACLE).collect()
+    assert len(rows) == RRF_TOPK
+    for r in rows:
+        # a doc must come from at least one list, ranks are 1..C, and
+        # the score is EXACTLY the sum of its present rank terms (the
+        # bit-portability claim: integer ranks -> one division each)
+        assert r.bm25_rank is not None or r.cos_rank is not None
+        expect = 0.0
+        for rank in (r.bm25_rank, r.cos_rank):
+            if rank is not None:
+                assert 1 <= rank <= RRF_CAND
+                expect += 1.0 / (RRF_K + rank)
+        assert r.rrf == expect
+    # emitted in fused order, two-list docs cannot be beaten by the
+    # rank-1 single-list ceiling unless both their ranks are very deep
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rrf_plan_has_no_global_sort(spark):
+    """Every Sort in the plan must be part of a TakeOrderedAndProject
+    (the top-C / top-k finishers) or a model-sized window over an
+    already-limited frame — never a full-corpus Exchange+Sort."""
+    plan = rrf_hybrid_topk(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+    # the corpus-sized stages are the bm25 scoring pass and the cosine
+    # scoring pass; both must reach the rank stage through a
+    # TakeOrderedAndProject, which is how Spark renders orderBy+limit
+    assert "TakeOrderedAndProject" in plan
+    # a global sort of the scored corpus would render as an Exchange
+    # SinglePartition feeding a Sort BEFORE any limit; the only
+    # single-partition exchanges allowed here are the post-limit
+    # window/fusion stages (<= 2*C rows)
+    assert plan.count("rangepartitioning") == 0
