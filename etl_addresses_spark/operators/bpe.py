@@ -149,13 +149,26 @@ def bpe_apply_for(
 # so a round normally costs ONE job (the pair-count agg + 1-row
 # collect, which replays <= cadence cheap replace() projections on top
 # of the checkpoint) instead of two (count + eager merge
-# materialization).  Measured on sf0.1: k=64 training 12.7 s -> 8.4 s,
-# k=16 2.40 -> 2.27 s (best-of-3, calibration 0.073;
-# tools/evidence/r10_bench_local_bpelazy.json) — merge tables
-# hash-identical.  32 folded replaces is half the
-# apply side's BPE_APPLY_BATCH=64 codegen-segment budget, far under
-# the k~192 Catalyst death point (r9_bpe_apply_ladder.json).
-BPE_TRAIN_CKPT_EVERY = 32
+# materialization).  16 balances Catalyst plan-depth cost (grows
+# superlinearly toward the k~192 death point,
+# r9_bpe_apply_ladder.json) against checkpoint count (each one is a
+# full vocab materialization — the thing to minimize when the vocab is
+# big).  Measured warm at sf0.1, k=64, with the vocab-sized shuffle
+# below: cadence 32 -> 6.5-7.6 s, 16 -> ~6.0 s, 8 -> ~5.5 s (8 and 16
+# within noise; 16 takes half the checkpoints).
+BPE_TRAIN_CKPT_EVERY = 16
+
+# The pair-count shuffle is keyed on symbol pairs and its reduce side
+# is O(|pair vocabulary|) — tiny relative to the corpus (the fixture
+# corpus has only ~31 distinct words; a real web corpus has ~1e7-1e8).
+# Running that shuffle at the session's corpus-sized partition count
+# schedules dozens of near-empty reduce tasks PER ROUND, and the
+# per-round fixed cost is exactly what k rounds multiply: measured
+# warm at sf0.1/k=64, session 32 partitions -> 8.3-10.5 s vs
+# vocab-sized 1 -> ~6.0 s.  One model-sized count() of the base vocab
+# picks the width (the fuzzy-gate/bloom/streaming count-gate
+# precedent).
+BPE_VOCAB_WORDS_PER_PARTITION = 500_000
 
 
 def bpe_train_for(docs: DataFrame, k: int) -> list[tuple[int, str, str, int]]:
@@ -163,31 +176,41 @@ def bpe_train_for(docs: DataFrame, k: int) -> list[tuple[int, str, str, int]]:
     `text`); returns [(rank, lhs, rhs, freq), ...] — the seam the
     fixture query and the hypothesis tie-stability property both
     drive.  Identical merge output to the eager-per-round historical
-    loop (same counts, same tie order); only the checkpoint cadence
-    differs (BPE_TRAIN_CKPT_EVERY)."""
+    loop (same counts, same tie order); only checkpoint cadence and
+    shuffle width differ (constants above)."""
+    import math
+
+    from etl_addresses_spark.session import scoped_shuffle_partitions
+
     chain = CheckpointChain()
     # materialize the base vocab once: every pre-checkpoint round would
     # otherwise re-run the word split+groupBy over the full corpus
     cur = chain.step(_vocab_for(docs), "vocab")
+    n_words = cur.count()
+    parts = max(1, math.ceil(n_words / BPE_VOCAB_WORDS_PER_PARTITION))
     merges: list[tuple[int, str, str, int]] = []
     pending = 0
-    for rank in range(1, k + 1):
-        counts = _adjacent_pair_counts(cur)
-        top = counts.agg(
-            F.min(F.struct((-F.col("f")).alias("nf"), F.col("p"))).alias("m")
-        ).first()["m"]
-        if top is None:
-            break
-        pair, freq = top["p"], -top["nf"]
-        lhs, rhs = pair.split(" ", 1)
-        cur = _apply_merge(cur, lhs, rhs)
-        merges.append((rank, lhs, rhs, int(freq)))
-        pending += 1
-        # no trailing checkpoint at rank == k: the vocab is never read
-        # again after the loop (the merge list lives on the driver)
-        if pending == BPE_TRAIN_CKPT_EVERY and rank < k:
-            cur = chain.step(cur, "vocab")
-            pending = 0
+    with scoped_shuffle_partitions(docs.sparkSession, parts):
+        for rank in range(1, k + 1):
+            counts = _adjacent_pair_counts(cur)
+            top = counts.agg(
+                F.min(
+                    F.struct((-F.col("f")).alias("nf"), F.col("p"))
+                ).alias("m")
+            ).first()["m"]
+            if top is None:
+                break
+            pair, freq = top["p"], -top["nf"]
+            lhs, rhs = pair.split(" ", 1)
+            cur = _apply_merge(cur, lhs, rhs)
+            merges.append((rank, lhs, rhs, int(freq)))
+            pending += 1
+            # no trailing checkpoint at rank == k: the vocab is never
+            # read again after the loop (the merge list lives on the
+            # driver)
+            if pending == BPE_TRAIN_CKPT_EVERY and rank < k:
+                cur = chain.step(cur, "vocab")
+                pending = 0
     chain.release("vocab")
     return merges
 

@@ -43,3 +43,27 @@ def get_spark(app_name: str = "etl_addresses_spark") -> SparkSession:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()
+
+
+class scoped_shuffle_partitions:
+    """Scoped spark.sql.shuffle.partitions override for operators that
+    size a shuffle from measured data (streaming state stores, the BPE
+    trainer's vocab-sized pair counts).  The value only needs to hold
+    while the scoped plan is CREATED/STARTED; the session default is
+    restored for whatever runs next.  n=None is a no-op."""
+
+    _KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self._spark, self._n = spark, n
+
+    def __enter__(self):
+        if self._n is not None:
+            self._old = self._spark.conf.get(self._KEY)
+            self._spark.conf.set(self._KEY, str(self._n))
+        return self
+
+    def __exit__(self, *exc):
+        if self._n is not None:
+            self._spark.conf.set(self._KEY, self._old)
+        return False

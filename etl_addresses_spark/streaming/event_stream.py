@@ -198,27 +198,10 @@ def state_partitions_for(source_dir: str) -> int:
     )
 
 
-class scoped_shuffle_partitions:
-    """Scoped spark.sql.shuffle.partitions override: the value is read
-    at streaming-query START (incremental plan + state layout), so it
-    only needs to hold across start()+drain; the session default is
-    restored for whatever runs next."""
-
-    _KEY = "spark.sql.shuffle.partitions"
-
-    def __init__(self, spark: SparkSession, n: int | None):
-        self._spark, self._n = spark, n
-
-    def __enter__(self):
-        if self._n is not None:
-            self._old = self._spark.conf.get(self._KEY)
-            self._spark.conf.set(self._KEY, str(self._n))
-        return self
-
-    def __exit__(self, *exc):
-        if self._n is not None:
-            self._spark.conf.set(self._KEY, self._old)
-        return False
+# scoped_shuffle_partitions moved to session.py (the BPE trainer sizes
+# its vocab shuffle with the same helper); re-exported here because the
+# streaming call sites read naturally as event_stream.scoped_*.
+from etl_addresses_spark.session import scoped_shuffle_partitions  # noqa: E402,F401
 
 
 def run_to_memory(
