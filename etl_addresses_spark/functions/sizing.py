@@ -1,0 +1,42 @@
+"""Shuffle-width sizing for iterative loops.
+
+An iterative operator (pagerank, label propagation, frontier BFS,
+connected components, min-label dedup clustering) runs its per-round
+joins/aggregations k times, so any fixed per-round cost is multiplied
+by k.  Running those rounds at the session's corpus-sized shuffle
+width schedules mostly-empty reduce tasks every round when the LOOP
+state (ranks, labels, frontier, edge list) is much smaller than the
+corpus — measured on pagerank_relations at sf0.1: 13.5 s at 32
+partitions vs 9.3 s at 4, identical results (the round arithmetic is
+exact decimal/integer, so width cannot move values).
+
+`loop_partitions(n_rows)` converts a measured loop-state row count —
+one model-sized count() per operator, the same count-gate precedent as
+the fuzzy dispatcher, bloom sizing, SRP banding and streaming state
+stores — into a width: one partition per LOOP_ROWS_PER_PARTITION
+keyed rows, floor 1.  At 100 TB the same rule yields thousands of
+partitions for a billion-edge graph (the parallelism you want); at
+test scale it stops paying 32 near-empty task launches per round.
+Apply with session.scoped_shuffle_partitions around the LOOP ONLY —
+the corpus-scale prework (edge extraction, pair generation) must
+materialize before the scope at full width.
+"""
+
+from __future__ import annotations
+
+import math
+
+# Width sweep on graph_communities_labelprop (the largest loop state
+# here, ~1M neighbor rows at sf0.1): 2M rows/partition -> 1 partition
+# -> 5.4-6.4 s (serializes real aggregation work), 250k -> 4 -> 4.3 s,
+# 62.5k -> 19 -> 4.8 s, 16k -> 32+ -> 7.3 s (back to near-empty-task
+# overhead).  250k keyed rows is a few MB per reduce partition — big
+# enough to amortize task launch, small enough to spread compute.
+LOOP_ROWS_PER_PARTITION = 250_000
+
+
+def loop_partitions(n_rows: int) -> int:
+    """Shuffle width for an iterative loop whose per-round keyed-join
+    row count is `n_rows` (typically the edge count; the node/label
+    side is never larger)."""
+    return max(1, math.ceil(n_rows / LOOP_ROWS_PER_PARTITION))

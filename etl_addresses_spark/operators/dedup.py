@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_addresses_spark.ckpt import CheckpointChain
+from etl_addresses_spark.functions.sizing import loop_partitions
+from etl_addresses_spark.session import scoped_shuffle_partitions
 from etl_addresses_spark.sources.tables import load_table
 
 SHINGLE_N = 3
@@ -562,38 +564,48 @@ def dedup_clusters_for(corpus: DataFrame, max_rounds: int = 50) -> DataFrame:
     labels = nodes.withColumn("label", F.col("node"))
     prev_cached = None
     converged = False
-    for round_no in range(max_rounds):  # diameter bound; dup clusters are tiny
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.node)
-            .groupBy(F.col("doc_a").alias("node2"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
+    # The pair generation above is the corpus-scale stage and runs at
+    # full width (the count() here materializes the pair cache before
+    # the scope).  The propagation loop's frames are O(near-dup pairs)
+    # — typically a tiny fraction of the corpus — so its ~2 jobs x
+    # rounds run at a pair-derived width (functions/sizing.py);
+    # min/least over integer ids, width cannot move values.
+    loop_scope = scoped_shuffle_partitions(
+        corpus.sparkSession, loop_partitions(2 * pairs.count())
+    )
+    with loop_scope:
+        for round_no in range(max_rounds):  # diameter bound
+            neighbor_min = (
+                edges.join(labels, edges.doc_b == labels.node)
+                .groupBy(F.col("doc_a").alias("node2"))
+                .agg(F.min("label").alias("nmin"))
             )
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        # the count above materialized new_labels into its cache, so the
-        # previous round's cache (and its lineage) is no longer needed —
-        # without this, 20 rounds pin 20 dead cached DataFrames
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        prev_cached = new_labels
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
+            new_labels = (
+                labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+                )
+                .cache()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            # the count above materialized new_labels into its cache, so the
+            # previous round's cache (and its lineage) is no longer needed —
+            # without this, 20 rounds pin 20 dead cached DataFrames
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = new_labels
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
     if not converged:
         # silent truncation would diverge from the transitive-closure
         # oracle with no diagnostic
@@ -1031,69 +1043,77 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 25) -> DataFra
         "edges",
     )
     prev_sig = None
-    for _ in range(max_rounds):
-        # large-star: for every u, each strictly-larger neighbor points
-        # at m = min(closed neighborhood of u)
-        sym = e.unionByName(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        mins = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
-        ls = (
-            sym.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        # small-star: orient each edge from its larger endpoint; that
-        # endpoint and all its smaller neighbors point at the minimum
-        o = ls.select(
-            F.greatest("u", "v").alias("gu"), F.least("u", "v").alias("gv")
-        )
-        smins = o.groupBy("gu").agg(F.min("gv").alias("m"))
-        # chain.step frees the previous round's edge blocks once this
-        # round is materialized (true block release — DataFrame
-        # .unpersist() on a checkpointed frame never touched them)
-        ss = chain.step(
-            o.join(smins, "gu")
-            .select(
-                F.explode(
-                    F.array(
-                        F.struct(F.col("gv").alias("u"), F.col("m").alias("v")),
-                        F.struct(F.col("gu").alias("u"), F.col("m").alias("v")),
-                    )
-                ).alias("p")
+    # per-round joins/aggs are O(edges); width from the materialized
+    # edge checkpoint's count (functions/sizing.py — integer keys and
+    # min/least/hash-sum only, so width cannot move values; the
+    # signature collect inside the loop is 1 row either way)
+    loop_scope = scoped_shuffle_partitions(
+        edges.sparkSession, loop_partitions(e.count())
+    )
+    with loop_scope:
+        for _ in range(max_rounds):
+            # large-star: for every u, each strictly-larger neighbor points
+            # at m = min(closed neighborhood of u)
+            sym = e.unionByName(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
-            .select("p.u", "p.v")
-            .filter(F.col("u") != F.col("v"))
-            .distinct(),
-            "edges",
-        )
-        # fixpoint = edge set unchanged over a full LS+SS round.  The
-        # check is a MULTISET SIGNATURE (count + order-independent hash
-        # sum), one cheap aggregate job — the earlier exceptAll-based
-        # equality shuffled the full edge set twice per round and
-        # dominated the whole algorithm at 8x corpus scale (see
-        # SCALE.md).  Signature collision would only delay termination
-        # by a round, never corrupt output (the star edges themselves
-        # are exact).
-        sig = ss.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal accumulator: a long sum of 64-bit hashes overflows
-            # under ANSI mode; decimal(38,0) absorbs any edge count
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        sig = (sig["n"], sig["h"])
-        e = ss
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    else:
-        raise RuntimeError(
-            f"connected_components_star: no fixpoint in {max_rounds} rounds"
-        )
+            mins = sym.groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("m")
+            )
+            ls = (
+                sym.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # small-star: orient each edge from its larger endpoint; that
+            # endpoint and all its smaller neighbors point at the minimum
+            o = ls.select(
+                F.greatest("u", "v").alias("gu"), F.least("u", "v").alias("gv")
+            )
+            smins = o.groupBy("gu").agg(F.min("gv").alias("m"))
+            # chain.step frees the previous round's edge blocks once this
+            # round is materialized (true block release — DataFrame
+            # .unpersist() on a checkpointed frame never touched them)
+            ss = chain.step(
+                o.join(smins, "gu")
+                .select(
+                    F.explode(
+                        F.array(
+                            F.struct(F.col("gv").alias("u"), F.col("m").alias("v")),
+                            F.struct(F.col("gu").alias("u"), F.col("m").alias("v")),
+                        )
+                    ).alias("p")
+                )
+                .select("p.u", "p.v")
+                .filter(F.col("u") != F.col("v"))
+                .distinct(),
+                "edges",
+            )
+            # fixpoint = edge set unchanged over a full LS+SS round.  The
+            # check is a MULTISET SIGNATURE (count + order-independent hash
+            # sum), one cheap aggregate job — the earlier exceptAll-based
+            # equality shuffled the full edge set twice per round and
+            # dominated the whole algorithm at 8x corpus scale (see
+            # SCALE.md).  Signature collision would only delay termination
+            # by a round, never corrupt output (the star edges themselves
+            # are exact).
+            sig = ss.agg(
+                F.count(F.lit(1)).alias("n"),
+                # decimal accumulator: a long sum of 64-bit hashes overflows
+                # under ANSI mode; decimal(38,0) absorbs any edge count
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            ).collect()[0]
+            sig = (sig["n"], sig["h"])
+            e = ss
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        else:
+            raise RuntimeError(
+                f"connected_components_star: no fixpoint in {max_rounds} rounds"
+            )
     # stars: (child, root) edges; roots label themselves
     return (
         e.select(F.col("u").alias("node"), F.col("v").alias("label"))

@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_addresses_spark.ckpt import CheckpointChain
+from etl_addresses_spark.functions.sizing import loop_partitions
+from etl_addresses_spark.session import scoped_shuffle_partitions
 
 DAMPING = 0.85
 PR_ITERS = 10
@@ -75,61 +77,69 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damping: float = DAMPING) 
     # edge copies for 10 rounds is exactly the block-manager residue
     # pressure ckpt.py documents (review fix; two edge-scan jobs of
     # already-cached data, amortized over the iterations)
-    e_deg.count()
+    n_edges = e_deg.count()
     dangling_nodes.count()
     e.unpersist()
 
     chain = CheckpointChain()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    for _ in range(iters):
-        # mass from dangling nodes (no out-edges) spreads uniformly.
-        # It rides the SAME job as the rank update: a 1-row aggregate
-        # broadcast into the select, instead of a per-iteration
-        # driver-side collect() — one Spark job per iteration total
-        # (the eager localCheckpoint below is the only action).
-        dangling_df = (
-            ranks.join(dangling_nodes, "node", "left_semi")
-            .agg(
-                F.coalesce(
-                    F.sum(F.col("rank").cast(_DEC)), F.lit(0).cast(_DEC)
-                )
-                .cast("double")
-                .alias("dangling")
-            )
-        )
-        # per-edge contribution rank/out_deg: identical operands (and
-        # therefore bit-identical doubles) to the former per-node
-        # division — the DECIMAL sum is exact, so regrouping the sum
-        # by edge instead of node cannot move the result either
-        contribs = (
-            ranks.join(e_deg, ranks.node == e_deg.src)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(
-                F.sum((F.col("rank") / F.col("out_deg")).cast(_DEC))
-                .cast("double")
-                .alias("recv")
-            )
-        )
-        # Same float association as the former driver-side arithmetic:
-        # ((1-d)/n + (d*dangling)/n) + d*recv.
-        # chain.step frees round k-1's rank blocks once round k is
-        # materialized (see ckpt.py — clearCache never reclaims these).
-        ranks = chain.step(
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling_df))
-            .select(
-                "node",
-                (
-                    (
-                        F.lit((1.0 - damping) / n_nodes)
-                        + (F.lit(damping) * F.col("dangling"))
-                        / F.lit(float(n_nodes))
+    # the loop's keyed work is O(edges) per round; run its shuffles at
+    # an edge-derived width instead of the corpus-sized session
+    # default (functions/sizing.py — 13.5 -> 9.3 s at sf0.1, exact
+    # decimal arithmetic so width cannot move values)
+    loop_scope = scoped_shuffle_partitions(
+        edges.sparkSession, loop_partitions(n_edges)
+    )
+    with loop_scope:
+        for _ in range(iters):
+            # mass from dangling nodes (no out-edges) spreads uniformly.
+            # It rides the SAME job as the rank update: a 1-row aggregate
+            # broadcast into the select, instead of a per-iteration
+            # driver-side collect() — one Spark job per iteration total
+            # (the eager localCheckpoint below is the only action).
+            dangling_df = (
+                ranks.join(dangling_nodes, "node", "left_semi")
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("rank").cast(_DEC)), F.lit(0).cast(_DEC)
                     )
-                    + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))
-                ).alias("rank"),
-            ),
-            "ranks",
-        )
+                    .cast("double")
+                    .alias("dangling")
+                )
+            )
+            # per-edge contribution rank/out_deg: identical operands (and
+            # therefore bit-identical doubles) to the former per-node
+            # division — the DECIMAL sum is exact, so regrouping the sum
+            # by edge instead of node cannot move the result either
+            contribs = (
+                ranks.join(e_deg, ranks.node == e_deg.src)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(
+                    F.sum((F.col("rank") / F.col("out_deg")).cast(_DEC))
+                    .cast("double")
+                    .alias("recv")
+                )
+            )
+            # Same float association as the former driver-side arithmetic:
+            # ((1-d)/n + (d*dangling)/n) + d*recv.
+            # chain.step frees round k-1's rank blocks once round k is
+            # materialized (see ckpt.py — clearCache never reclaims these).
+            ranks = chain.step(
+                nodes.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dangling_df))
+                .select(
+                    "node",
+                    (
+                        (
+                            F.lit((1.0 - damping) / n_nodes)
+                            + (F.lit(damping) * F.col("dangling"))
+                            / F.lit(float(n_nodes))
+                        )
+                        + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))
+                    ).alias("rank"),
+                ),
+                "ranks",
+            )
     return ranks
 
 
@@ -456,24 +466,35 @@ def graph_communities_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("node").alias("lab")
     )
     chain = CheckpointChain()
-    for _ in range(LPA_ITERS):
-        votes = (
-            nbr.join(labels, nbr.w == labels.node)
-            .groupBy("v_", "lab")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        # step() frees the previous round's label blocks (ckpt.py).
-        # (count DESC, label ASC) argmax as min(struct(-c, lab)): the
-        # negated field is the COUNT, which is >= 1 by construction
-        # (F.count), so the encoding is sign-safe for any label id
-        # scheme — the r6-advice hazard of negating labels (silently
-        # wrong tie-breaks if ids ever go negative) can't arise.
-        labels = chain.step(
-            votes.groupBy(F.col("v_").alias("node"))
-            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("lab"))).alias("m"))
-            .select("node", F.col("m.lab").alias("lab")),
-            "labels",
-        )
+    # materialize the neighbor cache with an explicit count (round 1
+    # would pay it anyway) and size the loop's per-round shuffles from
+    # it (functions/sizing.py) — integer votes, so width cannot move
+    # values
+    n_nbr = nbr.count()
+    with scoped_shuffle_partitions(nbr.sparkSession, loop_partitions(n_nbr)):
+        for _ in range(LPA_ITERS):
+            votes = (
+                nbr.join(labels, nbr.w == labels.node)
+                .groupBy("v_", "lab")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            # step() frees the previous round's label blocks (ckpt.py).
+            # (count DESC, label ASC) argmax as min(struct(-c, lab)):
+            # the negated field is the COUNT, which is >= 1 by
+            # construction (F.count), so the encoding is sign-safe for
+            # any label id scheme — the r6-advice hazard of negating
+            # labels (silently wrong tie-breaks if ids ever go
+            # negative) can't arise.
+            labels = chain.step(
+                votes.groupBy(F.col("v_").alias("node"))
+                .agg(
+                    F.min(
+                        F.struct((-F.col("c")).alias("nc"), F.col("lab"))
+                    ).alias("m")
+                )
+                .select("node", F.col("m.lab").alias("lab")),
+                "labels",
+            )
     return (
         labels.groupBy(F.col("lab").alias("community"))
         .agg(F.count(F.lit(1)).alias("size"))
@@ -582,19 +603,23 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = seeds.select("node", F.lit(0).cast("long").alias("dist"))
     frontier = chain.step(visited, "visited")
     visited = frontier
-    for k in range(1, BFS_HOPS + 1):
-        reached = (
-            nbr.join(frontier, nbr.v_ == frontier.node)
-            .select(F.col("w").alias("node"))
-            .distinct()
-        )
-        frontier = chain.step(
-            reached.join(visited, "node", "left_anti").select(
-                "node", F.lit(k).cast("long").alias("dist")
-            ),
-            "frontier",
-        )
-        visited = chain.step(visited.unionAll(frontier), "visited")
+    # per-hop joins are O(neighbor rows); loop width from the cached
+    # neighbor count (functions/sizing.py), integer-exact either way
+    n_nbr = nbr.count()
+    with scoped_shuffle_partitions(nbr.sparkSession, loop_partitions(n_nbr)):
+        for k in range(1, BFS_HOPS + 1):
+            reached = (
+                nbr.join(frontier, nbr.v_ == frontier.node)
+                .select(F.col("w").alias("node"))
+                .distinct()
+            )
+            frontier = chain.step(
+                reached.join(visited, "node", "left_anti").select(
+                    "node", F.lit(k).cast("long").alias("dist")
+                ),
+                "frontier",
+            )
+            visited = chain.step(visited.unionAll(frontier), "visited")
     # the result depends only on the final visited checkpoint
     chain.release("frontier")
     return visited
