@@ -35,8 +35,18 @@ import math
 LOOP_ROWS_PER_PARTITION = 250_000
 
 
+# Floor: a single-partition loop SERIALIZES each round's real work on
+# one core while the rest idle — measured on pagerank at the 10x
+# replica (edges still under one 250k quantum there): width 1 drove
+# the 10x wall to 1.68x vs the historical 1.12x, while width 4 at
+# sf0.1 measures the same as width 1 (9.3-10.1 s).  Four near-empty
+# tasks cost ~tens of ms per round — cheap insurance across the whole
+# n_rows range below the first quantum.
+LOOP_MIN_PARTITIONS = 4
+
+
 def loop_partitions(n_rows: int) -> int:
     """Shuffle width for an iterative loop whose per-round keyed-join
     row count is `n_rows` (typically the edge count; the node/label
     side is never larger)."""
-    return max(1, math.ceil(n_rows / LOOP_ROWS_PER_PARTITION))
+    return max(LOOP_MIN_PARTITIONS, math.ceil(n_rows / LOOP_ROWS_PER_PARTITION))
