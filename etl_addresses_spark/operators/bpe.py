@@ -19,11 +19,16 @@ Spark shape (the 100 TB story):
   lambda-CSE hazard, SCALE.md), hash-aggregated with map-side
   partials; the argmax is min(struct(-freq, pair)) — ONE row to the
   driver per round (model-sized collect, the kmeans/IVF precedent);
-- the training loop localCheckpoints the vocab per round via
-  ckpt.CheckpointChain, so round k costs O(|vocab|) — NOT a replay of
-  the k-1 earlier merge projections — and superseded iterates are
-  freed as soon as the next one materializes (measured round cost in
-  SCALE.md §BPE);
+- the training loop folds merges LAZILY onto the last checkpointed
+  vocab (ckpt.CheckpointChain, one checkpoint every
+  BPE_TRAIN_CKPT_EVERY=16 rounds), so a round costs one job that
+  replays at most 15 cheap replace() projections on top of the
+  checkpoint — bounded plan depth, never a replay of all k-1 earlier
+  merges — and superseded checkpoints are freed as soon as the next
+  one materializes (measured round cost in SCALE.md §BPE);
+- the pair-count shuffle runs at a vocab-derived width
+  (BPE_VOCAB_WORDS_PER_PARTITION), not the corpus-sized session
+  default;
 - merge application is two nested `replace()` calls on the
   space-joined symbol string with space anchors — pure JVM string
   ops, no UDFs, built with Column-API literals (`F.replace` +

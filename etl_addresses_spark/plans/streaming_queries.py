@@ -28,7 +28,7 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_stream.dedup_stream(stream),
         "q_stream_dedup",
         mode="append",
-        shuffle_partitions=event_stream.state_partitions_for(sf_dir),
+        shuffle_partitions=event_stream.events_state_partitions(sf_dir),
     )
     return out.select("user_id", "event_type")
 
@@ -44,7 +44,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = event_stream.run_to_memory(
         event_stream.windowed_counts(stream),
         "q_stream_win",
-        shuffle_partitions=event_stream.state_partitions_for(sf_dir),
+        shuffle_partitions=event_stream.events_state_partitions(sf_dir),
     )
     return out.select(
         F.date_format("window_start", _TS_FMT).alias("window_start"),
@@ -74,7 +74,7 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = event_stream.run_to_memory(
         event_stream.sliding_counts(stream),
         "q_stream_slide",
-        shuffle_partitions=event_stream.state_partitions_for(sf_dir),
+        shuffle_partitions=event_stream.events_state_partitions(sf_dir),
     )
     return out.select(
         F.date_format("window_start", _TS_FMT).alias("window_start"),
@@ -113,7 +113,7 @@ def stream_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_stream.purchases_with_recent_views(stream),
         "q_stream_ssj",
         mode="append",
-        shuffle_partitions=event_stream.state_partitions_for(sf_dir),
+        shuffle_partitions=event_stream.events_state_partitions(sf_dir),
     )
     return out.select(
         "purchase_event_id",
@@ -157,7 +157,7 @@ def stream_purchase_view_left_join(spark: SparkSession, sf_dir: str) -> DataFram
         event_stream.purchases_with_optional_views(stream),
         "q_stream_ssj_left",
         mode="append",
-        shuffle_partitions=event_stream.state_partitions_for(sf_dir),
+        shuffle_partitions=event_stream.events_state_partitions(sf_dir),
     )
     return out.select(
         "purchase_event_id",
@@ -223,7 +223,7 @@ def stream_purchase_view_full_join(spark: SparkSession, sf_dir: str) -> DataFram
         event_stream.purchases_with_views_full_outer(stream),
         "q_stream_ssj_full",
         mode="append",
-        shuffle_partitions=event_stream.state_partitions_for(sf_dir),
+        shuffle_partitions=event_stream.events_state_partitions(sf_dir),
     )
     return out.select(
         "purchase_event_id",
@@ -320,7 +320,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg,
         "q_stream_enrich",
         mode="complete",
-        shuffle_partitions=event_stream.state_partitions_for(sf_dir),
+        shuffle_partitions=event_stream.events_state_partitions(sf_dir),
     )
 
 
@@ -348,7 +348,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = event_stream.run_to_memory(
         event_stream.session_windows(stream),
         "q_stream_sess",
-        shuffle_partitions=event_stream.state_partitions_for(sf_dir),
+        shuffle_partitions=event_stream.events_state_partitions(sf_dir),
     )
     return out.select(
         "user_id",
@@ -398,7 +398,7 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # floored.  The state-store-overhead argument still caps the
     # pure-JVM stateful rows (see state_partitions_for).
     parts = max(
-        event_stream.state_partitions_for(sf_dir),
+        event_stream.events_state_partitions(sf_dir),
         spark.sparkContext.defaultParallelism,
     )
     out = event_stream.run_to_memory(
@@ -435,7 +435,7 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_stream.ohlc_bars(stream),
         "q_stream_ohlc",
         mode="append",
-        shuffle_partitions=event_stream.state_partitions_for(sf_dir),
+        shuffle_partitions=event_stream.events_state_partitions(sf_dir),
     )
 
 
@@ -521,7 +521,7 @@ def stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Both runs share one checkpoint, whose state layout is pinned at
     # run 1 — so size from the FULL events table (the volume the query
     # will eventually hold state for), identically on restart.
-    parts = event_stream.state_partitions_for(sf_dir)
+    parts = event_stream.events_state_partitions(sf_dir)
     # run 1: batch-1 files only, then a clean stop.
     event_stream.run_with_checkpoint(
         restartable_query(), out_dir, ckpt_dir, shuffle_partitions=parts
@@ -557,7 +557,7 @@ def stream_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = event_stream.run_to_memory(
         event_stream.windowed_counts(stream),
         "q_stream_topk",
-        shuffle_partitions=event_stream.state_partitions_for(sf_dir),
+        shuffle_partitions=event_stream.events_state_partitions(sf_dir),
     )
     w = W.partitionBy("window_start").orderBy(
         F.desc("n"), F.asc("event_type")

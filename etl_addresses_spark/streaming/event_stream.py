@@ -177,25 +177,45 @@ STREAM_STATE_BYTES_PER_PARTITION = 64 << 20
 STREAM_STATE_MIN_PARTITIONS = 4
 
 
-def state_partitions_for(source_dir: str) -> int:
+def state_partitions_for(source_path: str) -> int:
     """Volume-derived shuffle-partition count for a NEW streaming
-    query reading files under `source_dir` (a table path or its parent
-    sf dir).  Local-fs stat walk — the harness layout; an object-store
-    deployment would take the size from its catalog stats."""
+    query reading `source_path` — the SOURCE TABLE the stream reads
+    (a part-file directory or a single flat file, the same two
+    layouts read_events_stream handles), NOT the whole sf dir (r10
+    review: sizing from the dataset directory counted every table's
+    bytes, oversizing the store count ~8x at sf0.1).  Local-fs stat —
+    the harness layout; an object-store deployment would take the
+    size from its catalog stats."""
     import math
     import os
 
-    total = 0
-    for root, _dirs, files in os.walk(source_dir):
-        for f in files:
-            try:
-                total += os.path.getsize(os.path.join(root, f))
-            except OSError:
-                pass
+    if os.path.isfile(source_path):
+        # flat-file table: os.walk on a regular file yields NOTHING,
+        # which silently returned the floor for any volume (r10 review)
+        total = os.path.getsize(source_path)
+    else:
+        total = 0
+        for root, _dirs, files in os.walk(source_path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
     return max(
         STREAM_STATE_MIN_PARTITIONS,
         math.ceil(total / STREAM_STATE_BYTES_PER_PARTITION),
     )
+
+
+def events_state_partitions(sf_dir: str) -> int:
+    """state_partitions_for over the EVENTS table of an sf dir,
+    resolving the same dir-vs-flat-file layout rule as
+    read_events_stream — the helper every events-sourced registry row
+    uses, so the stream is sized from what it actually reads (one
+    table stat, not a full-dataset walk)."""
+    import os
+
+    return state_partitions_for(os.path.join(sf_dir, "events.parquet"))
 
 
 # scoped_shuffle_partitions moved to session.py (the BPE trainer sizes
