@@ -1,0 +1,77 @@
+"""The data-derived shuffle-width rules (functions/sizing.py, streaming
+state sizing, scoped conf override) — the r10 fixed-cost batch."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_addresses_spark.functions.sizing import (
+    LOOP_MIN_PARTITIONS,
+    LOOP_ROWS_PER_PARTITION,
+    loop_partitions,
+)
+from etl_addresses_spark.session import scoped_shuffle_partitions
+from etl_addresses_spark.streaming.event_stream import (
+    STREAM_STATE_BYTES_PER_PARTITION,
+    STREAM_STATE_MIN_PARTITIONS,
+    events_state_partitions,
+    state_partitions_for,
+)
+
+
+def test_loop_partitions_floor_and_quantum():
+    assert loop_partitions(0) == LOOP_MIN_PARTITIONS
+    assert loop_partitions(1) == LOOP_MIN_PARTITIONS
+    assert loop_partitions(LOOP_ROWS_PER_PARTITION) == LOOP_MIN_PARTITIONS
+    # above the floor region: one partition per quantum, rounded up
+    big = 100 * LOOP_ROWS_PER_PARTITION
+    assert loop_partitions(big) == 100
+    assert loop_partitions(big + 1) == 101
+    # monotone
+    widths = [loop_partitions(n) for n in range(0, big, big // 57)]
+    assert widths == sorted(widths)
+
+
+def test_state_partitions_flat_file_and_dir(tmp_path):
+    # flat file: os.walk on a regular file yields nothing — the r10
+    # review bug was silently returning the floor for ANY volume
+    f = tmp_path / "t.parquet"
+    f.write_bytes(b"x" * (6 * STREAM_STATE_BYTES_PER_PARTITION))
+    assert state_partitions_for(str(f)) == 6
+    # directory of part files sums the parts
+    d = tmp_path / "dir.parquet"
+    d.mkdir()
+    for i in range(5):
+        (d / f"part-{i}").write_bytes(b"x" * STREAM_STATE_BYTES_PER_PARTITION)
+    assert state_partitions_for(str(d)) == 5
+    # floor for tiny sources
+    tiny = tmp_path / "tiny.parquet"
+    tiny.write_bytes(b"x")
+    assert state_partitions_for(str(tiny)) == STREAM_STATE_MIN_PARTITIONS
+
+
+def test_events_state_partitions_uses_only_events_table():
+    # sizing from the whole sf dir (all tables) was the r10 review
+    # finding; the helper must resolve the events table specifically
+    sf = "/root/testdata/sf0.01"
+    got = events_state_partitions(sf)
+    assert got == state_partitions_for(os.path.join(sf, "events.parquet"))
+
+
+def test_scoped_shuffle_partitions_restores(spark):
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with scoped_shuffle_partitions(spark, 7):
+        assert spark.conf.get(key) == "7"
+    assert spark.conf.get(key) == before
+    # restores on exception too
+    with pytest.raises(RuntimeError):
+        with scoped_shuffle_partitions(spark, 9):
+            assert spark.conf.get(key) == "9"
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
+    # None is a no-op
+    with scoped_shuffle_partitions(spark, None):
+        assert spark.conf.get(key) == before
