@@ -409,6 +409,102 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_topk_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 by the INVERTED-INDEX plan — the open-vocabulary
+    scale tier bm25_scored's docstring points at, now a checked row
+    against the SAME oracle (two algorithms, one answer — the
+    dedup_clusters/dedup_clusters_star precedent).
+
+    The dense path widens one column per query term — fine for a
+    4-term fixed query, impossible for a 100-term or user-supplied
+    query.  This plan is rows, not columns: explode tokens, semi-join
+    the (broadcast) query-term list so only matching postings survive,
+    and aggregate tf per (doc, term) — the classic postings-list shape
+    whose scored set is only the documents containing >= 1 query term
+    (at 100 TB with selective terms, a tiny fraction of the corpus).
+    Doc length and the corpus stats still take one narrow full pass —
+    identical to the dense tier, because avgdl/N are corpus
+    quantities.
+
+    Exact-equality contract: tf values pivot BACK to one column per
+    term (max(case) over the model-sized per-term rows) and the final
+    score reuses the IDENTICAL expression tree as bm25_scored — same
+    operands, same association, bit-equal doubles — so this row shares
+    BM25_TOPK_SQL verbatim (like cosine_topk_fast sharing
+    COSINE_TOPK_SQL).  A doc containing NO query term scores exactly
+    0.0 in the dense tier (every term_score has a tf factor), so the
+    two top-20s coincide whenever >= 20 docs match any term — true of
+    every fixture (test-pinned) and of any realistic query; the
+    general-case finisher would union zero-score doc_ids, which would
+    re-scan the corpus for nothing here.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_doc_len = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl")
+    )
+    terms_df = spark.createDataFrame(
+        [(t,) for t in _BM25_TERMS], "tok string"
+    )
+    postings = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .join(F.broadcast(terms_df), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    # pivot the (doc, term, tf) rows back to the dense tier's column
+    # shape; missing terms are tf = 0.0 exactly as the dense filter
+    # computes them
+    tf_cols = postings.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("tok") == t, F.col("tf"))), F.lit(0.0)
+            ).alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    # corpus stats: n_docs + avgdl from the narrow length pass; df per
+    # term from the postings (a term's df = docs with tf > 0, and
+    # postings only holds tf >= 1 rows — same value as the dense
+    # sum(tf > 0))
+    len_stats = per_doc_len.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_stats = postings.groupBy().pivot("tok", list(_BM25_TERMS)).agg(
+        F.count(F.lit(1)).cast("double")
+    )
+    df_stats = df_stats.select(
+        *[
+            F.coalesce(F.col(t), F.lit(0.0)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    stats = len_stats.crossJoin(F.broadcast(df_stats))
+    scored = (
+        tf_cols.join(per_doc_len, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    k1, b = float(_BM25_K1[:-2]), float(_BM25_B[:-2])
+
+    def term_score(t: str) -> F.Column:
+        tf = F.col(f"tf_{t}")
+        idf = (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (
+            F.col(f"df_{t}") + 0.5
+        )
+        denom = tf + k1 * ((1.0 - b) + b * (F.col("dl") / F.col("avgdl")))
+        return idf * ((tf * (k1 + 1.0)) / denom)
+
+    s = _BM25_TERMS
+    score = (
+        (term_score(s[0]) + term_score(s[1])) + term_score(s[2])
+    ) + term_score(s[3])
+    return (
+        scored.select("doc_id", score.alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+
+
 def _duck_tf(term: str) -> str:
     return f"CAST(len(list_filter(toks, x -> x = '{term}')) AS DOUBLE)"
 
@@ -566,6 +662,10 @@ QUERIES_LLMDATA = {
     "pii_redact": (pii_redact, PII_REDACT_SQL),
     "quality_gopher_flags": (quality_gopher_flags, QUALITY_GOPHER_SQL),
     "bm25_topk": (bm25_topk, BM25_TOPK_SQL),
+    # round 10: the inverted-postings tier scores bit-identically to
+    # the dense tier (pivoted tf + identical expression tree), so it
+    # shares the oracle — the cosine_topk_fast precedent
+    "bm25_topk_inverted": (bm25_topk_inverted, BM25_TOPK_SQL),
     "repetition_ngram_score": (repetition_ngram_score, REPETITION_NGRAM_SQL),
 }
 

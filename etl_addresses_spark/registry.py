@@ -264,7 +264,7 @@ _ALL = {
 # driver evidence yet = oldest of all), the 20 entries whose latest
 # driver evidence is r06 (the tail the r09 window could not fit,
 # q11_important_parts first per the r9 verdict), then the
-# alphabetically-first 26 r07 entries.  tests/test_driver_window.py
+# alphabetically-first 25 r07 entries.  tests/test_driver_window.py
 # recomputes this list from the committed CORRECTNESS_r*.json
 # artifacts, so a transcription slip (the r8 `bucketed_join_colocated`
 # incident) fails pytest.  The r07 tail that does not fit stays
@@ -274,6 +274,7 @@ DRIVER_WINDOW: list[str] = [
     # -- NEW this round (no driver evidence yet; rrf added late) ----
     "ann_ivf_pq_recall",
     "ann_ivf_pq_topk",
+    "bm25_topk_inverted",
     "bpe_merge_table_k64",
     "rrf_hybrid_topk",
     # -- latest driver evidence is ROUND 6 (ledger tail, all 20) ----
@@ -323,7 +324,6 @@ DRIVER_WINDOW: list[str] = [
     "mixture_rebalance",
     "multimodal_audio_features",
     "multimodal_decode",
-    "multimodal_frame_sample",
 ]
 
 

@@ -52,3 +52,26 @@ def test_rrf_plan_has_no_global_sort(spark):
     # single-partition exchanges allowed here are the post-limit
     # window/fusion stages (<= 2*C rows)
     assert plan.count("rangepartitioning") == 0
+
+
+def test_bm25_inverted_equals_dense(spark):
+    """Two algorithms, one answer: the inverted-postings tier must be
+    BIT-identical to the dense per-term-column tier (it shares the
+    oracle on that claim), and the fixture must exercise the coincide
+    precondition (>= RRF/topk docs matching at least one term)."""
+    from etl_addresses_spark.operators.llmtext import (
+        bm25_topk,
+        bm25_topk_inverted,
+    )
+
+    dense = {(r.doc_id, r.bm25) for r in bm25_topk(spark, SF_ORACLE).collect()}
+    inv = {
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_inverted(spark, SF_ORACLE).collect()
+    }
+    assert dense == inv
+    assert len(inv) == 20
+    # precondition for sharing the oracle: the 20th dense score is
+    # positive, i.e. the top-20 never dips into zero-score docs the
+    # inverted scored-set does not contain
+    assert min(s for _d, s in dense) > 0.0
