@@ -346,6 +346,32 @@ def _tf(term: str) -> F.Column:
     return F.size(F.expr(f"filter(split(text, ' '), x -> x = '{term}')"))
 
 
+def _bm25_score_col() -> F.Column:
+    """The BM25 score as one Column expression over the canonical
+    scored-frame columns (dl, tf_<term>, n_docs, avgdl, df_<term>) —
+    the SINGLE source both tiers evaluate, so the dense and inverted
+    plans are bit-equal by construction, not by copy (r10 review).
+    Association is pinned: ((t0 + t1) + t2) + t3."""
+    k1, b = float(_BM25_K1[:-2]), float(_BM25_B[:-2])
+
+    def term_score(t: str) -> F.Column:
+        tf = F.col(f"tf_{t}")
+        idf = (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (
+            F.col(f"df_{t}") + 0.5
+        )
+        denom = tf + k1 * (
+            (1.0 - b) + b * (F.col("dl") / F.col("avgdl"))
+        )
+        return idf * ((tf * (k1 + 1.0)) / denom)
+
+    s = _BM25_TERMS
+    score = (
+        (term_score(s[0]) + term_score(s[1]))
+        + term_score(s[2])
+    ) + term_score(s[3])
+    return score
+
+
 def bm25_scored(d: DataFrame) -> DataFrame:
     """(doc_id, bm25) scores for the fixed query over a documents
     frame — the scoring seam bm25_topk and the RRF hybrid fusion row
@@ -377,25 +403,8 @@ def bm25_scored(d: DataFrame) -> DataFrame:
             for t in _BM25_TERMS
         ],
     )
-    k1, b = float(_BM25_K1[:-2]), float(_BM25_B[:-2])
     scored = per_doc.crossJoin(F.broadcast(stats))
-
-    def term_score(t: str) -> F.Column:
-        tf = F.col(f"tf_{t}")
-        idf = (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (
-            F.col(f"df_{t}") + 0.5
-        )
-        denom = tf + k1 * (
-            (1.0 - b) + b * (F.col("dl") / F.col("avgdl"))
-        )
-        return idf * ((tf * (k1 + 1.0)) / denom)
-
-    s = _BM25_TERMS
-    score = (
-        (term_score(s[0]) + term_score(s[1]))
-        + term_score(s[2])
-    ) + term_score(s[3])
-    return scored.select("doc_id", score.alias("bm25"))
+    return scored.select("doc_id", _bm25_score_col().alias("bm25"))
 
 
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,22 +493,8 @@ def bm25_topk_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf_cols.join(per_doc_len, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
-    k1, b = float(_BM25_K1[:-2]), float(_BM25_B[:-2])
-
-    def term_score(t: str) -> F.Column:
-        tf = F.col(f"tf_{t}")
-        idf = (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (
-            F.col(f"df_{t}") + 0.5
-        )
-        denom = tf + k1 * ((1.0 - b) + b * (F.col("dl") / F.col("avgdl")))
-        return idf * ((tf * (k1 + 1.0)) / denom)
-
-    s = _BM25_TERMS
-    score = (
-        (term_score(s[0]) + term_score(s[1])) + term_score(s[2])
-    ) + term_score(s[3])
     return (
-        scored.select("doc_id", score.alias("bm25"))
+        scored.select("doc_id", _bm25_score_col().alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_BM25_TOPK)
     )

@@ -260,7 +260,7 @@ _ALL = {
 # (dict order) against DuckDB each round.  Round-10 rotation, derived
 # MECHANICALLY from tools/evidence/coverage_ledger_r09.md (oldest-first,
 # every round — the binding form of the staleness invariant given the
-# 173-entry/50-slot pigeonhole): the round's THREE new entries (no
+# 173-entry/50-slot pigeonhole): the round's FIVE new entries (no
 # driver evidence yet = oldest of all), the 20 entries whose latest
 # driver evidence is r06 (the tail the r09 window could not fit,
 # q11_important_parts first per the r9 verdict), then the

@@ -3,8 +3,6 @@ state sizing, scoped conf override) — the r10 fixed-cost batch."""
 
 from __future__ import annotations
 
-import os
-
 import pytest
 
 from etl_addresses_spark.functions.sizing import (
@@ -34,17 +32,25 @@ def test_loop_partitions_floor_and_quantum():
     assert widths == sorted(widths)
 
 
+def _sparse(path, nbytes):
+    """Apparent-size file without writing data: getsize reports the
+    truncated length, so multi-hundred-MB sizing cases cost nothing
+    (r10 review: the literal-bytes version wrote ~700 MB per run)."""
+    with open(path, "wb") as f:
+        f.truncate(nbytes)
+
+
 def test_state_partitions_flat_file_and_dir(tmp_path):
     # flat file: os.walk on a regular file yields nothing — the r10
     # review bug was silently returning the floor for ANY volume
     f = tmp_path / "t.parquet"
-    f.write_bytes(b"x" * (6 * STREAM_STATE_BYTES_PER_PARTITION))
+    _sparse(f, 6 * STREAM_STATE_BYTES_PER_PARTITION)
     assert state_partitions_for(str(f)) == 6
     # directory of part files sums the parts
     d = tmp_path / "dir.parquet"
     d.mkdir()
     for i in range(5):
-        (d / f"part-{i}").write_bytes(b"x" * STREAM_STATE_BYTES_PER_PARTITION)
+        _sparse(d / f"part-{i}", STREAM_STATE_BYTES_PER_PARTITION)
     assert state_partitions_for(str(d)) == 5
     # floor for tiny sources
     tiny = tmp_path / "tiny.parquet"
@@ -52,12 +58,18 @@ def test_state_partitions_flat_file_and_dir(tmp_path):
     assert state_partitions_for(str(tiny)) == STREAM_STATE_MIN_PARTITIONS
 
 
-def test_events_state_partitions_uses_only_events_table():
-    # sizing from the whole sf dir (all tables) was the r10 review
-    # finding; the helper must resolve the events table specifically
-    sf = "/root/testdata/sf0.01"
-    got = events_state_partitions(sf)
-    assert got == state_partitions_for(os.path.join(sf, "events.parquet"))
+def test_events_state_partitions_uses_only_events_table(tmp_path):
+    """Regression test for the r10 review finding with a fixture that
+    actually DISCRIMINATES: an sf dir whose events table is above the
+    floor and whose sibling tables dwarf it — sizing from the whole
+    dir would return a much larger count than sizing from events."""
+    _sparse(tmp_path / "events.parquet", 6 * STREAM_STATE_BYTES_PER_PARTITION)
+    _sparse(
+        tmp_path / "lineitem.parquet", 40 * STREAM_STATE_BYTES_PER_PARTITION
+    )
+    _sparse(tmp_path / "orders.parquet", 20 * STREAM_STATE_BYTES_PER_PARTITION)
+    assert events_state_partitions(str(tmp_path)) == 6
+    assert state_partitions_for(str(tmp_path)) == 66  # the wrong answer
 
 
 def test_scoped_shuffle_partitions_restores(spark):
