@@ -493,10 +493,35 @@ def bm25_topk_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf_cols.join(per_doc_len, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
-    return (
+    topk = (
         scored.select("doc_id", _bm25_score_col().alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_BM25_TOPK)
+    )
+    # r10 advice: the shared dense oracle pads its top-20 with
+    # zero-score docs (ordered by doc_id) when FEWER than _BM25_TOPK
+    # documents contain any query term; this postings plan cannot see
+    # those docs, so a violating corpus must fail loudly instead of
+    # silently hash-diverging.  The check rides the already-limited
+    # <=20-row result (a single-partition count over 20 rows — free):
+    # assert_true returns NULL on success, coalesce turns that into a
+    # keep-all filter, and a short scored set raises at runtime.
+    n_rows = F.count(F.lit(1)).over(Window.partitionBy())
+    return (
+        topk.withColumn("_n", n_rows)
+        .where(
+            F.coalesce(
+                F.assert_true(
+                    F.col("_n") == F.lit(_BM25_TOPK),
+                    F.lit(
+                        "bm25_topk_inverted: scored set smaller than k;"
+                        " dense-oracle zero-pad parity precondition violated"
+                    ),
+                ).isNull(),
+                F.lit(True),
+            )
+        )
+        .select("doc_id", "bm25")
     )
 
 

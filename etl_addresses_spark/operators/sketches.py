@@ -44,14 +44,21 @@ def hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("approx_supps"),
     )
+    # r10 advice: distinct()+count counts a NULL key as one distinct
+    # value, while countDistinct (and the DuckDB COUNT(DISTINCT)
+    # oracle) exclude NULLs — identical on the null-free lineitem
+    # fixture, but the isNotNull guard makes the two-level aggregate
+    # match countDistinct semantics for ANY input.
     parts = (
         li.select("l_returnflag", "l_partkey")
+        .where(F.col("l_partkey").isNotNull())
         .distinct()
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("exact_parts"))
     )
     supps = (
         li.select("l_returnflag", "l_suppkey")
+        .where(F.col("l_suppkey").isNotNull())
         .distinct()
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("exact_supps"))

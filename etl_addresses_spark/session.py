@@ -50,7 +50,18 @@ class scoped_shuffle_partitions:
     size a shuffle from measured data (streaming state stores, the BPE
     trainer's vocab-sized pair counts).  The value only needs to hold
     while the scoped plan is CREATED/STARTED; the session default is
-    restored for whatever runs next.  n=None is a no-op."""
+    restored for whatever runs next.  n=None is a no-op.
+
+    SINGLE-THREADED-DRIVER assumption (r10 advice): the override
+    mutates the session-global conf, so any query PLANNED concurrently
+    on the same SparkSession (parallel driver threads, a streaming
+    query started inside another scope) silently inherits the scoped
+    width, and nested scopes restore correctly only in LIFO order.
+    Every caller in this repo plans queries from one driver thread
+    (the harness contract); a multi-threaded driver would need
+    per-query overrides (e.g. a writeStream option) instead.  Note
+    that EXECUTION may overlap freely — the width is baked into the
+    physical plan at creation, which is all the scope protects."""
 
     _KEY = "spark.sql.shuffle.partitions"
 

@@ -201,6 +201,18 @@ def state_partitions_for(source_path: str) -> int:
                     total += os.path.getsize(os.path.join(root, f))
                 except OSError:
                     pass
+    if total == 0:
+        # r10 advice: a typo'd table name / missing events.parquet
+        # reached the same silent-floor failure mode the flat-file fix
+        # removed — os.walk on a nonexistent dir yields nothing.  The
+        # partition count gets PINNED into the checkpoint on first
+        # start, so an undersized layout from a mis-resolved path is
+        # permanent; fail loudly instead.
+        raise FileNotFoundError(
+            f"state_partitions_for: source path {source_path!r} does not"
+            " exist or contains no files — cannot size state-store"
+            " partitions from zero measured volume"
+        )
     return max(
         STREAM_STATE_MIN_PARTITIONS,
         math.ceil(total / STREAM_STATE_BYTES_PER_PARTITION),

@@ -75,3 +75,24 @@ def test_bm25_inverted_equals_dense(spark):
     # positive, i.e. the top-20 never dips into zero-score docs the
     # inverted scored-set does not contain
     assert min(s for _d, s in dense) > 0.0
+
+
+def test_bm25_inverted_short_corpus_raises(spark, tmp_path):
+    """r10 advice: the dense oracle zero-pads its top-20 when fewer
+    than 20 docs contain a query term; the inverted plan now asserts
+    that precondition at runtime so a violating corpus fails LOUDLY
+    instead of silently hash-diverging."""
+    import pytest
+
+    from etl_addresses_spark.operators.llmtext import bm25_topk_inverted
+
+    spark.createDataFrame(
+        [
+            (i, "table scan merge" if i < 5 else "nothing relevant here",
+             "en", "web", 17)
+            for i in range(30)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    with pytest.raises(Exception, match="scored set smaller than k"):
+        bm25_topk_inverted(spark, str(tmp_path)).collect()

@@ -58,6 +58,19 @@ def test_state_partitions_flat_file_and_dir(tmp_path):
     assert state_partitions_for(str(tiny)) == STREAM_STATE_MIN_PARTITIONS
 
 
+def test_state_partitions_missing_or_empty_path_raises(tmp_path):
+    """r10 advice: a typo'd table name or missing events.parquet used
+    to silently return the floor — the same failure mode the flat-file
+    fix removed, and worse here because the undersized count gets
+    pinned into the streaming checkpoint.  Must fail loudly."""
+    with pytest.raises(FileNotFoundError, match="does not.*exist|no files"):
+        state_partitions_for(str(tmp_path / "no_such_table.parquet"))
+    empty = tmp_path / "empty.parquet"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        state_partitions_for(str(empty))
+
+
 def test_events_state_partitions_uses_only_events_table(tmp_path):
     """Regression test for the r10 review finding with a fixture that
     actually DISCRIMINATES: an sf dir whose events table is above the
