@@ -16,12 +16,13 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_addresses_spark.operators import (
     clustering,
     dedup,
+    diversity,
     graph,
     linalg,
     llmtext,
     lmquality,
-    retrieval,
     polygon,
+    retrieval,
     scalepatterns,
     similarity,
 )
@@ -149,6 +150,14 @@ _ALL: dict[str, Entry] = {
         name: Entry(fn, sql)
         for name, (fn, sql) in retrieval.QUERIES_RETRIEVAL.items()
     },
+    # round 11: diversity-aware selection — MMR re-ranking over the
+    # cosine candidate list and corpus-global k-center greedy
+    # sampling; fixed-step greedy loops unrolled into chained CTEs
+    # for the oracle (the pagerank/labelprop technique).
+    **{
+        name: Entry(fn, sql)
+        for name, (fn, sql) in diversity.QUERIES_DIVERSITY.items()
+    },
     **{
         name: Entry(fn, sql)
         for name, (fn, sql) in linalg.QUERIES_LINALG.items()
@@ -257,73 +266,73 @@ _ALL = {
 }
 
 # The grading driver cross-checks exactly the FIRST 50 registry entries
-# (dict order) against DuckDB each round.  Round-10 rotation, derived
-# MECHANICALLY from tools/evidence/coverage_ledger_r09.md (oldest-first,
-# every round — the binding form of the staleness invariant given the
-# 173-entry/50-slot pigeonhole): the round's FIVE new entries (no
-# driver evidence yet = oldest of all), the 20 entries whose latest
-# driver evidence is r06 (the tail the r09 window could not fit,
-# q11_important_parts first per the r9 verdict), then the
-# alphabetically-first 25 r07 entries.  tests/test_driver_window.py
-# recomputes this list from the committed CORRECTNESS_r*.json
+# (dict order) against DuckDB each round.  Round-11 rotation, derived
+# MECHANICALLY from the committed CORRECTNESS_r*.json artifacts
+# (oldest-first, every round — the binding form of the staleness
+# invariant given the 177-entry/50-slot pigeonhole): the round's TWO
+# new entries (no driver evidence yet = oldest of all), the 25 entries
+# whose latest driver evidence is r07 (the tail the r10 window could
+# not fit — the two multimodal rows the r10 registrations displaced go
+# first alphabetically), then the alphabetically-first 23 r08 entries.
+# tests/test_driver_window.py recomputes this list from the committed
 # artifacts, so a transcription slip (the r8 `bucketed_join_colocated`
-# incident) fails pytest.  The r07 tail that does not fit stays
+# incident) fails pytest.  The r08 tail that does not fit stays
 # full-sweep-green at HEAD via CORRECTNESS_FULL artifacts and goes
-# FIRST into the r11 window.
+# FIRST into the r12 window.
 DRIVER_WINDOW: list[str] = [
-    # -- NEW this round (no driver evidence yet; rrf added late) ----
-    "ann_ivf_pq_recall",
-    "ann_ivf_pq_topk",
-    "bm25_topk_inverted",
-    "bpe_merge_table_k64",
-    "rrf_hybrid_topk",
-    # -- latest driver evidence is ROUND 6 (ledger tail, all 20) ----
-    "q11_important_parts",
-    "q12_priority_by_status",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q20_dominant_suppliers",
-    "q22_idle_customers",
-    "quality_budget_select",
-    "quality_classifier_score",
-    "quality_gopher_flags",
-    "repetition_ngram_score",
-    "sample_fixed_k",
-    "sample_stratified",
-    "scalar_array_funcs",
-    "set_union_buyers",
-    "text_top_terms",
-    "unpivot_measures",
-    # -- latest driver evidence is ROUND 7 (ledger order, first 27) -
-    "agg_distinct_counts",
-    "agg_percentiles",
-    "agg_pricing_summary",
-    "agg_rollup",
-    "ann_quantized_topk",
-    "anomaly_zscore_events",
-    "bpe_encode_stats",
-    "bpe_merge_table",
-    "contrastive_hard_negatives",
-    "dedup_clusters_star",
-    "dedup_incremental_lsh",
-    "delimited_roundtrip_csv",
-    "docs_with_embeddings",
-    "drift_ks_events",
-    "embedding_near_dup",
-    "events_ohlc_bars",
-    "fuzzy_name_match_blocked",
-    "interval_overlap_bucketed",
-    "join_anti_customers",
-    "join_outer_order_counts",
-    "join_region_volume",
-    "join_semi_orders",
-    "mixture_rebalance",
-    "multimodal_audio_features",
-    "multimodal_decode",
+    # -- NEW this round (no driver evidence yet) --------------------
+    "kcenter_diverse_sample",
+    "mmr_rerank_topk",
+    # -- latest driver evidence is ROUND 7 (the 25-entry tail) ------
+    "multimodal_frame_sample",
+    "multimodal_image_dedup",
+    "multimodal_meta",
+    "multimodal_pixel_stats",
+    "partitioned_sink_prune",
+    "pipeline_curate_stats",
+    "rawtext_log_roundtrip",
+    "reference_e2e_ndjson",
+    "relation_degrees",
+    "semantic_dedup",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
+    "skew_salted_distinct",
+    "spatiotemporal_join_knn",
+    "split_train_val_test",
+    "sql_grouping_sets",
+    "stream_purchase_view_join",
+    "stream_session_windows",
+    "stream_stateful_user_totals",
+    "stream_static_enrich",
+    "stream_windowed_counts",
+    "token_count_bpe",
+    "triangle_count",
+    "window_range_time",
+    "zorder_extents",
+    # -- latest driver evidence is ROUND 8 (alphabetical, first 23) -
+    "agg_cube",
+    "agg_pivot_case",
+    "ann_ivf_topk",
+    "ann_recall_eval",
+    "asof_join_events",
+    "bucketed_join_colocated",
+    "cosine_topk_fast",
+    "dedup_clusters",
+    "dedup_exact",
+    "drift_psi_events",
+    "embedding_gram_matrix",
+    "embedding_pc_scores",
+    "embedding_top_pc",
+    "events_sessionize",
+    "fuzzy_name_match",
+    "fuzzy_name_match_passjoin",
+    "fuzzy_title_match_passjoin",
+    "graph_bfs_distances",
+    "graph_communities_labelprop",
+    "join_topk_order_revenue",
+    "merge_upsert",
+    "ngram_jaccard_pairs",
+    "q19_disjunctive_revenue",
 ]
 
 
