@@ -50,3 +50,43 @@ def loop_partitions(n_rows: int) -> int:
     row count is `n_rows` (typically the edge count; the node/label
     side is never larger)."""
     return max(LOOP_MIN_PARTITIONS, math.ceil(n_rows / LOOP_ROWS_PER_PARTITION))
+
+
+# --- CPU-dense exchange width (r11) ---------------------------------------
+#
+# AQE's partition coalescing reasons in BYTES (advisoryPartitionSizeInBytes)
+# and cannot see per-row CPU density.  With parallelismFirst=false it
+# will happily coalesce a 20 MB shuffle to ONE partition — correct for
+# a projection, catastrophic for a stage whose per-row work is heavy
+# (3-gram shingling, 64-permutation MinHash, md5 fingerprints,
+# adjacency-array intersection): the r11 A/B measured minhash_lsh_pairs
+# at 3.66x when its cached shingle set collapsed to one partition.
+# Those exchanges get an EXPLICIT width instead (user-specified
+# numPartitions — AQE neither splits nor coalesces it): never below
+# cluster default parallelism, bytes-proportional past it, so at
+# 100 TB the width follows data volume and at test scale a CPU stage
+# always covers the cores.
+
+CPU_STAGE_BYTES_PER_PARTITION = 64 << 20
+
+# Catalyst's unknown-stats sentinel is huge (2^63-ish); treat anything
+# absurd as "stats unavailable" and fall back to parallelism-only.
+_PLAN_BYTES_SANE_MAX = 1 << 50
+
+
+def plan_size_bytes(df) -> int:
+    """Catalyst's optimized-plan size estimate for a DataFrame — file
+    statistics for scans, propagated estimates downstream.  No job is
+    run.  Returns 0 when stats are unusable."""
+    try:
+        n = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 0
+    return n if 0 < n < _PLAN_BYTES_SANE_MAX else 0
+
+
+def cpu_partitions(df) -> int:
+    """Explicit exchange width for a CPU-dense stage fed by `df`:
+    max(cluster default parallelism, plan-bytes / 64 MiB)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return max(par, math.ceil(plan_size_bytes(df) / CPU_STAGE_BYTES_PER_PARTITION))

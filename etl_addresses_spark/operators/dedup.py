@@ -123,7 +123,20 @@ def _shingles(c: DataFrame) -> DataFrame:
     The split-words array is materialized in its own projection first:
     inlining `split(text)` into the per-element lambda would re-split
     the whole text for every element access (O(words^2) per doc —
-    measured 4x slowdown on long docs)."""
+    measured 4x slowdown on long docs).
+
+    The dedup exchange carries an EXPLICIT width (cpu_partitions —
+    AQE neither splits nor coalesces a user-specified numPartitions):
+    every consumer caches this frame and runs CPU-dense work on its
+    partitioning (64-permutation MinHash, md5 banding, the inverted
+    self-join), and AQE's byte-based coalescing serialized exactly
+    that work onto one partition in the r11 parallelismFirst A/B
+    (minhash_lsh_pairs 3.66x).  repartition on the dedup keys
+    satisfies dropDuplicates' clustering requirement, so the explicit
+    exchange REPLACES the distinct's own shuffle rather than adding
+    one."""
+    from etl_addresses_spark.functions.sizing import cpu_partitions
+
     words = c.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     w = F.col("w")
     sh = F.when(
@@ -135,7 +148,11 @@ def _shingles(c: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return words.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    return (
+        words.select("doc_id", F.explode(sh).alias("shingle"))
+        .repartition(cpu_partitions(c), "doc_id", "shingle")
+        .dropDuplicates()
+    )
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

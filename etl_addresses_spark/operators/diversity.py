@@ -46,6 +46,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_addresses_spark.ckpt import CheckpointChain
+from etl_addresses_spark.functions.sizing import loop_partitions
+from etl_addresses_spark.session import scoped_shuffle_partitions
 from etl_addresses_spark.operators.similarity import (
     _duckdb_dot,
     _norm_col,
@@ -133,28 +135,35 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam = F.lit(MMR_LAMBDA)
     chain = CheckpointChain()
     sel = spark.createDataFrame([], "step int, doc_id long, mmr double")
-    for t in range(1, MMR_TOPK + 1):
-        sel_ids = sel.select(F.col("doc_id").alias("sid"))
-        max_sim = (
-            sims.join(sel_ids, sims.s == F.col("sid"))
-            .groupBy("d")
-            .agg(F.max("sim").alias("ms"))
-        )
-        pick = (
-            rel.join(sel_ids, rel.doc_id == F.col("sid"), "left_anti")
-            .join(max_sim, rel.doc_id == max_sim.d, "left")
-            .select(
-                F.lit(t).alias("step"),
-                "doc_id",
-                (
-                    lam * F.col("rel")
-                    - (F.lit(1.0) - lam) * F.coalesce(F.col("ms"), F.lit(0.0))
-                ).alias("mmr"),
+    # every per-step frame is <= MMR_CAND rows: run the loop's shuffles
+    # at the sizing floor instead of the corpus-sized session width —
+    # 10 steps of near-empty 32-task stages were most of the row's cost
+    # (the loop_partitions precedent; integer ids + fixed-association
+    # floats, so width cannot move values)
+    with scoped_shuffle_partitions(spark, loop_partitions(MMR_CAND)):
+        for t in range(1, MMR_TOPK + 1):
+            sel_ids = sel.select(F.col("doc_id").alias("sid"))
+            max_sim = (
+                sims.join(sel_ids, sims.s == F.col("sid"))
+                .groupBy("d")
+                .agg(F.max("sim").alias("ms"))
             )
-            .orderBy(F.desc("mmr"), F.asc("doc_id"))
-            .limit(1)
-        )
-        sel = chain.step(sel.unionByName(pick), "mmr_sel")
+            pick = (
+                rel.join(sel_ids, rel.doc_id == F.col("sid"), "left_anti")
+                .join(max_sim, rel.doc_id == max_sim.d, "left")
+                .select(
+                    F.lit(t).alias("step"),
+                    "doc_id",
+                    (
+                        lam * F.col("rel")
+                        - (F.lit(1.0) - lam)
+                        * F.coalesce(F.col("ms"), F.lit(0.0))
+                    ).alias("mmr"),
+                )
+                .orderBy(F.desc("mmr"), F.asc("doc_id"))
+                .limit(1)
+            )
+            sel = chain.step(sel.unionByName(pick), "mmr_sel")
     return sel
 
 
@@ -227,6 +236,7 @@ def kcenter_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow passes over 100 TB, embarrassingly parallel, is the
     canonical coreset-seeding plan."""
     emb = _corpus_emb(spark, sf_dir).localCheckpoint()
+    n_emb = emb.count()  # free post-checkpoint; sizes the loop below
     chain = CheckpointChain()
 
     seed = emb.filter(F.col("vec_id") == KCENTER_SEED).select(
@@ -257,36 +267,42 @@ def kcenter_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = spark.createDataFrame(
         [(1, KCENTER_SEED, 0.0)], "step int, vec_id long, max_cos double"
     )
-    for t in range(2, KCENTER_K + 1):
-        state = chain.step(state, "kcenter_state")
-        far = state.orderBy(F.asc("max_cos"), F.asc("vec_id")).limit(1)
-        sel = chain.step(
-            sel.unionByName(
-                far.select(F.lit(t).alias("step"), "vec_id", "max_cos")
-            ),
-            "kcenter_sel",
-        )
-        new_c = far.select(
-            F.col("vec_id").alias("c_id"),
-            F.col("embedding").alias("c_emb"),
-            F.col("norm").alias("c_norm"),
-        )
-        state = (
-            state.crossJoin(F.broadcast(new_c))
-            .filter(F.col("vec_id") != F.col("c_id"))
-            .select(
-                "vec_id",
-                "embedding",
-                "norm",
-                F.greatest(
-                    F.col("max_cos"),
-                    _cos_col(
-                        F.col("c_emb"), F.col("embedding"),
-                        F.col("c_norm"), F.col("norm"),
-                    ),
-                ).alias("max_cos"),
+    # the per-step state transformation is a NARROW map (1-row
+    # broadcast join + greatest fold — no state shuffle at all); the
+    # only shuffled frames are the <= k-row pick/sel unions, so the
+    # loop runs at the state-derived width (floor at test scale,
+    # bytes-proportional on a real corpus)
+    with scoped_shuffle_partitions(spark, loop_partitions(n_emb)):
+        for t in range(2, KCENTER_K + 1):
+            state = chain.step(state, "kcenter_state")
+            far = state.orderBy(F.asc("max_cos"), F.asc("vec_id")).limit(1)
+            sel = chain.step(
+                sel.unionByName(
+                    far.select(F.lit(t).alias("step"), "vec_id", "max_cos")
+                ),
+                "kcenter_sel",
             )
-        )
+            new_c = far.select(
+                F.col("vec_id").alias("c_id"),
+                F.col("embedding").alias("c_emb"),
+                F.col("norm").alias("c_norm"),
+            )
+            state = (
+                state.crossJoin(F.broadcast(new_c))
+                .filter(F.col("vec_id") != F.col("c_id"))
+                .select(
+                    "vec_id",
+                    "embedding",
+                    "norm",
+                    F.greatest(
+                        F.col("max_cos"),
+                        _cos_col(
+                            F.col("c_emb"), F.col("embedding"),
+                            F.col("c_norm"), F.col("norm"),
+                        ),
+                    ).alias("max_cos"),
+                )
+            )
     return sel
 
 

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_addresses_spark.ckpt import CheckpointChain
-from etl_addresses_spark.functions.sizing import loop_partitions
+from etl_addresses_spark.functions.sizing import cpu_partitions, loop_partitions
 from etl_addresses_spark.session import scoped_shuffle_partitions
 
 DAMPING = 0.85
@@ -43,12 +43,16 @@ _DEC = "decimal(38,18)"
 
 def pagerank(edges: DataFrame, iters: int = PR_ITERS, damping: float = DAMPING) -> DataFrame:
     """PageRank over (from_id, to_id) edges; returns (node, rank)."""
+    # explicit width on the cached edge exchange (r11: AQE byte-based
+    # coalescing must not serialize the per-round rank join's probe
+    # side; cpu_partitions falls back to default parallelism when the
+    # upstream plan has no usable size stats)
     e = (
         edges.select(
             F.col("from_id").alias("src"), F.col("to_id").alias("dst")
         )
         .distinct()
-        .repartition("src")
+        .repartition(cpu_partitions(edges), "src")
         .cache()
     )
     nodes = (
@@ -263,7 +267,19 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is one order's part set — bounded by order size, not corpus.
     # edges feeds the degree count twice (u side, v side) and the
     # orientation join once; cache so the build runs once.
-    per_order = li.groupBy("ok").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    # Explicit widths on both edge-build exchanges (r11): the pair
+    # explosion runs ON the groupBy's output partitioning and the
+    # cached edge set feeds the CPU-dense adjacency-intersection
+    # probe — byte-based AQE coalescing serialized both under
+    # parallelismFirst=false (triangle_count 1.56x in the A/B).
+    # repartition on the agg/dedup keys is absorbed by the downstream
+    # groupBy/dropDuplicates, so the exchange count is unchanged.
+    n_cpu = cpu_partitions(li)
+    per_order = (
+        li.repartition(n_cpu, "ok")
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    )
     pair_expr = F.expr(
         "explode(flatten(transform(ps, (x, i) -> "
         "transform(slice(ps, i + 2, size(ps) - i - 1), "
@@ -272,7 +288,8 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         per_order.select(pair_expr.alias("e"))
         .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
-        .distinct()
+        .repartition(n_cpu, "u", "v")
+        .dropDuplicates()
         .cache()
     )
     deg = (
@@ -445,7 +462,15 @@ def graph_communities_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    per_order = li.groupBy("ok").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    # explicit widths on the CPU-dense build exchanges (r11, same
+    # rationale as triangle_count: byte-based AQE coalescing would
+    # serialize the pair explosion / dedup / cached neighbor probe)
+    n_cpu = cpu_partitions(li)
+    per_order = (
+        li.repartition(n_cpu, "ok")
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    )
     pair_expr = F.expr(
         "explode(flatten(transform(ps, (x, i) -> "
         "transform(slice(ps, i + 2, size(ps) - i - 1), "
@@ -454,12 +479,13 @@ def graph_communities_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         per_order.select(pair_expr.alias("e"))
         .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
-        .distinct()
+        .repartition(n_cpu, "u", "v")
+        .dropDuplicates()
     )
     nbr = (
         edges.select(F.col("u").alias("v_"), F.col("v").alias("w"))
         .unionAll(edges.select(F.col("v").alias("v_"), F.col("u").alias("w")))
-        .repartition("w")
+        .repartition(n_cpu, "w")
         .cache()
     )
     labels = nbr.select(F.col("v_").alias("node")).distinct().select(
@@ -573,7 +599,15 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    per_order = li.groupBy("ok").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    # explicit widths on the CPU-dense build exchanges (r11, same
+    # rationale as triangle_count: byte-based AQE coalescing would
+    # serialize the pair explosion / dedup / cached neighbor probe)
+    n_cpu = cpu_partitions(li)
+    per_order = (
+        li.repartition(n_cpu, "ok")
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    )
     pair_expr = F.expr(
         "explode(flatten(transform(ps, (x, i) -> "
         "transform(slice(ps, i + 2, size(ps) - i - 1), "
@@ -582,12 +616,13 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         per_order.select(pair_expr.alias("e"))
         .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
-        .distinct()
+        .repartition(n_cpu, "u", "v")
+        .dropDuplicates()
     )
     nbr = (
         edges.select(F.col("u").alias("v_"), F.col("v").alias("w"))
         .unionAll(edges.select(F.col("v").alias("v_"), F.col("u").alias("w")))
-        .repartition("v_")
+        .repartition(n_cpu, "v_")
         .cache()
     )
     seeds = (

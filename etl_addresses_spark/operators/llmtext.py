@@ -407,12 +407,36 @@ def bm25_scored(d: DataFrame) -> DataFrame:
     return scored.select("doc_id", _bm25_score_col().alias("bm25"))
 
 
+# Regime gate (r10 verdict item 5, the fuzzy-dispatcher precedent):
+# the dense tier widens ONE COLUMN PER QUERY TERM over the whole
+# corpus — unbeatable for a small fixed vocabulary on a small corpus
+# (one narrow pass, no explode), but its 10x ladder measured 3.15x
+# wall growth vs the inverted tier's corpus-flat 0.83x on the same
+# replica (tools/evidence/r10_scale_*/SCALE.md).  Past this source-
+# bytes threshold (Catalyst file statistics — no job) the dispatcher
+# switches to the postings plan.  The two tiers are STRICT hash-equal
+# (bm25_topk_inverted shares BM25_TOPK_SQL verbatim), so the gate can
+# never change results — only the physical plan.
+BM25_DENSE_MAX_BYTES = 128 << 20
+
+
+def bm25_tier_for(nbytes: int) -> str:
+    """'dense' below the corpus-bytes gate, 'inverted' past it."""
+    return "dense" if nbytes <= BM25_DENSE_MAX_BYTES else "inverted"
+
+
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-20 for the fixed query {table hash scan merge} (see
-    bm25_scored for the plan story); the finisher is
-    TakeOrderedAndProject — no global sort."""
+    """BM25 top-20 for the fixed query {table hash scan merge} —
+    regime-gated dispatcher: dense per-term-column tier below
+    BM25_DENSE_MAX_BYTES of corpus, inverted postings tier past it
+    (see bm25_tier_for above; both end in TakeOrderedAndProject)."""
+    from etl_addresses_spark.functions.sizing import plan_size_bytes
+
+    d = load_table(spark, sf_dir, "documents")
+    if bm25_tier_for(plan_size_bytes(d)) == "inverted":
+        return bm25_topk_inverted(spark, sf_dir)
     return (
-        bm25_scored(load_table(spark, sf_dir, "documents"))
+        bm25_scored(d)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_BM25_TOPK)
     )

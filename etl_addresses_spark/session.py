@@ -24,6 +24,16 @@ def get_spark(app_name: str = "etl_addresses_spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # parallelismFirst=true (the Spark default) refuses to coalesce
+        # below default parallelism, so on local[32] every small shuffle
+        # still pays 32 tasks of fixed overhead — the exact fixed-cost
+        # regime the r10 count-gate width rules kept finding by hand.
+        # Spark's own config doc recommends false for production; the
+        # env knob exists for A/B runs (tools/evidence ledger r11).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
@@ -64,6 +74,14 @@ class scoped_shuffle_partitions:
     physical plan at creation, which is all the scope protects."""
 
     _KEY = "spark.sql.shuffle.partitions"
+    # A scoped width is a COUNT-DERIVED decision (loop state rows,
+    # vocab size, stream volume); letting AQE's byte heuristic coalesce
+    # below it re-introduces the serialization hazard the floor-4 rule
+    # measured (r11: labelprop 1.9x when its loop rounds collapsed to
+    # one partition under parallelismFirst=false).  So inside a scope
+    # the chosen width is authoritative: parallelismFirst pins to true
+    # for the scope's actions and the session default returns on exit.
+    _KEY_PF = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
 
     def __init__(self, spark: SparkSession, n: int | None):
         self._spark, self._n = spark, n
@@ -71,10 +89,13 @@ class scoped_shuffle_partitions:
     def __enter__(self):
         if self._n is not None:
             self._old = self._spark.conf.get(self._KEY)
+            self._old_pf = self._spark.conf.get(self._KEY_PF)
             self._spark.conf.set(self._KEY, str(self._n))
+            self._spark.conf.set(self._KEY_PF, "true")
         return self
 
     def __exit__(self, *exc):
         if self._n is not None:
             self._spark.conf.set(self._KEY, self._old)
+            self._spark.conf.set(self._KEY_PF, self._old_pf)
         return False

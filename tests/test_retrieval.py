@@ -77,6 +77,23 @@ def test_bm25_inverted_equals_dense(spark):
     assert min(s for _d, s in dense) > 0.0
 
 
+def test_bm25_regime_gate(spark):
+    """The dispatcher rule (r10 verdict item 5): dense below the
+    corpus-bytes gate, inverted past it; at fixture scale the chosen
+    plan must be the dense shape (no posting-list explode)."""
+    from etl_addresses_spark.operators.llmtext import (
+        BM25_DENSE_MAX_BYTES,
+        bm25_tier_for,
+        bm25_topk,
+    )
+
+    assert bm25_tier_for(0) == "dense"
+    assert bm25_tier_for(BM25_DENSE_MAX_BYTES) == "dense"
+    assert bm25_tier_for(BM25_DENSE_MAX_BYTES + 1) == "inverted"
+    plan = bm25_topk(spark, SF_ORACLE)._jdf.queryExecution().optimizedPlan().toString()
+    assert "explode" not in plan.lower()
+
+
 def test_bm25_inverted_short_corpus_raises(spark, tmp_path):
     """r10 advice: the dense oracle zero-pads its top-20 when fewer
     than 20 docs contain a query term; the inverted plan now asserts

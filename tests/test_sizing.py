@@ -6,9 +6,12 @@ from __future__ import annotations
 import pytest
 
 from etl_addresses_spark.functions.sizing import (
+    CPU_STAGE_BYTES_PER_PARTITION,
     LOOP_MIN_PARTITIONS,
     LOOP_ROWS_PER_PARTITION,
+    cpu_partitions,
     loop_partitions,
+    plan_size_bytes,
 )
 from etl_addresses_spark.session import scoped_shuffle_partitions
 from etl_addresses_spark.streaming.event_stream import (
@@ -30,6 +33,25 @@ def test_loop_partitions_floor_and_quantum():
     # monotone
     widths = [loop_partitions(n) for n in range(0, big, big // 57)]
     assert widths == sorted(widths)
+
+
+def test_cpu_partitions_floor_and_bytes(spark):
+    """cpu_partitions never drops below cluster default parallelism
+    (the CPU-coverage guarantee AQE's byte heuristic cannot give) and
+    grows bytes-proportionally past it."""
+    par = spark.sparkContext.defaultParallelism
+    small = spark.range(10)
+    assert cpu_partitions(small) == par
+    # plan stats exist and are sane for a trivial range
+    assert 0 <= plan_size_bytes(small) < CPU_STAGE_BYTES_PER_PARTITION
+    # a frame with unusable stats falls back to parallelism-only
+    class _Fake:
+        sparkSession = spark
+        class _J:
+            def queryExecution(self):
+                raise RuntimeError("no stats")
+        _jdf = _J()
+    assert cpu_partitions(_Fake()) == par
 
 
 def _sparse(path, nbytes):
