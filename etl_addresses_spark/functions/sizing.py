@@ -87,6 +87,14 @@ def plan_size_bytes(df) -> int:
 
 def cpu_partitions(df) -> int:
     """Explicit exchange width for a CPU-dense stage fed by `df`:
-    max(cluster default parallelism, plan-bytes / 64 MiB)."""
+    max(cluster default parallelism, plan-bytes / 64 MiB).
+
+    SCAN-GRADE FRAMES ONLY: pass a frame whose optimized plan is a
+    file scan plus narrow projections/filters, where sizeInBytes is
+    file statistics.  Join/aggregate-derived frames carry PROPAGATED
+    estimates that can be inflated by orders of magnitude (measured
+    r11: 72 GB estimated for pagerank's 2 MB relations frame -> a
+    ~1100-partition pin -> 10x ladder wall 142 s).  Derived frames
+    should keep an AQE-managed repartition instead."""
     par = df.sparkSession.sparkContext.defaultParallelism
     return max(par, math.ceil(plan_size_bytes(df) / CPU_STAGE_BYTES_PER_PARTITION))

@@ -43,16 +43,21 @@ _DEC = "decimal(38,18)"
 
 def pagerank(edges: DataFrame, iters: int = PR_ITERS, damping: float = DAMPING) -> DataFrame:
     """PageRank over (from_id, to_id) edges; returns (node, rank)."""
-    # explicit width on the cached edge exchange (r11: AQE byte-based
-    # coalescing must not serialize the per-round rank join's probe
-    # side; cpu_partitions falls back to default parallelism when the
-    # upstream plan has no usable size stats)
+    # NO explicit width here (r11 lesson): `edges` is the flagship
+    # transform output, and Catalyst's join-propagated size estimate
+    # for it is inflated ~30000x (72 GB for a 2 MB frame) — an
+    # explicit cpu_partitions() pin from that estimate exploded the
+    # cached edge table to ~1100 partitions and drove the 10x ladder
+    # to 142 s (10.1x wall).  cpu_partitions is for SCAN-GRADE frames
+    # only (see its docstring); derived frames keep the AQE-managed
+    # repartition, which under the session default never drops below
+    # cluster parallelism.
     e = (
         edges.select(
             F.col("from_id").alias("src"), F.col("to_id").alias("dst")
         )
         .distinct()
-        .repartition(cpu_partitions(edges), "src")
+        .repartition("src")
         .cache()
     )
     nodes = (
@@ -267,19 +272,15 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is one order's part set — bounded by order size, not corpus.
     # edges feeds the degree count twice (u side, v side) and the
     # orientation join once; cache so the build runs once.
-    # Explicit widths on both edge-build exchanges (r11): the pair
-    # explosion runs ON the groupBy's output partitioning and the
-    # cached edge set feeds the CPU-dense adjacency-intersection
-    # probe — byte-based AQE coalescing serialized both under
-    # parallelismFirst=false (triangle_count 1.56x in the A/B).
-    # repartition on the agg/dedup keys is absorbed by the downstream
-    # groupBy/dropDuplicates, so the exchange count is unchanged.
-    n_cpu = cpu_partitions(li)
-    per_order = (
-        li.repartition(n_cpu, "ok")
-        .groupBy("ok")
-        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
-    )
+    # NOTE (r11 width audit): an explicit repartition+dropDuplicates
+    # form was tried on the pair dedup and REVERTED — unlike the
+    # near-unique shingle keys in dedup._shingles, co-purchase pairs
+    # repeat across orders, so the map-side partial aggregation that
+    # distinct() plans is real work saved (10x A/B: labelprop 27.2 s
+    # with the explicit form vs 22.0 s with distinct(); triangle
+    # 14.5 vs 13.8).  Under the session default AQE never coalesces
+    # these exchanges below cluster parallelism.
+    per_order = li.groupBy("ok").agg(F.sort_array(F.collect_set("p")).alias("ps"))
     pair_expr = F.expr(
         "explode(flatten(transform(ps, (x, i) -> "
         "transform(slice(ps, i + 2, size(ps) - i - 1), "
@@ -288,8 +289,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         per_order.select(pair_expr.alias("e"))
         .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
-        .repartition(n_cpu, "u", "v")
-        .dropDuplicates()
+        .distinct()
         .cache()
     )
     deg = (
@@ -462,15 +462,13 @@ def graph_communities_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    # explicit widths on the CPU-dense build exchanges (r11, same
-    # rationale as triangle_count: byte-based AQE coalescing would
-    # serialize the pair explosion / dedup / cached neighbor probe)
+    # pair dedup stays distinct() — see the triangle_count note (the
+    # explicit repartition+dropDuplicates form lost its partial
+    # aggregation and measured slower at 10x).  The cached neighbor
+    # table DOES get an explicit width: it feeds every loop round's
+    # probe side and must not be byte-coalesced under any AQE config.
     n_cpu = cpu_partitions(li)
-    per_order = (
-        li.repartition(n_cpu, "ok")
-        .groupBy("ok")
-        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
-    )
+    per_order = li.groupBy("ok").agg(F.sort_array(F.collect_set("p")).alias("ps"))
     pair_expr = F.expr(
         "explode(flatten(transform(ps, (x, i) -> "
         "transform(slice(ps, i + 2, size(ps) - i - 1), "
@@ -479,8 +477,7 @@ def graph_communities_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         per_order.select(pair_expr.alias("e"))
         .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
-        .repartition(n_cpu, "u", "v")
-        .dropDuplicates()
+        .distinct()
     )
     nbr = (
         edges.select(F.col("u").alias("v_"), F.col("v").alias("w"))
@@ -599,15 +596,13 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    # explicit widths on the CPU-dense build exchanges (r11, same
-    # rationale as triangle_count: byte-based AQE coalescing would
-    # serialize the pair explosion / dedup / cached neighbor probe)
+    # pair dedup stays distinct() — see the triangle_count note (the
+    # explicit repartition+dropDuplicates form lost its partial
+    # aggregation and measured slower at 10x).  The cached neighbor
+    # table DOES get an explicit width: it feeds every loop round's
+    # probe side and must not be byte-coalesced under any AQE config.
     n_cpu = cpu_partitions(li)
-    per_order = (
-        li.repartition(n_cpu, "ok")
-        .groupBy("ok")
-        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
-    )
+    per_order = li.groupBy("ok").agg(F.sort_array(F.collect_set("p")).alias("ps"))
     pair_expr = F.expr(
         "explode(flatten(transform(ps, (x, i) -> "
         "transform(slice(ps, i + 2, size(ps) - i - 1), "
@@ -616,8 +611,7 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         per_order.select(pair_expr.alias("e"))
         .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
-        .repartition(n_cpu, "u", "v")
-        .dropDuplicates()
+        .distinct()
     )
     nbr = (
         edges.select(F.col("u").alias("v_"), F.col("v").alias("w"))
