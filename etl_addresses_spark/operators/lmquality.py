@@ -320,25 +320,45 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the scale story of semantic dedup: clustering makes the
     O(n^2) pairwise cosine LOCAL to a cluster (sizes ~n/k), so the
     pair join is an equi-join on list_id — never all-pairs across the
-    corpus.  The cost balance is measured in SCALE.md: with k ∝ n
-    (fixed centroid_mod) the broadcast ASSIGNMENT crossJoin is the
-    n x k quadratic term; with k fixed the intra-cluster pair join is.
-    The production setting is k ∝ sqrt(n) (both terms n^1.5), and past
+    corpus.  The cost balance: with k ∝ n (a fixed centroid_mod) the
+    broadcast ASSIGNMENT crossJoin is the n x k quadratic term — the
+    r11 30x ladder measured exactly that, wall 38.7x on 12.2x input —
+    and with k fixed the intra-cluster pair join is.  Since r11 the
+    registry row therefore derives the centroid DENSITY from the
+    corpus count IN-PLAN (mod = floor(sqrt(n)) => k ~ sqrt(n), both
+    terms ~n^1.5 — the production balance point): a 1-row count
+    aggregate broadcast into the centroid filter, mirrored by an
+    identical scalar CTE in the oracle, so the two engines derive the
+    IDENTICAL mod (count, sqrt, floor are all exact/IEEE).  Past
     broadcastable k the assignment swaps to the SRP-LSH bucketing
     (`similarity.embedding_srp_lsh_pairs`) — same output contract.
     All cosines are sequential-fold dots, bit-equal in both engines, so
     the threshold boolean cannot flip.
     """
-    return semantic_dedup_for(
-        load_table(spark, sf_dir, "embeddings"), SEMDEDUP_CENTROID_MOD
-    )
+    return semantic_dedup_for(load_table(spark, sf_dir, "embeddings"), None)
 
 
 def semantic_dedup_for(
-    e: DataFrame, centroid_mod: int = SEMDEDUP_CENTROID_MOD
+    e: DataFrame, centroid_mod: int | None = SEMDEDUP_CENTROID_MOD
 ) -> DataFrame:
+    """centroid_mod=None derives mod = max(1, floor(sqrt(n))) from the
+    corpus count in-plan (1-row aggregate broadcast into the filter —
+    no collect); an explicit mod keeps the fixed-density behavior for
+    callers that sweep it (tests, the SRP comparison)."""
     e = e.select("vec_id", "embedding")
-    cents = e.filter(F.col("vec_id") % centroid_mod == 0).select(
+    if centroid_mod is None:
+        cmod = e.agg(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.sqrt(F.count(F.lit(1)).cast("double"))).cast("long"),
+            ).alias("cmod")
+        )
+        cent_base = e.crossJoin(F.broadcast(cmod)).filter(
+            F.col("vec_id") % F.col("cmod") == 0
+        )
+    else:
+        cent_base = e.filter(F.col("vec_id") % centroid_mod == 0)
+    cents = cent_base.select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cent_emb"),
         _norm_col(F.col("embedding")).alias("cent_norm"),
@@ -412,9 +432,14 @@ WITH base AS (
     sqrt(CAST({_duckdb_dot('embedding', 'embedding')} AS DOUBLE)) AS vnorm
   FROM embeddings
 ),
+cmod AS (
+  SELECT greatest(CAST(1 AS BIGINT),
+                  CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS m
+  FROM embeddings
+),
 cents AS (
   SELECT vec_id AS cent_id, embedding AS cent_emb, vnorm AS cent_norm
-  FROM base WHERE vec_id % {SEMDEDUP_CENTROID_MOD} = 0
+  FROM base, cmod WHERE vec_id % m = 0
 ),
 scored AS (
   SELECT v.vec_id, v.embedding, v.vnorm, c.cent_id,
