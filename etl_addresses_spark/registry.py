@@ -14,6 +14,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_addresses_spark.operators import (
+    association,
     clustering,
     dedup,
     diversity,
@@ -158,6 +159,13 @@ _ALL: dict[str, Entry] = {
         name: Entry(fn, sql)
         for name, (fn, sql) in diversity.QUERIES_DIVERSITY.items()
     },
+    # round 11: association analytics — market-basket pair support and
+    # chi-squared token/class feature selection (integer contingency
+    # counts, one double division — bit-portable).
+    **{
+        name: Entry(fn, sql)
+        for name, (fn, sql) in association.QUERIES_ASSOCIATION.items()
+    },
     **{
         name: Entry(fn, sql)
         for name, (fn, sql) in linalg.QUERIES_LINALG.items()
@@ -269,11 +277,11 @@ _ALL = {
 # (dict order) against DuckDB each round.  Round-11 rotation, derived
 # MECHANICALLY from the committed CORRECTNESS_r*.json artifacts
 # (oldest-first, every round — the binding form of the staleness
-# invariant given the 177-entry/50-slot pigeonhole): the round's TWO
+# invariant given the 179-entry/50-slot pigeonhole): the round's FOUR
 # new entries (no driver evidence yet = oldest of all), the 25 entries
 # whose latest driver evidence is r07 (the tail the r10 window could
 # not fit — the two multimodal rows the r10 registrations displaced go
-# first alphabetically), then the alphabetically-first 23 r08 entries.
+# first alphabetically), then the alphabetically-first 21 r08 entries.
 # tests/test_driver_window.py recomputes this list from the committed
 # artifacts, so a transcription slip (the r8 `bucketed_join_colocated`
 # incident) fails pytest.  The r08 tail that does not fit stays
@@ -281,6 +289,8 @@ _ALL = {
 # FIRST into the r12 window.
 DRIVER_WINDOW: list[str] = [
     # -- NEW this round (no driver evidence yet) --------------------
+    "chi2_token_assoc",
+    "frequent_item_pairs",
     "kcenter_diverse_sample",
     "mmr_rerank_topk",
     # -- latest driver evidence is ROUND 7 (the 25-entry tail) ------
@@ -331,8 +341,6 @@ DRIVER_WINDOW: list[str] = [
     "graph_communities_labelprop",
     "join_topk_order_revenue",
     "merge_upsert",
-    "ngram_jaccard_pairs",
-    "q19_disjunctive_revenue",
 ]
 
 
