@@ -150,9 +150,12 @@ presence AS (
   WHERE tok <> ''
 ),
 per_tok AS (
+  -- CAST the sums back to BIGINT: DuckDB widens sum(BIGINT) to
+  -- HUGEINT, which the driver's arrow bridge mis-types (the r3
+  -- incident; test_driver_parity_types enforces the contract)
   SELECT token,
-         sum(CAST(in_class AS BIGINT)) AS n11,
-         sum(CAST(NOT in_class AS BIGINT)) AS n01
+         CAST(sum(CAST(in_class AS BIGINT)) AS BIGINT) AS n11,
+         CAST(sum(CAST(NOT in_class AS BIGINT)) AS BIGINT) AS n01
   FROM presence GROUP BY token
 )
 SELECT token, n11, n01,
