@@ -65,9 +65,11 @@ BroadcastNestedLoopJoin is the 1-row audit crossJoin."""),
     sections += [
         ("SemDeDup semantic dedup (semantic_dedup)",
          plan(lmquality.semantic_dedup(spark, SF)), """
-What to look for: the only nested-loop product is the broadcast
-centroid assignment (corpus x k pseudo-centroids); the pairwise
-cosine join is a plain equi-join on list_id, so the quadratic stays
+What to look for: the centroid modulus is a 1-row count aggregate
+broadcast into the centroid filter (r11: k ~ sqrt(n) derived in-plan,
+no collect); the only nested-loop product is the broadcast centroid
+assignment (corpus x ~sqrt(n) pseudo-centroids); the pairwise cosine
+join is a plain equi-join on list_id, so the quadratic stays
 cluster-local; the survivor flag is one left join against the
 smaller-id dup counts."""),
         ("Hashed quality classifier (quality_classifier_score)",
@@ -82,6 +84,24 @@ classifiers the default corpus-scale quality gate."""),
 What to look for: the A-ES key is a map-side projection (hash-derived
 uniform, no rand()), and the global top-K is TakeOrderedAndProject —
 per-partition heaps merged on the driver, never a full sort."""),
+    ]
+    from etl_addresses_spark.operators import association
+
+    sections += [
+        ("Frequent co-purchase pairs (frequent_item_pairs)",
+         plan(association.frequent_item_pairs(spark, SF)), """
+What to look for: the pair set comes from ONE groupBy(order) + local
+higher-order expansion (the triangle_count build); support is a
+two-phase HashAggregate on (part_a, part_b) with map-side partials;
+the finisher is TakeOrderedAndProject — no global sort at any corpus
+size."""),
+        ("Chi-squared token/class association (chi2_token_assoc)",
+         plan(association.chi2_token_assoc(spark, SF)), """
+What to look for: document-level presence is repartition-absorbed
+dropDuplicates; the 2x2 contingency is ONE aggregation per token; the
+corpus totals ride a 1-row BroadcastNestedLoopJoin (the only nested
+loop); chi2 itself is a fused projection and the finisher is
+TakeOrderedAndProject."""),
     ]
     from etl_addresses_spark.operators import bpe
 
