@@ -410,14 +410,16 @@ def bm25_scored(d: DataFrame) -> DataFrame:
 # Regime gate (r10 verdict item 5, the fuzzy-dispatcher precedent):
 # the dense tier widens ONE COLUMN PER QUERY TERM over the whole
 # corpus — unbeatable for a small fixed vocabulary on a small corpus
-# (one narrow pass, no explode), but its 10x ladder measured 3.15x
-# wall growth vs the inverted tier's corpus-flat 0.83x on the same
-# replica (tools/evidence/r10_scale_*/SCALE.md).  Past this source-
-# bytes threshold (Catalyst file statistics — no job) the dispatcher
-# switches to the postings plan.  The two tiers are STRICT hash-equal
-# (bm25_topk_inverted shares BM25_TOPK_SQL verbatim), so the gate can
-# never change results — only the physical plan.
-BM25_DENSE_MAX_BYTES = 128 << 20
+# (one narrow pass, no explode) — while the inverted postings tier is
+# corpus-FLAT (its scored set is only term-matching docs; 30x ladder:
+# 1.09x wall).  Crossover measured directly (r11, best-of-3 per
+# scale): docs plan-bytes 0.6 MB -> dense 0.80 s vs inverted 1.21 s;
+# 6.7 MB -> 2.29 vs 1.10; 21.5 MB -> 5.88 vs 1.82.  The gate sits at
+# the geometric middle of the bracketing points; the bytes come from
+# Catalyst file statistics (no job).  The two tiers are STRICT
+# hash-equal (bm25_topk_inverted shares BM25_TOPK_SQL verbatim), so
+# the gate can never change results — only the physical plan.
+BM25_DENSE_MAX_BYTES = 2 << 20
 
 
 def bm25_tier_for(nbytes: int) -> str:
