@@ -125,12 +125,20 @@ def chi2_token_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (n10 + n00).cast("double")
     )
     chi2 = (F.col("n_docs").cast("double") * (delta * delta)) / denom
-    # a token present in EVERY document has (N10+N00) = 0 -> 0/0 NaN;
-    # such a token carries no class signal by definition, and NaN
-    # ordering/hashing semantics differ subtly across engines — drop
-    # the degenerate case identically on both sides
+    # degenerate 0/0 -> NaN guards, applied identically on both sides
+    # (NaN ordering/hashing semantics differ subtly across engines):
+    # a token present in EVERY document has (N10+N00) = 0, and a
+    # corpus where the class is empty (n_class = 0) or universal
+    # (n_class = n_docs) zeroes the (N11+N10) / (N01+N00) factors for
+    # EVERY token (r11 advice — the original guard covered only the
+    # first case; fixture-safe, but not arbitrary-input-safe).  In the
+    # degenerate-class case chi2 is undefined for all tokens, so the
+    # row set is empty — the honest answer for "no class signal
+    # exists".
     scored = j.filter(
-        F.col("n11") + F.col("n01") < F.col("n_docs")
+        (F.col("n11") + F.col("n01") < F.col("n_docs"))
+        & (F.col("n_class") > 0)
+        & (F.col("n_class") < F.col("n_docs"))
     ).select("token", "n11", "n01", chi2.alias("chi2"))
     return scored.orderBy(F.desc("chi2"), F.asc("token")).limit(CHI2_TOPK)
 
@@ -169,7 +177,7 @@ SELECT token, n11, n01,
      * CAST(n01 + ((n_docs - n_class) - n01) AS DOUBLE)
      * CAST((n_class - n11) + ((n_docs - n_class) - n01) AS DOUBLE)) AS chi2
 FROM per_tok, totals
-WHERE n11 + n01 < n_docs
+WHERE n11 + n01 < n_docs AND n_class > 0 AND n_class < n_docs
 ORDER BY chi2 DESC, token ASC
 LIMIT {CHI2_TOPK}
 """

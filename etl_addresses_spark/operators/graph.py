@@ -457,17 +457,23 @@ def graph_communities_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer counts, so the check is exact, no float residue at all."""
     from etl_addresses_spark.sources.tables import load_table
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
-        .distinct()
+    li_scan = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
     )
+    li = li_scan.distinct()
     # pair dedup stays distinct() — see the triangle_count note (the
     # explicit repartition+dropDuplicates form lost its partial
     # aggregation and measured slower at 10x).  The cached neighbor
     # table DOES get an explicit width: it feeds every loop round's
     # probe side and must not be byte-coalesced under any AQE config.
-    n_cpu = cpu_partitions(li)
+    # Width comes from the PRE-distinct scan projection — the only
+    # frame here whose sizeInBytes is file statistics; the distinct()
+    # output carries a propagated estimate, which cpu_partitions'
+    # scan-grade contract forbids (r11 advice; the 72GB/2MB pagerank
+    # incident is what the contract exists to prevent).  Scan bytes
+    # upper-bound the deduped bytes, so the width can only be
+    # conservative-wide, never starved.
+    n_cpu = cpu_partitions(li_scan)
     per_order = li.groupBy("ok").agg(F.sort_array(F.collect_set("p")).alias("ps"))
     pair_expr = F.expr(
         "explode(flatten(transform(ps, (x, i) -> "
@@ -591,17 +597,23 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_clusters_star pattern)."""
     from etl_addresses_spark.sources.tables import load_table
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
-        .distinct()
+    li_scan = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
     )
+    li = li_scan.distinct()
     # pair dedup stays distinct() — see the triangle_count note (the
     # explicit repartition+dropDuplicates form lost its partial
     # aggregation and measured slower at 10x).  The cached neighbor
     # table DOES get an explicit width: it feeds every loop round's
     # probe side and must not be byte-coalesced under any AQE config.
-    n_cpu = cpu_partitions(li)
+    # Width comes from the PRE-distinct scan projection — the only
+    # frame here whose sizeInBytes is file statistics; the distinct()
+    # output carries a propagated estimate, which cpu_partitions'
+    # scan-grade contract forbids (r11 advice; the 72GB/2MB pagerank
+    # incident is what the contract exists to prevent).  Scan bytes
+    # upper-bound the deduped bytes, so the width can only be
+    # conservative-wide, never starved.
+    n_cpu = cpu_partitions(li_scan)
     per_order = li.groupBy("ok").agg(F.sort_array(F.collect_set("p")).alias("ps"))
     pair_expr = F.expr(
         "explode(flatten(transform(ps, (x, i) -> "

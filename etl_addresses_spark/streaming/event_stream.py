@@ -207,11 +207,23 @@ def state_partitions_for(source_path: str) -> int:
         # removed — os.walk on a nonexistent dir yields nothing.  The
         # partition count gets PINNED into the checkpoint on first
         # start, so an undersized layout from a mis-resolved path is
-        # permanent; fail loudly instead.
-        raise FileNotFoundError(
-            f"state_partitions_for: source path {source_path!r} does not"
-            " exist or contains no files — cannot size state-store"
-            " partitions from zero measured volume"
+        # permanent; fail loudly instead.  r11 advice: the two ways to
+        # measure zero are different operator errors — a missing path
+        # is a mis-resolved source (FileNotFoundError), while an
+        # existing directory of only zero-byte files is a real-but-
+        # empty source (ValueError) whose "does not exist" wording
+        # would mislead.
+        if not os.path.exists(source_path):
+            raise FileNotFoundError(
+                f"state_partitions_for: source path {source_path!r} does"
+                " not exist — cannot size state-store partitions from"
+                " zero measured volume"
+            )
+        raise ValueError(
+            f"state_partitions_for: source path {source_path!r} exists"
+            " but zero bytes were measured (empty directory or only"
+            " zero-byte files) — cannot size state-store partitions"
+            " from zero measured volume"
         )
     return max(
         STREAM_STATE_MIN_PARTITIONS,

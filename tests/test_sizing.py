@@ -85,12 +85,20 @@ def test_state_partitions_missing_or_empty_path_raises(tmp_path):
     to silently return the floor — the same failure mode the flat-file
     fix removed, and worse here because the undersized count gets
     pinned into the streaming checkpoint.  Must fail loudly."""
-    with pytest.raises(FileNotFoundError, match="does not.*exist|no files"):
+    with pytest.raises(FileNotFoundError, match="does not exist"):
         state_partitions_for(str(tmp_path / "no_such_table.parquet"))
+    # r11 advice: an EXISTING path measuring zero bytes is a different
+    # operator error (real-but-empty source) and must not claim the
+    # path "does not exist" — ValueError with a zero-bytes message.
     empty = tmp_path / "empty.parquet"
     empty.mkdir()
-    with pytest.raises(FileNotFoundError):
+    with pytest.raises(ValueError, match="zero bytes"):
         state_partitions_for(str(empty))
+    zb = tmp_path / "zerobyte.parquet"
+    zb.mkdir()
+    (zb / "part-00000.parquet").touch()
+    with pytest.raises(ValueError, match="zero bytes"):
+        state_partitions_for(str(zb))
 
 
 def test_events_state_partitions_uses_only_events_table(tmp_path):
