@@ -53,23 +53,67 @@ from etl_addresses_spark.sources.tables import fan_out, load_table
 
 DEFAULT_K_MOD = 100
 DEFAULT_ITERS = 3
-# Hard cap on the centroid count (r9 scale fix): the % k_mod seed rule
-# makes k grow LINEARLY with the corpus, so per-iteration assignment
-# cost (n x k) grows quadratically — measured 34-36x wall at 10x data
-# with linear shuffle (r9_scale_sf1_batch6.json).  Real IVF/k-means
-# indexes treat the list count as a FIXED index knob (FAISS nlist),
-# not a data-proportional quantity; the cap takes the {KMEANS_MAX_K}
-# qualifying seeds that sort FIRST by a Knuth multiplicative hash of
-# vec_id (key tie-break) — a deterministic pseudo-random subset of the
-# WHOLE id range, so capped seeds stay representative of every replica
-# / id region (a first-K-by-id cap would draw all seeds from the
-# earliest ids — r9 review finding), while remaining the IDENTICAL
-# seed SET whenever the corpus has fewer qualifying rows (5 seeds at
-# sf0.01, 20 at sf0.1, 200 at the 10x replica — every fixture in use
-# stays under the cap, so all committed hashes are unchanged).  Plans
-# as TakeOrderedAndProject, never a global sort; bounds Lloyd cost to
-# linear-in-N beyond ~25x.
-KMEANS_MAX_K = 256
+
+# Coarse-list count, derived from the corpus (r11 verdict item 2,
+# replacing the fixed KMEANS_MAX_K = 256 of r9-r11): the % k_mod seed
+# rule makes k grow LINEARLY with the corpus, so per-iteration
+# assignment cost (n x k) grows quadratically — measured 34-36x wall
+# at 10x data (r9_scale_sf1_batch6.json); a FIXED cap (the first fix)
+# bounds training but lets per-list length — and hence per-query ADC
+# candidate mass — grow linearly past the cap.  k = floor(sqrt(n)) is
+# the balance point (per-list length ~ sqrt(n), assignment ~ n^1.5 —
+# the FAISS sizing guideline and this repo's own SemDeDup r11
+# precedent, lmquality.semantic_dedup_for): at 1000x fixture scale a
+# 2M-vector corpus gets 1414 lists of ~1414 candidates instead of 256
+# lists of ~7800.  The cap takes the qualifying seeds that sort FIRST
+# by the shared Knuth hash of vec_id (key tie-break) — a deterministic
+# pseudo-random subset of the WHOLE id range (a first-K-by-id cap
+# would draw all seeds from the earliest ids — r9 review finding) —
+# and stays the IDENTICAL seed SET whenever the corpus has fewer
+# qualifying seeds than the cap (5 at sf0.01, 20 at sf0.1 — every
+# committed fixture, so all committed hashes are unchanged; the cap
+# first binds at the 10x replica: 200 seeds vs floor(sqrt(20000)) =
+# 141).  Both engines derive k from the SAME count with the SAME IEEE
+# double sqrt (Python math.sqrt here, DuckDB sqrt in the oracle CTE —
+# NOT math.isqrt, whose exact integer result could differ from the
+# float path one ulp short of a perfect square), so the seed sets can
+# never desynchronize.  Plans as TakeOrderedAndProject, never a
+# global sort.
+#
+# (The PQ codebook cap — similarity.PQ_MAX_CODEWORDS — intentionally
+# stays FIXED at 256: PQ codes are byte codes indexing a 2^8-row LUT;
+# a corpus-derived codebook size would change the code width, which is
+# a format constant in every real PQ index, not a tuning knob.)
+
+# FAISS-style training subsample (max_points_per_centroid): Lloyd
+# ITERATIONS see at most TRAIN_POINTS_PER_CENTROID x k vectors — the
+# deterministic Knuth-hash prefix of the id range — while the FINAL
+# corpus->list assignment always scans everything.  With k ~ sqrt(n)
+# this turns training cost from iters * n * k ~ n^1.5 into
+# iters * (c*k) * k ~ c * n — LINEAR in the corpus; the quality loss
+# is the standard, documented FAISS trade (centroids fit a sample).
+# c = 128 keeps every committed fixture on the full corpus (binds only
+# when n > 128 * k = 128 * sqrt(n), i.e. n > 16384: sf0.01 trains on
+# all 500, sf0.1 on all 2000 — committed hashes unchanged; the 30x
+# replica trains on ~31k of 60k).  The sample filter is a pure hash
+# THRESHOLD (knuth < (c*k*2^32) // n, exact int64 arithmetic mirrored
+# verbatim in the oracle CTE) so it never collects, sorts, or ranks
+# the corpus — at 100 TB it is a pushed-down scan predicate.
+TRAIN_POINTS_PER_CENTROID = 128
+
+
+def ivf_list_count(n: int) -> int:
+    """k = max(1, floor(sqrt(n))) via IEEE double sqrt — the exact
+    expression the oracle CTE computes, so both engines derive the
+    identical k from the identical count."""
+    import math
+
+    return max(1, int(math.floor(math.sqrt(float(n)))))
+
+
+IVF_LIST_COUNT_SQL = (
+    "greatest(1, CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT))"
+)
 
 
 def _sqdist(a, b) -> F.Column:
@@ -139,9 +183,14 @@ def kmeans_fit(
     e: DataFrame,
     k_mod: int = DEFAULT_K_MOD,
     iters: int = DEFAULT_ITERS,
+    train_c: int = TRAIN_POINTS_PER_CENTROID,
 ) -> tuple[DataFrame, list[float]]:
     """Lloyd's algorithm; returns (centroids DataFrame, SSE history —
-    one value per iteration, non-increasing)."""
+    one value per iteration over the TRAINING sample, non-increasing).
+    k is derived from the corpus count (ivf_list_count) and the
+    iterations train on at most train_c * k vectors (constants above);
+    the oracle CTEs (`_kmeans_ctes`) mirror both derivations from the
+    same count."""
     spark = e.sparkSession
     # fan_out (tables.py): the assignment kernel does k x d interpreted
     # multiplies per ROW, while the corpus parquet is bytes-small — a
@@ -150,13 +199,17 @@ def kmeans_fit(
     # 36 s of the 10x ladder's 142 s wall was THIS stage at
     # parallelism 2 — r9_scale_sf1_batch6c vs 6d)
     vecs = fan_out(e.select("vec_id", "embedding"), spark)
+    # scalar count gate (the loop_partitions / fuzzy-dispatcher /
+    # streaming-state precedent): one scan-only count to derive k and
+    # the training threshold; the seed collect below is model-sized.
+    n = e.count()
     cents = (
         e.filter(F.col("vec_id") % k_mod == 0)
         .orderBy(
             knuth_order_col("vec_id").asc(),  # shared: functions/hashing.py
             F.col("vec_id").asc(),
         )
-        .limit(KMEANS_MAX_K)  # fixed index knob; see constant above
+        .limit(ivf_list_count(n))  # corpus-derived; see constants above
         .select(
             F.col("vec_id").alias("cent_id"),
             F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
@@ -165,12 +218,20 @@ def kmeans_fit(
         )
     )
     cent_rows = {r.cent_id: list(r.cent_emb) for r in cents.collect()}
+    k = len(cent_rows)
+    if n > train_c * k:
+        # exact-int64 hash threshold; (c*k << 32) stays well under
+        # 2^63 for any k this derivation can produce
+        thresh = (train_c * k << 32) // n
+        train = vecs.filter(knuth_order_col("vec_id") < F.lit(thresh))
+    else:
+        train = vecs  # every committed fixture lands here
     history: list[float] = []
     for _ in range(iters):
         cents = spark.createDataFrame(
             [(cid, emb) for cid, emb in sorted(cent_rows.items())], _CENT_SCHEMA
         )
-        assigned = _assign(vecs, cents)
+        assigned = _assign(train, cents)
         # ONE aggregation job per iteration: per-(cluster, dim) means
         # and the SSE ride the same groupBy.  d2 is duplicated across a
         # vector's exploded rows, so the SSE partial counts it only at
@@ -208,11 +269,18 @@ def kmeans_fit(
     return final, history
 
 
-def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_cluster_sizes(
+    spark: SparkSession,
+    sf_dir: str,
+    train_c: int = TRAIN_POINTS_PER_CENTROID,
+) -> DataFrame:
     """Registry surface: per-cluster membership counts + SSE after
-    DEFAULT_ITERS Lloyd iterations (rows-only: iterative op)."""
+    DEFAULT_ITERS Lloyd iterations.  `train_c` exists so tests can
+    force the training subsample to BIND at fixture scale and check
+    the whole sampled path engine-vs-engine (at the default it binds
+    only past ~16k vectors)."""
     e = load_table(spark, sf_dir, "embeddings")
-    cents, _ = kmeans_fit(e)
+    cents, _ = kmeans_fit(e, train_c=train_c)
     # final assignment pays the same k x d fan-out as training: fan_out;
     # the embedding never leaves the argmin, so skip the join-back
     assigned = _assign(
@@ -237,20 +305,38 @@ def _duckdb_sqdist(a: str, b: str) -> str:
     )
 
 
-def _kmeans_ctes(k_mod: int = DEFAULT_K_MOD, iters: int = DEFAULT_ITERS) -> str:
+def _kmeans_ctes(
+    k_mod: int = DEFAULT_K_MOD,
+    iters: int = DEFAULT_ITERS,
+    train_c: int = TRAIN_POINTS_PER_CENTROID,
+) -> str:
     """Chained-CTE unroll of kmeans_fit: c0..c{iters} centroid states,
-    a{k} = argmin assignment against c{k-1}, m{k} = per-(cluster, dim)
-    means, with empty clusters keeping their previous centroid
-    (coalesce) — operation-for-operation the Spark loop."""
+    a{k} = argmin assignment against c{k-1} (iterations 1..iters over
+    the TRAINING sample, the final iters+1 over the full corpus),
+    m{k} = per-(cluster, dim) means, with empty clusters keeping their
+    previous centroid (coalesce) — operation-for-operation the Spark
+    loop, including the corpus-derived k (QUALIFY rank <= floor(sqrt(
+    count))) and the exact-int64 training hash threshold."""
+    k_expr = IVF_LIST_COUNT_SQL.format(n="(SELECT n FROM nk)")
     sql = f"""WITH vecs AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+nk AS MATERIALIZED (SELECT count(*) AS n FROM vecs),
 c0 AS MATERIALIZED (
   SELECT vec_id AS cent_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent_emb
   FROM embeddings WHERE vec_id % {k_mod} = 0
-  ORDER BY {knuth_order_sql('vec_id')}, vec_id LIMIT {KMEANS_MAX_K}
+  QUALIFY row_number() OVER (
+    ORDER BY {knuth_order_sql('vec_id')}, vec_id) <= {k_expr}
+),
+kk AS MATERIALIZED (SELECT count(*) AS k FROM c0),
+train AS MATERIALIZED (
+  SELECT vec_id, embedding FROM vecs
+  WHERE (SELECT n FROM nk) <= {train_c} * (SELECT k FROM kk)
+     OR {knuth_order_sql('vec_id')}
+        < ({train_c} * (SELECT k FROM kk) * 4294967296) // (SELECT n FROM nk)
 )"""
     for k in range(1, iters + 2):
         p = k - 1
+        src = "vecs" if k == iters + 1 else "train"
         sql += f""",
 a{k} AS MATERIALIZED (
   SELECT vec_id, embedding, cluster_id, d2 FROM (
@@ -259,7 +345,7 @@ a{k} AS MATERIALIZED (
     FROM (
       SELECT v.vec_id, v.embedding, c.cent_id AS cluster_id,
              {_duckdb_sqdist('v.embedding', 'c.cent_emb')} AS d2
-      FROM vecs v CROSS JOIN c{p} c))
+      FROM {src} v CROSS JOIN c{p} c))
   WHERE r = 1
 )"""
         if k <= iters:  # the final assignment needs no further update
@@ -281,11 +367,13 @@ c{k} AS MATERIALIZED (
 
 
 def kmeans_oracle_sql(
-    k_mod: int = DEFAULT_K_MOD, iters: int = DEFAULT_ITERS
+    k_mod: int = DEFAULT_K_MOD,
+    iters: int = DEFAULT_ITERS,
+    train_c: int = TRAIN_POINTS_PER_CENTROID,
 ) -> str:
     final = iters + 1  # assignment against the post-iteration centroids
     return (
-        _kmeans_ctes(k_mod, iters)
+        _kmeans_ctes(k_mod, iters, train_c)
         + f"""
 SELECT cluster_id, count(*) AS n_members,
        CAST(sum(CAST(d2 AS DECIMAL(28,10))) AS DOUBLE) AS sse

@@ -139,6 +139,166 @@ ORDER BY rrf DESC, doc_id ASC
 LIMIT {RRF_TOPK}
 """
 
+def rrf_hybrid_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION composition of `rrf_hybrid_topk` (r11 verdict
+    item 3): same BM25 signal, same RRF fusion, but the vector signal
+    comes from the IVF-PQ index tier — the query probes its nprobe=2
+    nearest coarse lists and ADC-scores ONLY the candidate codes in
+    them — instead of the brute-force corpus scan.  RRF reads only
+    RANKS, so the fusion is tier-agnostic; what changes is the vector
+    candidate generator's cost envelope: brute-force is corpus-linear
+    per query, the index tier touches ~2n/k byte-coded candidates
+    (k ~ sqrt(n) since r12, so candidate mass ~ sqrt(n)).
+
+    The index is built over the full embeddings table (exactly the
+    `ann_ivf_pq_topk` machinery — same coarse quantizer, codebook,
+    LUT construction); the fused row then restricts candidates to
+    documents, mirroring the brute twin's doc-join.  The query doc
+    itself stays in the candidate list (rank 1 in the brute twin;
+    here its ADC self-score is approximate but still top) — same
+    missing-rank RRF rule.  Everything is bit-reproducible, so the
+    doubly-approximate composite is fully oracle-checked: the DuckDB
+    twin reuses the kmeans CTE unroll + PQ_SQL_CTES + BM25 CTEs
+    verbatim.  Output: doc_id, (nullable) bm25_rank / vec_rank, rrf.
+    """
+    from etl_addresses_spark.operators.clustering import (
+        _assign,
+        _sqdist,
+        kmeans_fit,
+    )
+    from etl_addresses_spark.operators.similarity import (
+        pq_adc_expr,
+        pq_codebook,
+        pq_encode,
+        pq_query_luts,
+    )
+    from etl_addresses_spark.sources.tables import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+
+    bm25_top = _ranked_top(bm25_scored(d), "bm25", "bm25_rank")
+
+    cents, _ = kmeans_fit(e)
+    vecs = fan_out(e.select("vec_id", "embedding"), spark)
+    lists = _assign(vecs, cents, attach_embedding=False).select(
+        "vec_id", F.col("cluster_id").alias("list_id")
+    )
+    pq_cents = pq_codebook(e)
+    codes = pq_encode(e, pq_cents)
+    # RRF_QUERY_VEC = 0 satisfies the % QUERY_MOD query rule, so the
+    # shared LUT builder applies; the filter prunes to the one query
+    luts = pq_query_luts(e, pq_cents).filter(
+        F.col("query_id") == RRF_QUERY_VEC
+    )
+    # nprobe=2 nearest coarse lists for the one query: k scored rows,
+    # TakeOrdered(2) — model-sized end to end
+    probes = (
+        vecs.filter(F.col("vec_id") == RRF_QUERY_VEC)
+        .select(F.col("embedding").alias("q_emb"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("cent_id").alias("list_id"),
+            _sqdist(F.col("q_emb"), F.col("cent_emb")).alias("d2"),
+        )
+        .orderBy(F.asc("d2"), F.asc("list_id"))
+        .limit(2)
+        .select("list_id")
+    )
+    probe_luts = probes.crossJoin(F.broadcast(luts))  # 2 rows + LUT
+    cand = (
+        fan_out(codes.join(lists, "vec_id"), spark)
+        .join(F.broadcast(probe_luts), "list_id")
+        .join(d.select(F.col("doc_id")), F.col("vec_id") == F.col("doc_id"))
+    )
+    vec_scored = cand.select(
+        "doc_id",
+        (
+            pq_adc_expr() / (F.col("q_norm") * F.sqrt(F.col("recon_norm2")))
+        ).alias("pq_cosine"),
+    )
+    vec_top = _ranked_top(vec_scored, "pq_cosine", "vec_rank")
+
+    def rrf_term(rank: F.Column) -> F.Column:
+        return F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + rank), F.lit(0.0))
+
+    fused = bm25_top.join(vec_top, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "vec_rank",
+        (rrf_term(F.col("bm25_rank")) + rrf_term(F.col("vec_rank"))).alias(
+            "rrf"
+        ),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOPK)
+
+
+def rrf_hybrid_ivfpq_oracle_sql() -> str:
+    from etl_addresses_spark.operators.clustering import (
+        DEFAULT_ITERS,
+        _duckdb_sqdist,
+        _kmeans_ctes,
+    )
+    from etl_addresses_spark.operators.similarity import (
+        PQ_ADC_SQL,
+        PQ_SQL_CTES,
+    )
+
+    final = DEFAULT_ITERS + 1
+    return (
+        _kmeans_ctes()
+        + f""",
+{PQ_SQL_CTES},
+{BM25_SCORED_CTES},
+ivf_doc_lists AS MATERIALIZED (
+  SELECT vec_id, cluster_id AS list_id FROM a{final}
+),
+vprobes AS (
+  SELECT list_id FROM (
+    SELECT c.cent_id AS list_id,
+           {_duckdb_sqdist('v.embedding', 'c.cent_emb')} AS d2
+    FROM vecs v CROSS JOIN c{DEFAULT_ITERS} c
+    WHERE v.vec_id = {RRF_QUERY_VEC})
+  ORDER BY d2 ASC, list_id ASC LIMIT 2
+),
+vscored AS (
+  SELECT c.vec_id AS doc_id,
+    {PQ_ADC_SQL}
+      / (q.q_norm * sqrt(c.recon_norm2)) AS pq_cosine
+  FROM codes c
+  JOIN ivf_doc_lists l ON l.vec_id = c.vec_id
+  JOIN vprobes p ON p.list_id = l.list_id
+  JOIN luts q ON q.query_id = {RRF_QUERY_VEC}
+  JOIN documents d ON d.doc_id = c.vec_id
+),
+vec_top AS (
+  SELECT doc_id, CAST(row_number() OVER (
+      ORDER BY pq_cosine DESC, doc_id ASC) AS BIGINT) AS vec_rank
+  FROM (SELECT * FROM vscored ORDER BY pq_cosine DESC, doc_id ASC
+        LIMIT {RRF_CAND})
+),
+bm25_top AS (
+  SELECT doc_id, CAST(row_number() OVER (
+      ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS bm25_rank
+  FROM (SELECT * FROM bm25_scored ORDER BY bm25 DESC, doc_id ASC
+        LIMIT {RRF_CAND})
+)
+SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+  b.bm25_rank AS bm25_rank,
+  v.vec_rank AS vec_rank,
+  (coalesce(1.0e0 / ({RRF_K} + b.bm25_rank), 0.0e0)
+   + coalesce(1.0e0 / ({RRF_K} + v.vec_rank), 0.0e0)) AS rrf
+FROM bm25_top b FULL OUTER JOIN vec_top v ON b.doc_id = v.doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {RRF_TOPK}
+"""
+    )
+
+
 QUERIES_RETRIEVAL = {
     "rrf_hybrid_topk": (rrf_hybrid_topk, RRF_HYBRID_SQL),
+    "rrf_hybrid_topk_ivfpq": (
+        rrf_hybrid_topk_ivfpq,
+        rrf_hybrid_ivfpq_oracle_sql(),
+    ),
 }

@@ -702,8 +702,8 @@ FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 
 PQ_M = 8  # subspaces (64-dim embeddings -> 8 dims per subspace)
 PQ_SUB = EMB_DIM // PQ_M
-# Hard cap on the PQ codebook size (r10 ladder fix, the KMEANS_MAX_K
-# posture): the % centroid_mod seed rule makes the per-subspace
+# Hard cap on the PQ codebook size (r10 ladder fix): the % centroid_mod
+# seed rule makes the per-subspace
 # codeword count grow LINEARLY with the corpus, so the encode kernel
 # (n x codewords x M sq-l2 folds) grows quadratically — the brute-ADC
 # row measured 25.2x wall at 10x pre-r9 and the composed IVF-PQ 4.57x
@@ -715,6 +715,11 @@ PQ_SUB = EMB_DIM // PQ_M
 # fixture stays under the cap (20 codewords at sf0.01, 200 at sf0.1),
 # so committed hashes are unchanged; the 10x replica's 2000 qualifying
 # seeds clamp to 256 and encode cost returns to linear-in-n.
+# Unlike the IVF coarse-list count (corpus-derived since r12 —
+# clustering.ivf_list_count), this cap intentionally stays FIXED: PQ
+# codes are byte codes indexing a 2^8-row LUT, so the codebook size is
+# a FORMAT constant (FAISS nbits=8), not a tuning knob; deriving it
+# from the corpus would change the code width.
 PQ_MAX_CODEWORDS = 256
 
 

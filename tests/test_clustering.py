@@ -82,3 +82,44 @@ def test_kmeans_deterministic_rerun(spark):
     c2, h2 = clustering.kmeans_fit(e, iters=2)
     assert h1 == h2, "identical input + init must reproduce identical SSE path"
     assert [r.asDict() for r in c1.collect()] == [r.asDict() for r in c2.collect()]
+
+
+def test_train_subsample_binding_path_matches_oracle(spark, ddb):
+    """r12: Lloyd training subsampling + the corpus-derived list count
+    never BIND at committed fixture scales (that is the hash-stability
+    guarantee), so the driver alone would leave the sampled path
+    oracle-unchecked.  Force the sample to bind (train_c=4: c*k << n)
+    and run the full engine-vs-engine comparison — threshold
+    arithmetic, QUALIFY seed cap, train-vs-full CTE split and the
+    empty-training-cluster keep-previous branch all get exercised."""
+    from conftest import assert_frames_match
+
+    n = load_table(spark, SF_ORACLE, "embeddings").count()
+    k = clustering.ivf_list_count(n)
+    assert n > 4 * k, "fixture too small for the sample to bind"
+    assert_frames_match(
+        clustering.kmeans_cluster_sizes(spark, SF_ORACLE, train_c=4),
+        ddb.sql(clustering.kmeans_oracle_sql(train_c=4)),
+    )
+
+
+def test_ivf_list_count_derivation(spark):
+    """k = max(1, floor(sqrt(n))) via the IEEE double path on both
+    sides, and the exact-int64 training threshold the Spark filter
+    embeds equals what the oracle CTE computes."""
+    import duckdb
+
+    for n in [1, 2, 500, 2000, 16384, 16385, 60000, 10**9]:
+        got = clustering.ivf_list_count(n)
+        want = duckdb.sql(
+            "SELECT " + clustering.IVF_LIST_COUNT_SQL.format(n=n)
+        ).fetchone()[0]
+        assert got == want, (n, got, want)
+        k = got
+        c = clustering.TRAIN_POINTS_PER_CENTROID
+        if n > c * k:
+            thresh = (c * k << 32) // n
+            want_t = duckdb.sql(
+                f"SELECT ({c} * {k} * 4294967296) // {n}"
+            ).fetchone()[0]
+            assert thresh == want_t, (n, thresh, want_t)

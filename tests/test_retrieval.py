@@ -113,3 +113,66 @@ def test_bm25_inverted_short_corpus_raises(spark, tmp_path):
     ).write.parquet(str(tmp_path / "documents.parquet"))
     with pytest.raises(Exception, match="scored set smaller than k"):
         bm25_topk_inverted(spark, str(tmp_path)).collect()
+
+
+def test_rrf_ivfpq_oracle(spark, ddb):
+    from etl_addresses_spark.operators.retrieval import (
+        rrf_hybrid_ivfpq_oracle_sql,
+        rrf_hybrid_topk_ivfpq,
+    )
+
+    assert_frames_match(
+        rrf_hybrid_topk_ivfpq(spark, SF_ORACLE),
+        ddb.sql(rrf_hybrid_ivfpq_oracle_sql()),
+    )
+
+
+def test_rrf_ivfpq_invariants_and_tier_overlap(spark):
+    """Fusion invariants hold for the index tier too, and the two
+    tiers must substantially agree: the BM25 side is IDENTICAL (same
+    signal), so the fused top-20s can only diverge where IVF-PQ
+    re-ranks the vector side — a healthy index keeps most of the
+    brute twin's picks."""
+    from etl_addresses_spark.operators.retrieval import (
+        rrf_hybrid_topk,
+        rrf_hybrid_topk_ivfpq,
+    )
+
+    rows = rrf_hybrid_topk_ivfpq(spark, SF_ORACLE).collect()
+    assert len(rows) == RRF_TOPK
+    for r in rows:
+        assert r.bm25_rank is not None or r.vec_rank is not None
+        expect = 0.0
+        for rank in (r.bm25_rank, r.vec_rank):
+            if rank is not None:
+                assert 1 <= rank <= RRF_CAND
+                expect += 1.0 / (RRF_K + rank)
+        assert r.rrf == expect
+    brute = {r.doc_id for r in rrf_hybrid_topk(spark, SF_ORACLE).collect()}
+    overlap = len(brute & {r.doc_id for r in rows}) / len(brute)
+    # fixture-measured floor (0.45 at sf0.001): nprobe=2 of the
+    # k = floor(sqrt(n)) ~ 22 lists covers only ~9% of a 500-vector
+    # corpus, so the vector side legitimately re-ranks hard at toy
+    # scale — the same compounding the ann_ivf_pq_recall row prices
+    # (its own fixture floor is 0.15); the guard is against
+    # DEGENERATE divergence (disjoint lists), not index recall.
+    assert overlap >= 0.35, f"index tier degenerate vs brute fusion: {overlap}"
+
+
+def test_rrf_ivfpq_candidate_scan_is_hash_join(spark):
+    """The composition must inherit the index tier's prune: the
+    corpus-side candidate scan joins on list_id as a broadcast HASH
+    join — never a corpus-wide cartesian (the ann_ivf_pq_topk plan
+    contract, restated for the fused row)."""
+    from etl_addresses_spark.operators.retrieval import rrf_hybrid_topk_ivfpq
+
+    plan = (
+        rrf_hybrid_topk_ivfpq(spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert any(
+        "BroadcastHashJoin [list_id" in ln for ln in plan.splitlines()
+    ), "fused row lost the list_id hash-join prune"
