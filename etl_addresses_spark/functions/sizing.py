@@ -98,3 +98,30 @@ def cpu_partitions(df) -> int:
     should keep an AQE-managed repartition instead."""
     par = df.sparkSession.sparkContext.defaultParallelism
     return max(par, math.ceil(plan_size_bytes(df) / CPU_STAGE_BYTES_PER_PARTITION))
+
+
+# --- fold vs unrolled vector-kernel regime (r12) ---------------------------
+#
+# The broadcast-argmin kernels (k-means assignment, PQ encode) have two
+# BIT-IDENTICAL implementations: an interpreted higher-order fold
+# (zip_with + aggregate — allocates an intermediate array per scored
+# candidate) and a flat unrolled element_at chain (whole-stage-codegen
+# arithmetic, no allocation).  Measured on the 30x replica
+# (SCALE.md "fold vs unrolled kernel matrix"): the chain is ~2.6x
+# faster per fold in these shapes (5.26 -> 2.00 s assignment,
+# 10.25 -> 4.11 s encode) but costs ~0.4 s of codegen COMPILE per
+# generated stage, paid EVERY run (fresh expression ids -> fresh
+# source -> Janino cache miss; bench repeats stay flat at +~2 s for
+# the 4-5 assign stages of a k-means row).  Breakeven: savings ~
+# (350-133) ns x n*k folds > ~0.4 s/stage  =>  n*k > ~1.8M  =>  in
+# the k ~ sqrt(n) regime, n > ~15k.  The gate below rounds that to
+# the SAME boundary where Lloyd training starts subsampling
+# (n > 128 * sqrt(n) <=> n > 16384), so "small fixture" vs "scale
+# path" is ONE regime edge.  Both tiers hash-equal, so the gate can
+# never change answers (the bm25 dispatcher contract).
+KERNEL_UNROLL_MIN_ROWS = 16384
+
+
+def use_unrolled_kernel(n_rows: int) -> bool:
+    """True when the corpus is past the fold->unrolled crossover."""
+    return n_rows > KERNEL_UNROLL_MIN_ROWS

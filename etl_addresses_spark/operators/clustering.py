@@ -39,6 +39,7 @@ from pyspark.sql import functions as F, Window as W
 from pyspark.sql import types as T
 
 from etl_addresses_spark.operators.similarity import (
+    EMB_DIM,
     QUERY_MOD,
     _pair_dot_seq,
     _rank_topk,
@@ -49,6 +50,7 @@ from etl_addresses_spark.operators.similarity import (
     recall_vs_exact,
 )
 from etl_addresses_spark.functions.hashing import knuth_order_col, knuth_order_sql
+from etl_addresses_spark.functions.sizing import use_unrolled_kernel
 from etl_addresses_spark.sources.tables import fan_out, load_table
 
 DEFAULT_K_MOD = 100
@@ -129,6 +131,35 @@ def _sqdist(a, b) -> F.Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _sqdist_unrolled(a, b, dim: int) -> F.Column:
+    """BIT-IDENTICAL twin of `_sqdist` for fixed-width arrays: the
+    left-associated chain 0.0 + d1 + d2 + ... is the exact sequence
+    the fold computes, term for term (equality asserted row-wise in
+    tests and by the unchanged oracle hashes), but as a flat
+    element_at expression tree instead of interpreted higher-order
+    functions (zip_with allocates an intermediate array per pair —
+    per-CANDIDATE in a broadcast argmin kernel).
+
+    Shape rule (r12, all three shapes measured on the 30x replica —
+    SCALE.md "fold vs unrolled kernel matrix"): use the unrolled chain
+    ONLY in broadcast-argmin kernels that evaluate MANY short/medium
+    folds per probe row against a model-sized build side (corpus x
+    k-centroid assignment: 5.26 -> 2.00 s; PQ encode 480k x 256
+    codewords of dim 8: 10.25 -> 4.11 s).  Keep the fold for
+    scan-shaped single folds per row (norms: fold 2x faster) AND for
+    the wide-broadcast cosine kernels, where the unrolled chain
+    measured 9x SLOWER at 30x (18.6 -> 175 s, corpus x 1200-query
+    broadcast) — the generated join-loop method grows past JIT limits
+    and runs deoptimized."""
+    expr = F.lit(0.0)
+    for i in range(1, dim + 1):
+        diff = F.element_at(a, i).cast("double") - F.element_at(b, i).cast(
+            "double"
+        )
+        expr = expr + diff * diff
+    return expr
+
+
 _CENT_SCHEMA = T.StructType(
     [
         T.StructField("cent_id", T.LongType()),
@@ -138,7 +169,10 @@ _CENT_SCHEMA = T.StructType(
 
 
 def _assign(
-    vecs: DataFrame, cents: DataFrame, attach_embedding: bool = True
+    vecs: DataFrame,
+    cents: DataFrame,
+    attach_embedding: bool = True,
+    dense_kernel: bool = False,
 ) -> DataFrame:
     """Nearest centroid per vector: broadcast join + argmin.
 
@@ -155,12 +189,20 @@ def _assign(
     vec_id (measured 34 s -> ~4 s for the iteration pipeline at 10x).
     The (d2, cent_id) struct order reproduces the window's exact
     deterministic tie-break."""
+    # dense_kernel switches to the unrolled chain (see
+    # _sqdist_unrolled's shape rule and sizing.use_unrolled_kernel's
+    # crossover): this is the corpus x k broadcast-argmin — 15M folds
+    # at the 30x replica, 5.26 -> 2.00 s for the swap, bit-identical,
+    # but the chain costs ~0.4 s codegen compile per stage, so small
+    # corpora keep the fold
+    d2 = (
+        _sqdist_unrolled(F.col("embedding"), F.col("cent_emb"), EMB_DIM)
+        if dense_kernel
+        else _sqdist(F.col("embedding"), F.col("cent_emb"))
+    )
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id",
-        F.struct(
-            _sqdist(F.col("embedding"), F.col("cent_emb")).alias("d2"),
-            F.col("cent_id"),
-        ).alias("s"),
+        F.struct(d2.alias("d2"), F.col("cent_id")).alias("s"),
     )
     best = scored.groupBy("vec_id").agg(F.min("s").alias("m"))
     if not attach_embedding:
@@ -184,6 +226,7 @@ def kmeans_fit(
     k_mod: int = DEFAULT_K_MOD,
     iters: int = DEFAULT_ITERS,
     train_c: int = TRAIN_POINTS_PER_CENTROID,
+    n: int | None = None,
 ) -> tuple[DataFrame, list[float]]:
     """Lloyd's algorithm; returns (centroids DataFrame, SSE history —
     one value per iteration over the TRAINING sample, non-increasing).
@@ -200,9 +243,12 @@ def kmeans_fit(
     # parallelism 2 — r9_scale_sf1_batch6c vs 6d)
     vecs = fan_out(e.select("vec_id", "embedding"), spark)
     # scalar count gate (the loop_partitions / fuzzy-dispatcher /
-    # streaming-state precedent): one scan-only count to derive k and
-    # the training threshold; the seed collect below is model-sized.
-    n = e.count()
+    # streaming-state precedent): one scan-only count to derive k, the
+    # training threshold and the kernel regime; the seed collect below
+    # is model-sized.  Callers that already counted pass n in.
+    if n is None:
+        n = e.count()
+    dense = use_unrolled_kernel(n)
     cents = (
         e.filter(F.col("vec_id") % k_mod == 0)
         .orderBy(
@@ -231,7 +277,7 @@ def kmeans_fit(
         cents = spark.createDataFrame(
             [(cid, emb) for cid, emb in sorted(cent_rows.items())], _CENT_SCHEMA
         )
-        assigned = _assign(train, cents)
+        assigned = _assign(train, cents, dense_kernel=dense)
         # ONE aggregation job per iteration: per-(cluster, dim) means
         # and the SSE ride the same groupBy.  d2 is duplicated across a
         # vector's exploded rows, so the SSE partial counts it only at
@@ -280,13 +326,15 @@ def kmeans_cluster_sizes(
     the whole sampled path engine-vs-engine (at the default it binds
     only past ~16k vectors)."""
     e = load_table(spark, sf_dir, "embeddings")
-    cents, _ = kmeans_fit(e, train_c=train_c)
+    n = e.count()
+    cents, _ = kmeans_fit(e, train_c=train_c, n=n)
     # final assignment pays the same k x d fan-out as training: fan_out;
     # the embedding never leaves the argmin, so skip the join-back
     assigned = _assign(
         fan_out(e.select("vec_id", "embedding"), spark),
         cents,
         attach_embedding=False,
+        dense_kernel=use_unrolled_kernel(n),
     )
     return assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
@@ -456,17 +504,19 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations and reuses similarity.PQ_SQL_CTES verbatim.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    cents, _ = kmeans_fit(e)
+    n = e.count()
+    dense = use_unrolled_kernel(n)
+    cents, _ = kmeans_fit(e, n=n)
     # fan_out: cell assignment is k x d folds per row over a
     # bytes-small scan (see kmeans_fit)
     vecs = fan_out(e.select("vec_id", "embedding"), spark)
     # inverted lists: narrow (vec_id, list_id) labels only — the
     # embedding never rides past the argmin (r9 kmeans lesson)
-    lists = _assign(vecs, cents, attach_embedding=False).select(
-        "vec_id", F.col("cluster_id").alias("list_id")
-    )
+    lists = _assign(
+        vecs, cents, attach_embedding=False, dense_kernel=dense
+    ).select("vec_id", F.col("cluster_id").alias("list_id"))
     pq_cents = pq_codebook(e)
-    codes = pq_encode(e, pq_cents)
+    codes = pq_encode(e, pq_cents, n_hint=n)
     luts = pq_query_luts(e, pq_cents)
     # query probes: nprobe=2 nearest coarse centroids, same
     # deterministic (d2, cent_id) tie-break as the Lloyd-IVF row
@@ -581,14 +631,15 @@ def ann_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Voronoi cell, queries probe the nprobe=2 nearest cells, candidates
     scored by exact cosine, top-10 per query."""
     e = load_table(spark, sf_dir, "embeddings")
-    cents, _ = kmeans_fit(e)
+    n = e.count()
+    cents, _ = kmeans_fit(e, n=n)
     # fan_out: both the corpus cell assignment and (below) the candidate
     # scoring are k x d / |list| x d interpreted kernels over a
     # bytes-small scan (see kmeans_fit)
     vecs = fan_out(e.select("vec_id", "embedding"), spark)
-    assigned = _assign(vecs, cents).select(
-        "vec_id", "embedding", F.col("cluster_id").alias("list_id")
-    )
+    assigned = _assign(
+        vecs, cents, dense_kernel=use_unrolled_kernel(n)
+    ).select("vec_id", "embedding", F.col("cluster_id").alias("list_id"))
     qnorm = F.sqrt(_pair_dot_seq(F.col("embedding"), F.col("embedding")))
     queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),

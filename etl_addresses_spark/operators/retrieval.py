@@ -179,13 +179,17 @@ def rrf_hybrid_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bm25_top = _ranked_top(bm25_scored(d), "bm25", "bm25_rank")
 
-    cents, _ = kmeans_fit(e)
+    from etl_addresses_spark.functions.sizing import use_unrolled_kernel
+
+    n = e.count()
+    cents, _ = kmeans_fit(e, n=n)
     vecs = fan_out(e.select("vec_id", "embedding"), spark)
-    lists = _assign(vecs, cents, attach_embedding=False).select(
-        "vec_id", F.col("cluster_id").alias("list_id")
-    )
+    lists = _assign(
+        vecs, cents, attach_embedding=False,
+        dense_kernel=use_unrolled_kernel(n),
+    ).select("vec_id", F.col("cluster_id").alias("list_id"))
     pq_cents = pq_codebook(e)
-    codes = pq_encode(e, pq_cents)
+    codes = pq_encode(e, pq_cents, n_hint=n)
     # RRF_QUERY_VEC = 0 satisfies the % QUERY_MOD query rule, so the
     # shared LUT builder applies; the filter prunes to the one query
     luts = pq_query_luts(e, pq_cents).filter(

@@ -277,17 +277,18 @@ _ALL = {
 # (dict order) against DuckDB each round.  Round-12 rotation, derived
 # MECHANICALLY from the committed CORRECTNESS_r*.json artifacts
 # (oldest-first, every round — the binding form of the staleness
-# invariant given the 180-entry/50-slot pigeonhole): the 29 entries
+# invariant given the 180-entry/50-slot pigeonhole): the round's ONE
+# new entry (no driver evidence yet = oldest of all), the 29 entries
 # whose latest driver evidence is r08 (the tail the r11 window could
-# not fit), then the alphabetically-first 21 r09 entries.
+# not fit), then the alphabetically-first 20 r09 entries.
 # tests/test_driver_window.py recomputes this list from the committed
 # artifacts, so a transcription slip (the r8 `bucketed_join_colocated`
 # incident) fails pytest.  The r09 tail that does not fit stays
 # full-sweep-green at HEAD via CORRECTNESS_FULL artifacts and goes
-# FIRST into the r13 window.  (This round's new registrations carry no
-# driver evidence yet; they enter the r13 window as oldest-of-all —
-# exactly how the r11 quartet entered this one.)
+# FIRST into the r13 window.
 DRIVER_WINDOW: list[str] = [
+    # -- NEW this round (no driver evidence yet) --------------------
+    "rrf_hybrid_topk_ivfpq",
     # -- latest driver evidence is ROUND 8 (the 29-entry tail) ------
     "ngram_jaccard_pairs",
     "q19_disjunctive_revenue",
@@ -318,7 +319,7 @@ DRIVER_WINDOW: list[str] = [
     "window_lag_delta",
     "window_locf_fill",
     "window_running_total",
-    # -- latest driver evidence is ROUND 9 (alphabetical, first 21) -
+    # -- latest driver evidence is ROUND 9 (alphabetical, first 20) -
     "ann_ivf_lloyd_topk",
     "ann_pq_topk",
     "approx_quantiles_orders",
@@ -339,7 +340,6 @@ DRIVER_WINDOW: list[str] = [
     "funnel_conversion",
     "hll_distinct_parts",
     "hll_mergeable_union",
-    "incremental_agg_merge",
 ]
 
 

@@ -123,3 +123,43 @@ def test_ivf_list_count_derivation(spark):
                 f"SELECT ({c} * {k} * 4294967296) // {n}"
             ).fetchone()[0]
             assert thresh == want_t, (n, thresh, want_t)
+
+
+def test_unrolled_kernels_bit_equal_fold(spark):
+    """The unrolled element_at chains used in the broadcast-argmin
+    kernels must be BIT-identical to the sequential folds they replace
+    (same left-association, term for term) — row-wise equality on the
+    fixture, not just aggregate equality."""
+    from pyspark.sql import functions as F
+
+    from etl_addresses_spark.operators.similarity import (
+        EMB_DIM,
+        PQ_SUB,
+        _pq_sub_expr,
+        _sq_l2_seq,
+        _sq_l2_unrolled,
+    )
+
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    pairs = e.select(
+        "embedding", F.reverse(F.col("embedding")).alias("other")
+    )
+    bad = pairs.filter(
+        ~(
+            clustering._sqdist(F.col("embedding"), F.col("other"))
+            == clustering._sqdist_unrolled(
+                F.col("embedding"), F.col("other"), EMB_DIM
+            )
+        )
+    ).count()
+    assert bad == 0
+    subs = e.select(F.posexplode(_pq_sub_expr()).alias("m", "sv")).select(
+        "sv", F.reverse(F.col("sv")).alias("other")
+    )
+    bad = subs.filter(
+        ~(
+            _sq_l2_seq(F.col("sv"), F.col("other"))
+            == _sq_l2_unrolled(F.col("sv"), F.col("other"), PQ_SUB)
+        )
+    ).count()
+    assert bad == 0
