@@ -299,10 +299,115 @@ LIMIT {RRF_TOPK}
     )
 
 
+def _ndcg_constants() -> tuple[list[float], float]:
+    """Position discounts 1/log2(r+1) for r = 1..TOPK_K and the ideal
+    DCG, both computed ONCE in Python and inlined as literals into the
+    Spark plan AND the oracle SQL — log2 is a libm call whose last ulp
+    is not guaranteed identical across engines, so neither engine
+    computes it; they consume the identical double constants (repr
+    round-trips shortest-exact).  IDCG folds left-to-right like every
+    other sum here."""
+    import math
+
+    from etl_addresses_spark.operators.similarity import TOPK_K
+
+    discounts = [1.0 / math.log2(r + 1) for r in range(1, TOPK_K + 1)]
+    idcg = 0.0
+    for r, disc in enumerate(discounts, start=1):
+        idcg = idcg + (TOPK_K + 1 - r) * disc
+    return discounts, idcg
+
+
+def ndcg_eval_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of the IVF-PQ ranking against the exact cosine ranking —
+    the position-weighted companion to `ann_ivf_pq_recall` (recall@k
+    treats rank 1 and rank 10 alike; NDCG prices WHERE the index puts
+    the true neighbors).  Graded relevance of a system candidate is
+    the standard inverted exact rank (k+1-rank, 0 if outside the exact
+    top-k); DCG folds rel_r * discount_r in system-rank order via the
+    canonical sort_array(collect_list) sequence, so the per-query sum
+    is shuffle-order-independent and bit-portable.
+
+    Scale story: composes two already-checked pipelines (the
+    ann_recall_eval pattern) — one n-row semi-side join on
+    (query_id, cand_id), then a k-row-per-query fold; everything past
+    the two top-k inputs is model-sized."""
+    from etl_addresses_spark.operators.clustering import ann_ivf_pq_topk
+    from etl_addresses_spark.operators.similarity import (
+        TOPK_K,
+        cosine_topk_fast,
+    )
+
+    discounts, idcg = _ndcg_constants()
+    exact = cosine_topk_fast(spark, sf_dir).select(
+        "query_id", F.col("rank").alias("erank"), "cand_id"
+    )
+    system = ann_ivf_pq_topk(spark, sf_dir).select(
+        "query_id", F.col("rank").alias("srank"), "cand_id"
+    )
+    disc_arr = F.array(*[F.lit(d) for d in discounts])
+    rel = system.join(exact, ["query_id", "cand_id"], "left").select(
+        "query_id",
+        "srank",
+        (
+            F.coalesce(F.lit(TOPK_K + 1) - F.col("erank"), F.lit(0))
+            .cast("double")
+            * F.element_at(disc_arr, F.col("srank").cast("int"))
+        ).alias("term"),
+    )
+    dcg = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("srank", "term"))),
+            lambda s: s.getField("term"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        rel.groupBy("query_id")
+        .agg(dcg.alias("dcg"))
+        .select(
+            "query_id", "dcg", (F.col("dcg") / F.lit(idcg)).alias("ndcg")
+        )
+    )
+
+
+def ndcg_eval_ivfpq_oracle_sql() -> str:
+    from etl_addresses_spark.operators.clustering import (
+        ann_ivf_pq_oracle_sql,
+    )
+    from etl_addresses_spark.operators.similarity import (
+        COSINE_TOPK_SQL,
+        TOPK_K,
+    )
+
+    discounts, idcg = _ndcg_constants()
+    disc_sql = "[" + ", ".join(repr(d) for d in discounts) + "]"
+    return f"""
+WITH exact_tk AS ({COSINE_TOPK_SQL}),
+sys_tk AS ({ann_ivf_pq_oracle_sql()}),
+rel AS (
+  SELECT s.query_id, s.rank AS srank,
+         CAST(coalesce({TOPK_K + 1} - e.rank, 0) AS DOUBLE)
+           * ({disc_sql}::DOUBLE[])[s.rank] AS term
+  FROM sys_tk s LEFT JOIN exact_tk e
+    ON e.query_id = s.query_id AND e.cand_id = s.cand_id
+)
+SELECT query_id,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY srank)),
+              (x, y) -> x + y) AS dcg,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY srank)),
+              (x, y) -> x + y) / {idcg!r} AS ndcg
+FROM rel GROUP BY query_id
+"""
+
+
 QUERIES_RETRIEVAL = {
     "rrf_hybrid_topk": (rrf_hybrid_topk, RRF_HYBRID_SQL),
     "rrf_hybrid_topk_ivfpq": (
         rrf_hybrid_topk_ivfpq,
         rrf_hybrid_ivfpq_oracle_sql(),
     ),
+    # round 12: position-weighted ranking quality of the IVF-PQ tier
+    "ndcg_eval_ivfpq": (ndcg_eval_ivfpq, ndcg_eval_ivfpq_oracle_sql()),
 }

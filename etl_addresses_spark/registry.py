@@ -277,10 +277,10 @@ _ALL = {
 # (dict order) against DuckDB each round.  Round-12 rotation, derived
 # MECHANICALLY from the committed CORRECTNESS_r*.json artifacts
 # (oldest-first, every round — the binding form of the staleness
-# invariant given the 180-entry/50-slot pigeonhole): the round's ONE
-# new entry (no driver evidence yet = oldest of all), the 29 entries
+# invariant given the 181-entry/50-slot pigeonhole): the round's TWO
+# new entries (no driver evidence yet = oldest of all), the 29 entries
 # whose latest driver evidence is r08 (the tail the r11 window could
-# not fit), then the alphabetically-first 20 r09 entries.
+# not fit), then the alphabetically-first 19 r09 entries.
 # tests/test_driver_window.py recomputes this list from the committed
 # artifacts, so a transcription slip (the r8 `bucketed_join_colocated`
 # incident) fails pytest.  The r09 tail that does not fit stays
@@ -288,6 +288,7 @@ _ALL = {
 # FIRST into the r13 window.
 DRIVER_WINDOW: list[str] = [
     # -- NEW this round (no driver evidence yet) --------------------
+    "ndcg_eval_ivfpq",
     "rrf_hybrid_topk_ivfpq",
     # -- latest driver evidence is ROUND 8 (the 29-entry tail) ------
     "ngram_jaccard_pairs",
@@ -319,7 +320,7 @@ DRIVER_WINDOW: list[str] = [
     "window_lag_delta",
     "window_locf_fill",
     "window_running_total",
-    # -- latest driver evidence is ROUND 9 (alphabetical, first 20) -
+    # -- latest driver evidence is ROUND 9 (alphabetical, first 19) -
     "ann_ivf_lloyd_topk",
     "ann_pq_topk",
     "approx_quantiles_orders",
@@ -339,7 +340,6 @@ DRIVER_WINDOW: list[str] = [
     "events_window_agg",
     "funnel_conversion",
     "hll_distinct_parts",
-    "hll_mergeable_union",
 ]
 
 

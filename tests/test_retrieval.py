@@ -176,3 +176,37 @@ def test_rrf_ivfpq_candidate_scan_is_hash_join(spark):
     assert any(
         "BroadcastHashJoin [list_id" in ln for ln in plan.splitlines()
     ), "fused row lost the list_id hash-join prune"
+
+
+def test_ndcg_eval_ivfpq_oracle(spark, ddb):
+    from etl_addresses_spark.operators.retrieval import (
+        ndcg_eval_ivfpq,
+        ndcg_eval_ivfpq_oracle_sql,
+    )
+
+    assert_frames_match(
+        ndcg_eval_ivfpq(spark, SF_ORACLE),
+        ddb.sql(ndcg_eval_ivfpq_oracle_sql()),
+    )
+
+
+def test_ndcg_invariants(spark):
+    """One row per query; ndcg in [0, 1]; NDCG must never exceed the
+    corresponding recall signal's implied ceiling (a query with zero
+    exact-top-k hits has ndcg exactly 0), and the mean must be
+    positive on the fixture (the index is not degenerate)."""
+    from etl_addresses_spark.operators.clustering import ann_ivf_pq_recall
+    from etl_addresses_spark.operators.retrieval import ndcg_eval_ivfpq
+
+    rows = {r.query_id: r for r in ndcg_eval_ivfpq(spark, SF_ORACLE).collect()}
+    recall = {
+        r.query_id: r for r in ann_ivf_pq_recall(spark, SF_ORACLE).collect()
+    }
+    assert set(rows) == set(recall)
+    for qid, r in rows.items():
+        assert 0.0 <= r.ndcg <= 1.0 + 1e-12, (qid, r.ndcg)
+        if recall[qid].n_hit == 0:
+            assert r.ndcg == 0.0
+        else:
+            assert r.ndcg > 0.0
+    assert sum(r.ndcg for r in rows.values()) > 0.0
