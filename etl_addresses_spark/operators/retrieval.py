@@ -382,7 +382,15 @@ def ndcg_eval_ivfpq_oracle_sql() -> str:
     )
 
     discounts, idcg = _ndcg_constants()
-    disc_sql = "[" + ", ".join(repr(d) for d in discounts) + "]"
+
+    def dbl(v: float) -> str:
+        # bare decimals parse as DECIMAL in DuckDB and re-round on the
+        # cast to DOUBLE (last-ulp drift, caught by the STRICT census);
+        # the e0 exponent form parses directly as the identical double
+        r = repr(v)
+        return r if "e" in r else r + "e0"
+
+    disc_sql = "[" + ", ".join(dbl(d) for d in discounts) + "]"
     return f"""
 WITH exact_tk AS ({COSINE_TOPK_SQL}),
 sys_tk AS ({ann_ivf_pq_oracle_sql()}),
@@ -397,7 +405,7 @@ SELECT query_id,
   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY srank)),
               (x, y) -> x + y) AS dcg,
   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY srank)),
-              (x, y) -> x + y) / {idcg!r} AS ndcg
+              (x, y) -> x + y) / {dbl(idcg)} AS ndcg
 FROM rel GROUP BY query_id
 """
 
