@@ -102,6 +102,19 @@ dropDuplicates; the 2x2 contingency is ONE aggregation per token; the
 corpus totals ride a 1-row BroadcastNestedLoopJoin (the only nested
 loop); chi2 itself is a fused projection and the finisher is
 TakeOrderedAndProject."""),
+        ("RRF over the IVF-PQ tier (rrf_hybrid_topk_ivfpq, round 12)",
+         plan(__import__('etl_addresses_spark.operators.retrieval',
+                         fromlist=['retrieval'])
+              .rrf_hybrid_topk_ivfpq(spark, SF)), """
+What to look for: the corpus-side candidate scan reaches the ADC
+scoring through a BroadcastHashJoin on list_id (the IVF prune — the
+plan contract tests pin it); the only BroadcastNestedLoopJoins touch
+model-sized frames (query x k centroids, 2-row probes x 1-row LUT);
+both signal rankings end in TakeOrderedAndProject; the fusion is a
+full-outer SortMergeJoin of two <=100-row frames.  At fixture scale
+the k-means assignment kernel is the interpreted fold — past the
+16384-row crossover the SAME plan carries the unrolled chain
+(bit-identical, sizing.use_unrolled_kernel)."""),
     ]
     from etl_addresses_spark.operators import bpe
 
