@@ -517,6 +517,24 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("cluster_id").alias("list_id"))
     pq_cents = pq_codebook(e)
     codes = pq_encode(e, pq_cents, n_hint=n)
+    return _ivfpq_serve(spark, e, cents, lists, pq_cents, codes)
+
+
+def _ivfpq_serve(
+    spark: SparkSession,
+    e: DataFrame,
+    cents: DataFrame,
+    lists: DataFrame,
+    pq_cents: DataFrame,
+    codes: DataFrame,
+) -> DataFrame:
+    """The SERVE half of the IVF-PQ index: answer the standard query
+    set from the four corpus-side index artifacts (coarse centroids,
+    inverted lists, PQ codebook, PQ codes) — shared by the in-memory
+    row (`ann_ivf_pq_topk`) and the persisted round-trip row
+    (`ann_index_persist_serve`), which is the identity claim between
+    them."""
+    vecs = fan_out(e.select("vec_id", "embedding"), spark)
     luts = pq_query_luts(e, pq_cents)
     # query probes: nprobe=2 nearest coarse centroids, same
     # deterministic (d2, cent_id) tie-break as the Lloyd-IVF row
@@ -553,6 +571,64 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pq_cosine"),
     )
     return _rank_topk(scored, "pq_cosine")
+
+
+def ann_index_persist_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILD/SERVE split of a real vector index (the FAISS
+    write_index / read_index contract): build the IVF-PQ index once,
+    persist its four corpus-side artifacts to parquet — coarse
+    centroids (k x d doubles), inverted lists (vec_id -> list_id), PQ
+    codebook (M x 256 sub-codewords), PQ codes (8 small codes + recon
+    norm per vector) — then answer the standard query set from the
+    PERSISTED artifacts only.  Value-identity contract (the
+    NDJSON/CSV/bucketed/compaction sink-certification genre applied to
+    an index): longs and doubles round-trip parquet bit-exactly, so
+    the result must hash-equal `ann_ivf_pq_topk`, and the row shares
+    that row's oracle SQL verbatim.
+
+    Scale story: this is what makes the index tier REAL at 100 TB —
+    build cost (Lloyd + encode, the expensive half) is paid once and
+    amortized over every query batch; the serve side reads ~n x 16 B
+    of codes+lists plus model-sized centroid/codebook tables.  The
+    artifacts are plain parquet: a serving layer shares them across
+    sessions/clusters with no custom format."""
+    import os
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    dense = use_unrolled_kernel(n)
+    cents, _ = kmeans_fit(e, n=n)
+    vecs = fan_out(e.select("vec_id", "embedding"), spark)
+    lists = _assign(
+        vecs, cents, attach_embedding=False, dense_kernel=dense
+    ).select("vec_id", F.col("cluster_id").alias("list_id"))
+    pq_cents = pq_codebook(e)
+    codes = pq_encode(e, pq_cents, n_hint=n)
+
+    base = os.path.join(
+        "/tmp",
+        "spark_graft_ivfpq_index_"
+        + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    artifacts = {
+        "cents": cents,
+        "lists": lists,
+        "codebook": pq_cents,
+        "codes": codes,
+    }
+    loaded: dict[str, DataFrame] = {}
+    for name, df in artifacts.items():
+        path = os.path.join(base, f"{name}.parquet")
+        df.write.mode("overwrite").parquet(path)
+        loaded[name] = spark.read.parquet(path)
+    return _ivfpq_serve(
+        spark,
+        e,
+        loaded["cents"],
+        loaded["lists"],
+        loaded["codebook"],
+        loaded["codes"],
+    )
 
 
 def ann_ivf_pq_oracle_sql(

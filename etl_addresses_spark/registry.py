@@ -215,6 +215,12 @@ _ALL: dict[str, Entry] = {
     "ann_ivf_pq_recall": Entry(
         clustering.ann_ivf_pq_recall, clustering.ann_ivf_pq_recall_oracle_sql()
     ),
+    # round 12: the index BUILD/SERVE split — persist the four IVF-PQ
+    # artifacts to parquet, answer queries from the persisted copies;
+    # value-identity with ann_ivf_pq_topk, so it shares that oracle.
+    "ann_index_persist_serve": Entry(
+        clustering.ann_index_persist_serve, clustering.ann_ivf_pq_oracle_sql()
+    ),
     "pagerank_relations": Entry(
         graph.pagerank_relations, graph.pagerank_oracle_sql()
     ),
@@ -277,10 +283,10 @@ _ALL = {
 # (dict order) against DuckDB each round.  Round-12 rotation, derived
 # MECHANICALLY from the committed CORRECTNESS_r*.json artifacts
 # (oldest-first, every round — the binding form of the staleness
-# invariant given the 181-entry/50-slot pigeonhole): the round's TWO
-# new entries (no driver evidence yet = oldest of all), the 29 entries
-# whose latest driver evidence is r08 (the tail the r11 window could
-# not fit), then the alphabetically-first 19 r09 entries.
+# invariant given the 182-entry/50-slot pigeonhole): the round's
+# THREE new entries (no driver evidence yet = oldest of all), the 29
+# entries whose latest driver evidence is r08 (the tail the r11 window
+# could not fit), then the alphabetically-first 18 r09 entries.
 # tests/test_driver_window.py recomputes this list from the committed
 # artifacts, so a transcription slip (the r8 `bucketed_join_colocated`
 # incident) fails pytest.  The r09 tail that does not fit stays
@@ -288,6 +294,7 @@ _ALL = {
 # FIRST into the r13 window.
 DRIVER_WINDOW: list[str] = [
     # -- NEW this round (no driver evidence yet) --------------------
+    "ann_index_persist_serve",
     "ndcg_eval_ivfpq",
     "rrf_hybrid_topk_ivfpq",
     # -- latest driver evidence is ROUND 8 (the 29-entry tail) ------
@@ -320,7 +327,7 @@ DRIVER_WINDOW: list[str] = [
     "window_lag_delta",
     "window_locf_fill",
     "window_running_total",
-    # -- latest driver evidence is ROUND 9 (alphabetical, first 19) -
+    # -- latest driver evidence is ROUND 9 (alphabetical, first 18) -
     "ann_ivf_lloyd_topk",
     "ann_pq_topk",
     "approx_quantiles_orders",
@@ -339,7 +346,6 @@ DRIVER_WINDOW: list[str] = [
     "embedding_srp_lsh_pairs",
     "events_window_agg",
     "funnel_conversion",
-    "hll_distinct_parts",
 ]
 
 

@@ -163,3 +163,22 @@ def test_unrolled_kernels_bit_equal_fold(spark):
         )
     ).count()
     assert bad == 0
+
+
+def test_index_persist_serve_identity(spark):
+    """The build/serve split must be invisible in the answer: serving
+    from the persisted parquet artifacts returns BIT-identical rows to
+    the in-memory index (longs/doubles round-trip parquet exactly),
+    and all four artifact tables exist on disk after the run."""
+    import os
+
+    served = clustering.ann_index_persist_serve(spark, SF_ORACLE)
+    mem = clustering.ann_ivf_pq_topk(spark, SF_ORACLE)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, mem.collect())
+    )
+    base = "/tmp/spark_graft_ivfpq_index_" + os.path.basename(
+        os.path.normpath(SF_ORACLE)
+    )
+    for name in ["cents", "lists", "codebook", "codes"]:
+        assert os.path.isdir(os.path.join(base, f"{name}.parquet")), name
