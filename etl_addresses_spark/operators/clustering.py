@@ -357,6 +357,7 @@ def _kmeans_ctes(
     k_mod: int = DEFAULT_K_MOD,
     iters: int = DEFAULT_ITERS,
     train_c: int = TRAIN_POINTS_PER_CENTROID,
+    source_pred: str = "TRUE",
 ) -> str:
     """Chained-CTE unroll of kmeans_fit: c0..c{iters} centroid states,
     a{k} = argmin assignment against c{k-1} (iterations 1..iters over
@@ -366,12 +367,13 @@ def _kmeans_ctes(
     loop, including the corpus-derived k (QUALIFY rank <= floor(sqrt(
     count))) and the exact-int64 training hash threshold."""
     k_expr = IVF_LIST_COUNT_SQL.format(n="(SELECT n FROM nk)")
-    sql = f"""WITH vecs AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+    sql = f"""WITH vecs AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE {source_pred}),
 nk AS MATERIALIZED (SELECT count(*) AS n FROM vecs),
 c0 AS MATERIALIZED (
   SELECT vec_id AS cent_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent_emb
-  FROM embeddings WHERE vec_id % {k_mod} = 0
+  FROM embeddings WHERE ({source_pred}) AND vec_id % {k_mod} = 0
   QUALIFY row_number() OVER (
     ORDER BY {knuth_order_sql('vec_id')}, vec_id) <= {k_expr}
 ),
@@ -700,6 +702,134 @@ def ann_ivf_pq_recall_oracle_sql() -> str:
     )
 
     return recall_eval_sql(COSINE_TOPK_SQL, ann_ivf_pq_oracle_sql())
+
+
+# The incremental batch: every 10th id.  % 100 == 0 implies % 10 == 0,
+# so a batch of % 10 == 0 would swallow every coarse seed AND every PQ
+# codeword; % 10 == 7 keeps all seeds/codewords (and all % 50 == 0
+# queries) in the BASE corpus, which is what "frozen artifacts" means.
+INCREMENTAL_BATCH_MOD = 10
+INCREMENTAL_BATCH_REM = 7
+
+
+def ann_index_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (the FAISS `add()` contract, and
+    the ANN analogue of `dedup_incremental_lsh`): a new BATCH of
+    vectors (vec_id % {mod} == {rem}) joins an index whose learned
+    artifacts are FROZEN on the base corpus — coarse centroids and the
+    PQ codebook are trained WITHOUT the batch; the batch is only
+    ASSIGNED (nearest frozen centroid) and ENCODED (nearest frozen
+    codewords), then the standard query set is answered over the
+    updated lists.  This is how every production vector index ingests:
+    retraining quantizers per batch would change every existing code
+    (a full rebuild); freezing them makes ingestion a pair of linear
+    passes over the batch alone.
+
+    Fully oracle-checked: the DuckDB twin trains the kmeans CTEs and
+    the PQ codebook under the base predicate, assigns the batch
+    against c{{iters}}, unions the lists, and scores codes built for
+    the WHOLE corpus against the frozen codebook — the same frames
+    the Spark plan builds.  Results legitimately differ from the
+    full-rebuild row (different training population — that delta is
+    the documented staleness price of incremental ingestion; rebuild
+    cadence is the production knob)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    is_batch = (
+        F.col("vec_id") % INCREMENTAL_BATCH_MOD == INCREMENTAL_BATCH_REM
+    )
+    base = e.filter(~is_batch)
+    batch = e.filter(is_batch)
+    nb = base.count()
+    dense = use_unrolled_kernel(nb)
+    cents, _ = kmeans_fit(base, n=nb)
+    # frozen-centroid assignment: base and batch take the SAME argmin
+    # against the SAME centroid frame — the union is the updated lists
+    lists = (
+        _assign(
+            fan_out(base.select("vec_id", "embedding"), spark),
+            cents,
+            attach_embedding=False,
+            dense_kernel=dense,
+        )
+        .unionByName(
+            _assign(
+                fan_out(batch.select("vec_id", "embedding"), spark),
+                cents,
+                attach_embedding=False,
+                dense_kernel=dense,
+            )
+        )
+        .select("vec_id", F.col("cluster_id").alias("list_id"))
+    )
+    pq_cents = pq_codebook(base)  # frozen: codewords from base seeds
+    codes = pq_encode(e, pq_cents, n_hint=nb)  # encode ALL vs frozen
+    return _ivfpq_serve(spark, e, cents, lists, pq_cents, codes)
+
+
+def ann_index_incremental_oracle_sql(
+    k_mod: int = DEFAULT_K_MOD, iters: int = DEFAULT_ITERS
+) -> str:
+    from etl_addresses_spark.operators.similarity import (
+        PQ_ADC_SQL,
+        TOPK_K,
+        pq_sql_ctes,
+    )
+
+    base_pred = (
+        f"vec_id % {INCREMENTAL_BATCH_MOD} <> {INCREMENTAL_BATCH_REM}"
+    )
+    batch_pred = (
+        f"vec_id % {INCREMENTAL_BATCH_MOD} = {INCREMENTAL_BATCH_REM}"
+    )
+    final = iters + 1
+    return (
+        _kmeans_ctes(k_mod, iters, source_pred=base_pred)
+        + f""",
+{pq_sql_ctes(codebook_pred=base_pred)},
+batch_assign AS MATERIALIZED (
+  SELECT vec_id, cluster_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d2 ASC, cluster_id ASC) AS r
+    FROM (
+      SELECT v.vec_id, c.cent_id AS cluster_id,
+             {_duckdb_sqdist('v.embedding', 'c.cent_emb')} AS d2
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE {batch_pred}) v
+      CROSS JOIN c{iters} c))
+  WHERE r = 1
+),
+all_lists AS MATERIALIZED (
+  SELECT vec_id, cluster_id AS list_id FROM a{final}
+  UNION ALL
+  SELECT vec_id, cluster_id AS list_id FROM batch_assign
+),
+probes AS MATERIALIZED (
+  SELECT query_id, cluster_id AS list_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY d2 ASC, cluster_id ASC) AS r
+    FROM (
+      SELECT v.vec_id AS query_id, c.cent_id AS cluster_id,
+             {_duckdb_sqdist('v.embedding', 'c.cent_emb')} AS d2
+      FROM embeddings v CROSS JOIN c{iters} c
+      WHERE v.vec_id % {QUERY_MOD} = 0))
+  WHERE r <= 2
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+    {PQ_ADC_SQL}
+      / (q.q_norm * sqrt(c.recon_norm2)) AS pq_cosine
+  FROM codes c
+  JOIN all_lists l ON l.vec_id = c.vec_id
+  JOIN probes p ON p.list_id = l.list_id
+  JOIN luts q ON q.query_id = p.query_id
+  WHERE c.vec_id <> p.query_id
+)
+SELECT query_id, rank, cand_id, pq_cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY pq_cosine DESC, cand_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {TOPK_K}
+"""
+    )
 
 
 def ann_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -961,8 +961,12 @@ def _duckdb_sq_l2(a: str, b: str) -> str:
 # LUTs), shared verbatim by ANN_PQ_TOPK_SQL (brute ADC over all codes)
 # and clustering.ann_ivf_pq_oracle_sql (ADC over IVF candidates only).
 # CTE names are disjoint from clustering._kmeans_ctes (vecs, c*, a*,
-# m*) by construction.
-PQ_SQL_CTES = f"""subbed AS (
+# m*) by construction.  `pq_sql_ctes(codebook_pred)` parameterizes the
+# CODEBOOK training population (the incremental-add row freezes the
+# codebook on the base corpus while codes/LUTs still cover everything);
+# the default TRUE predicate renders the historical block.
+def pq_sql_ctes(codebook_pred: str = "TRUE") -> str:
+    return f"""subbed AS (
   SELECT vec_id,
     list_transform(generate_series(0, {PQ_M - 1}),
       m -> embedding[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}]) AS subs,
@@ -971,7 +975,8 @@ PQ_SQL_CTES = f"""subbed AS (
 ),
 cents AS (
   SELECT row_number() OVER (ORDER BY cent_id ASC) AS cidx, subs
-  FROM (SELECT vec_id AS cent_id, subs FROM subbed WHERE vec_id % 100 = 0
+  FROM (SELECT vec_id AS cent_id, subs FROM subbed
+        WHERE ({codebook_pred}) AND vec_id % 100 = 0
         ORDER BY {knuth_order_sql('vec_id')}, vec_id
         LIMIT {PQ_MAX_CODEWORDS})
 ),
@@ -1014,6 +1019,9 @@ luts AS (
   SELECT query_id, q_norm, list("row" ORDER BY m) AS luts
   FROM lut_m GROUP BY query_id, q_norm
 )"""
+
+
+PQ_SQL_CTES = pq_sql_ctes()
 
 # DuckDB twin of pq_adc_expr(): the sequential fold over the PQ_M
 # LUT lookups for (luts alias `q`, codes alias `c`).

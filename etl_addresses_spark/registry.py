@@ -221,6 +221,12 @@ _ALL: dict[str, Entry] = {
     "ann_index_persist_serve": Entry(
         clustering.ann_index_persist_serve, clustering.ann_ivf_pq_oracle_sql()
     ),
+    # round 12: incremental index maintenance — the batch is assigned
+    # and encoded against FROZEN base-trained artifacts (FAISS add()).
+    "ann_index_incremental_add": Entry(
+        clustering.ann_index_incremental_add,
+        clustering.ann_index_incremental_oracle_sql(),
+    ),
     "pagerank_relations": Entry(
         graph.pagerank_relations, graph.pagerank_oracle_sql()
     ),
@@ -283,10 +289,10 @@ _ALL = {
 # (dict order) against DuckDB each round.  Round-12 rotation, derived
 # MECHANICALLY from the committed CORRECTNESS_r*.json artifacts
 # (oldest-first, every round — the binding form of the staleness
-# invariant given the 182-entry/50-slot pigeonhole): the round's
-# THREE new entries (no driver evidence yet = oldest of all), the 29
+# invariant given the 183-entry/50-slot pigeonhole): the round's FOUR
+# new entries (no driver evidence yet = oldest of all), the 29
 # entries whose latest driver evidence is r08 (the tail the r11 window
-# could not fit), then the alphabetically-first 18 r09 entries.
+# could not fit), then the alphabetically-first 17 r09 entries.
 # tests/test_driver_window.py recomputes this list from the committed
 # artifacts, so a transcription slip (the r8 `bucketed_join_colocated`
 # incident) fails pytest.  The r09 tail that does not fit stays
@@ -294,6 +300,7 @@ _ALL = {
 # FIRST into the r13 window.
 DRIVER_WINDOW: list[str] = [
     # -- NEW this round (no driver evidence yet) --------------------
+    "ann_index_incremental_add",
     "ann_index_persist_serve",
     "ndcg_eval_ivfpq",
     "rrf_hybrid_topk_ivfpq",
@@ -327,7 +334,7 @@ DRIVER_WINDOW: list[str] = [
     "window_lag_delta",
     "window_locf_fill",
     "window_running_total",
-    # -- latest driver evidence is ROUND 9 (alphabetical, first 18) -
+    # -- latest driver evidence is ROUND 9 (alphabetical, first 17) -
     "ann_ivf_lloyd_topk",
     "ann_pq_topk",
     "approx_quantiles_orders",
@@ -345,7 +352,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_substring_blocks",
     "embedding_srp_lsh_pairs",
     "events_window_agg",
-    "funnel_conversion",
 ]
 
 

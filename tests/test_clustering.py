@@ -182,3 +182,34 @@ def test_index_persist_serve_identity(spark):
     )
     for name in ["cents", "lists", "codebook", "codes"]:
         assert os.path.isdir(os.path.join(base, f"{name}.parquet")), name
+
+
+def test_index_incremental_add_oracle_and_semantics(spark, ddb):
+    """Oracle parity for the incremental-add row, plus the two
+    semantic claims: (a) the frozen artifacts are trained WITHOUT the
+    batch (every coarse seed id is a base id — the batch residue
+    choice guarantees it arithmetically), and (b) batch vectors are
+    actually SERVED: at least one batch candidate appears in the
+    updated index's answers (the fixture is dense enough that a 10%
+    batch always lands some top-10 hits)."""
+    from conftest import assert_frames_match
+
+    from etl_addresses_spark.operators.clustering import (
+        INCREMENTAL_BATCH_MOD,
+        INCREMENTAL_BATCH_REM,
+        ann_index_incremental_add,
+        ann_index_incremental_oracle_sql,
+    )
+
+    assert (100 % INCREMENTAL_BATCH_MOD) != INCREMENTAL_BATCH_REM, (
+        "coarse seeds (vec_id % 100 == 0) must be base vectors"
+    )
+    result = ann_index_incremental_add(spark, SF_ORACLE)
+    assert_frames_match(result, ddb.sql(ann_index_incremental_oracle_sql()))
+    rows = result.collect()
+    batch_hits = [
+        r
+        for r in rows
+        if r.cand_id % INCREMENTAL_BATCH_MOD == INCREMENTAL_BATCH_REM
+    ]
+    assert batch_hits, "no batch vector ever served — ingestion is a no-op"
