@@ -43,6 +43,9 @@ from etl_addresses_spark.operators.similarity import (
     QUERY_MOD,
     _pair_dot_seq,
     _rank_topk,
+    eval_query_pred,
+    eval_query_pred_sql,
+    eval_query_sample_thresh,
     pq_adc_expr,
     pq_codebook,
     pq_encode,
@@ -480,7 +483,9 @@ WHERE rank <= {TOPK_K}
     )
 
 
-def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_pq_topk(
+    spark: SparkSession, sf_dir: str, eval_thresh: int | None = None
+) -> DataFrame:
     """Composed IVF-PQ ANN (the FAISS IVFADC index shape, Jegou et al.):
     coarse-quantize the corpus into Lloyd-refined Voronoi lists, PQ-encode
     every vector to 8 codes, then answer queries by probing the nprobe=2
@@ -519,7 +524,9 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("cluster_id").alias("list_id"))
     pq_cents = pq_codebook(e)
     codes = pq_encode(e, pq_cents, n_hint=n)
-    return _ivfpq_serve(spark, e, cents, lists, pq_cents, codes)
+    return _ivfpq_serve(
+        spark, e, cents, lists, pq_cents, codes, eval_thresh=eval_thresh
+    )
 
 
 def _ivfpq_serve(
@@ -529,18 +536,21 @@ def _ivfpq_serve(
     lists: DataFrame,
     pq_cents: DataFrame,
     codes: DataFrame,
+    eval_thresh: int | None = None,
 ) -> DataFrame:
     """The SERVE half of the IVF-PQ index: answer the standard query
     set from the four corpus-side index artifacts (coarse centroids,
     inverted lists, PQ codebook, PQ codes) — shared by the in-memory
     row (`ann_ivf_pq_topk`) and the persisted round-trip row
     (`ann_index_persist_serve`), which is the identity claim between
-    them."""
+    them.  `eval_thresh` (eval rows only) caps the query set via the
+    Knuth sample predicate BEFORE LUT construction and probing — see
+    similarity.EVAL_QUERY_BUDGET."""
     vecs = fan_out(e.select("vec_id", "embedding"), spark)
-    luts = pq_query_luts(e, pq_cents)
+    luts = pq_query_luts(e, pq_cents, query_pred=eval_query_pred(eval_thresh))
     # query probes: nprobe=2 nearest coarse centroids, same
     # deterministic (d2, cent_id) tie-break as the Lloyd-IVF row
-    queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    queries = vecs.filter(eval_query_pred(eval_thresh)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
     )
@@ -593,8 +603,16 @@ def ann_index_persist_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     amortized over every query batch; the serve side reads ~n x 16 B
     of codes+lists plus model-sized centroid/codebook tables.  The
     artifacts are plain parquet: a serving layer shares them across
-    sessions/clusters with no custom format."""
+    sessions/clusters with no custom format (a production deployment
+    would write them to a durable warehouse path; this certification
+    row keeps them EPHEMERAL — session-unique temp dir, removed once
+    the serve read has materialized — so concurrent sessions on the
+    same fixture can never collide and sweeps leave no /tmp residue,
+    the r12 verdict/advice hygiene items)."""
+    import hashlib
     import os
+    import shutil
+    import tempfile
 
     e = load_table(spark, sf_dir, "embeddings")
     n = e.count()
@@ -607,10 +625,14 @@ def ann_index_persist_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_cents = pq_codebook(e)
     codes = pq_encode(e, pq_cents, n_hint=n)
 
+    # applicationId is unique per SparkSession (no cross-session race);
+    # the sf_dir hash separates datasets whose paths share a basename
     base = os.path.join(
-        "/tmp",
+        tempfile.gettempdir(),
         "spark_graft_ivfpq_index_"
-        + os.path.basename(os.path.normpath(sf_dir)),
+        + spark.sparkContext.applicationId
+        + "_"
+        + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
     )
     artifacts = {
         "cents": cents,
@@ -618,37 +640,62 @@ def ann_index_persist_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "codebook": pq_cents,
         "codes": codes,
     }
-    loaded: dict[str, DataFrame] = {}
-    for name, df in artifacts.items():
-        path = os.path.join(base, f"{name}.parquet")
-        df.write.mode("overwrite").parquet(path)
-        loaded[name] = spark.read.parquet(path)
-    return _ivfpq_serve(
-        spark,
-        e,
-        loaded["cents"],
-        loaded["lists"],
-        loaded["codebook"],
-        loaded["codes"],
-    )
+    try:
+        loaded: dict[str, DataFrame] = {}
+        for name, df in artifacts.items():
+            path = os.path.join(base, f"{name}.parquet")
+            df.write.mode("overwrite").parquet(path)
+            loaded[name] = spark.read.parquet(path)
+        served = _ivfpq_serve(
+            spark,
+            e,
+            loaded["cents"],
+            loaded["lists"],
+            loaded["codebook"],
+            loaded["codes"],
+        )
+        # materialize the serve read (executor-side, model-sized top-k
+        # result) BEFORE deleting the artifacts it scans — the frame
+        # this returns must not depend on the removed files
+        return served.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def ann_ivf_pq_oracle_sql(
-    k_mod: int = DEFAULT_K_MOD, iters: int = DEFAULT_ITERS
+    k_mod: int = DEFAULT_K_MOD,
+    iters: int = DEFAULT_ITERS,
+    eval_sampled: bool = False,
+    keep_pred: str = "TRUE",
 ) -> str:
     from etl_addresses_spark.operators.similarity import (
         PQ_ADC_SQL,
-        PQ_SQL_CTES,
         TOPK_K,
+        pq_sql_ctes,
     )
 
+    # the eval rows' sampled twin: LUTs and probes restricted to the
+    # Knuth query sample, threshold derived from the SAME corpus count
+    # the Spark side uses (nk counts vecs, source_pred TRUE = full
+    # corpus); non-binding at every committed fixture
+    qp = (
+        eval_query_pred_sql("vec_id", "SELECT n FROM nk")
+        if eval_sampled
+        else None
+    )
+    probe_pred = (
+        eval_query_pred_sql("v.vec_id", "SELECT n FROM nk")
+        if eval_sampled
+        else f"v.vec_id % {QUERY_MOD} = 0"
+    )
     final = iters + 1
     return (
         _kmeans_ctes(k_mod, iters)
         + f""",
-{PQ_SQL_CTES},
+{pq_sql_ctes(query_pred=qp)},
 ivf_lists AS MATERIALIZED (
   SELECT vec_id, cluster_id AS list_id FROM a{final}
+  WHERE {keep_pred}
 ),
 probes AS MATERIALIZED (
   SELECT query_id, cluster_id AS list_id FROM (
@@ -658,7 +705,7 @@ probes AS MATERIALIZED (
       SELECT v.vec_id AS query_id, c.cent_id AS cluster_id,
              {_duckdb_sqdist('v.embedding', 'c.cent_emb')} AS d2
       FROM vecs v CROSS JOIN c{iters} c
-      WHERE v.vec_id % {QUERY_MOD} = 0))
+      WHERE {probe_pred}))
   WHERE r <= 2
 ),
 scored AS (
@@ -686,22 +733,39 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     index build would run.  Recall here compounds BOTH approximations
     (coarse prune misses + ADC quantization error), so it sits below
     the IVF-only row's — that separation is the point of publishing
-    the eval per index tier."""
-    from etl_addresses_spark.operators.similarity import cosine_topk_fast
+    the eval per index tier.
 
+    The eval query set is regime-gated (similarity.EVAL_QUERY_BUDGET,
+    r12 verdict item 2): the exact-cosine baseline is corpus-linear
+    PER QUERY, so grading every % QUERY_MOD vector made the eval
+    corpus-quadratic; past the threshold both sides score the same
+    fixed-size Knuth query sample — non-binding at every committed
+    fixture, O(n) eval past it."""
+    from etl_addresses_spark.operators.similarity import (
+        cosine_topk_fast_for,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    thresh = eval_query_sample_thresh(e.count())
     return recall_vs_exact(
-        cosine_topk_fast(spark, sf_dir).select("query_id", "cand_id"),
-        ann_ivf_pq_topk(spark, sf_dir).select("query_id", "cand_id"),
+        cosine_topk_fast_for(e, eval_thresh=thresh).select(
+            "query_id", "cand_id"
+        ),
+        ann_ivf_pq_topk(spark, sf_dir, eval_thresh=thresh).select(
+            "query_id", "cand_id"
+        ),
     )
 
 
 def ann_ivf_pq_recall_oracle_sql() -> str:
     from etl_addresses_spark.operators.similarity import (
-        COSINE_TOPK_SQL,
+        COSINE_TOPK_SAMPLED_SQL,
         recall_eval_sql,
     )
 
-    return recall_eval_sql(COSINE_TOPK_SQL, ann_ivf_pq_oracle_sql())
+    return recall_eval_sql(
+        COSINE_TOPK_SAMPLED_SQL, ann_ivf_pq_oracle_sql(eval_sampled=True)
+    )
 
 
 # The incremental batch: every 10th id.  % 100 == 0 implies % 10 == 0,
@@ -739,7 +803,8 @@ def ann_index_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = e.filter(~is_batch)
     batch = e.filter(is_batch)
-    nb = base.count()
+    n_all = e.count()  # full-corpus count: pq_encode covers EVERYTHING
+    nb = base.count()  # base count: k derivation + training threshold
     dense = use_unrolled_kernel(nb)
     cents, _ = kmeans_fit(base, n=nb)
     # frozen-centroid assignment: base and batch take the SAME argmin
@@ -762,7 +827,12 @@ def ann_index_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("cluster_id").alias("list_id"))
     )
     pq_cents = pq_codebook(base)  # frozen: codewords from base seeds
-    codes = pq_encode(e, pq_cents, n_hint=nb)  # encode ALL vs frozen
+    # encode ALL vs frozen codebook; n_hint is the FULL corpus count —
+    # the kernel-regime hint must match the frame being encoded (r12
+    # advice: passing nb silently violated the n_hint contract just
+    # past the crossover; bit-identical either way, but the contract
+    # is "the count of e")
+    codes = pq_encode(e, pq_cents, n_hint=n_all)
     return _ivfpq_serve(spark, e, cents, lists, pq_cents, codes)
 
 
@@ -829,6 +899,70 @@ SELECT query_id, rank, cand_id, pq_cosine FROM (
   FROM scored)
 WHERE rank <= {TOPK_K}
 """
+    )
+
+
+# Deletion tombstones: vec_id % 10 == 3 — like the incremental batch's
+# % 10 == 7, disjoint from the coarse seeds / PQ codewords (% 100 == 0)
+# and the query set (% 50 == 0), so deletion never removes a learned
+# artifact or a query vector; it removes exactly 1/10 of the CANDIDATE
+# population.
+DELETE_TOMBSTONE_MOD = 10
+DELETE_TOMBSTONE_REM = 3
+
+
+def ann_index_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index DELETION (the FAISS `remove_ids` contract) — the last
+    quarter of the index lifecycle (build `ann_ivf_pq_topk`,
+    persist/serve `ann_index_persist_serve`, ingest
+    `ann_index_incremental_add`, delete THIS): tombstoned vectors
+    (vec_id % {mod} == {rem}) are dropped from the index's ROW-LEVEL
+    artifacts — inverted lists and PQ codes — while the LEARNED
+    artifacts (coarse centroids, PQ codebook) stay frozen exactly as
+    trained on the pre-deletion corpus.  That asymmetry is the whole
+    point: remove_ids is two narrow anti-filters over the row
+    artifacts (linear in the index, no retrain), whereas retraining
+    would re-encode every surviving vector — a full rebuild.  The
+    standard query set is then answered over the shrunken lists;
+    tombstoned vectors can never appear as candidates.
+
+    Fully oracle-checked: the DuckDB twin trains the SAME kmeans/PQ
+    CTEs on the full corpus and applies the same keep-predicate to the
+    inverted-lists CTE (codes join lists on vec_id, so one filter is
+    value-identical to filtering both).  The quality price of frozen
+    quantizers after mass deletion (centroids drift from the surviving
+    distribution) is the documented production trade — rebuild cadence
+    is the knob, same as the incremental row.
+
+    Scale story: both anti-filters are pushed-down scan predicates on
+    ~16 B/vector artifacts; everything downstream inherits
+    `ann_ivf_pq_topk`'s plan shape (broadcast probe-LUT join, no
+    corpus cartesian)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    dense = use_unrolled_kernel(n)
+    cents, _ = kmeans_fit(e, n=n)
+    vecs = fan_out(e.select("vec_id", "embedding"), spark)
+    lists = _assign(
+        vecs, cents, attach_embedding=False, dense_kernel=dense
+    ).select("vec_id", F.col("cluster_id").alias("list_id"))
+    pq_cents = pq_codebook(e)
+    codes = pq_encode(e, pq_cents, n_hint=n)
+    keep = ~(
+        F.col("vec_id") % DELETE_TOMBSTONE_MOD == DELETE_TOMBSTONE_REM
+    )
+    # remove_ids: two narrow filters on the row-level artifacts; the
+    # learned artifacts (cents, pq_cents) pass through untouched
+    return _ivfpq_serve(
+        spark, e, cents, lists.filter(keep), pq_cents, codes.filter(keep)
+    )
+
+
+def ann_index_delete_oracle_sql() -> str:
+    return ann_ivf_pq_oracle_sql(
+        keep_pred=(
+            f"vec_id % {DELETE_TOMBSTONE_MOD} <> {DELETE_TOMBSTONE_REM}"
+        )
     )
 
 

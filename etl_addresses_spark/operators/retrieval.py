@@ -191,9 +191,11 @@ def rrf_hybrid_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_cents = pq_codebook(e)
     codes = pq_encode(e, pq_cents, n_hint=n)
     # RRF_QUERY_VEC = 0 satisfies the % QUERY_MOD query rule, so the
-    # shared LUT builder applies; the filter prunes to the one query
-    luts = pq_query_luts(e, pq_cents).filter(
-        F.col("query_id") == RRF_QUERY_VEC
+    # shared LUT builder applies — restricted to the ONE query BEFORE
+    # the M x codewords LUT construction (r12 advice: a post-build
+    # filter would still build n/QUERY_MOD discarded LUT rows at scale)
+    luts = pq_query_luts(
+        e, pq_cents, query_pred=F.col("vec_id") == RRF_QUERY_VEC
     )
     # nprobe=2 nearest coarse lists for the one query: k scored rows,
     # TakeOrdered(2) — model-sized end to end
@@ -331,18 +333,25 @@ def ndcg_eval_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale story: composes two already-checked pipelines (the
     ann_recall_eval pattern) — one n-row semi-side join on
     (query_id, cand_id), then a k-row-per-query fold; everything past
-    the two top-k inputs is model-sized."""
+    the two top-k inputs is model-sized.  The eval query set is
+    regime-gated (similarity.EVAL_QUERY_BUDGET, r12 verdict item 2):
+    the exact baseline is corpus-linear per query, so past the
+    threshold BOTH sides grade the same fixed-size Knuth query sample
+    — non-binding at every committed fixture, O(n) eval past it."""
     from etl_addresses_spark.operators.clustering import ann_ivf_pq_topk
     from etl_addresses_spark.operators.similarity import (
         TOPK_K,
-        cosine_topk_fast,
+        cosine_topk_fast_for,
+        eval_query_sample_thresh,
     )
 
     discounts, idcg = _ndcg_constants()
-    exact = cosine_topk_fast(spark, sf_dir).select(
+    e = load_table(spark, sf_dir, "embeddings")
+    thresh = eval_query_sample_thresh(e.count())
+    exact = cosine_topk_fast_for(e, eval_thresh=thresh).select(
         "query_id", F.col("rank").alias("erank"), "cand_id"
     )
-    system = ann_ivf_pq_topk(spark, sf_dir).select(
+    system = ann_ivf_pq_topk(spark, sf_dir, eval_thresh=thresh).select(
         "query_id", F.col("rank").alias("srank"), "cand_id"
     )
     disc_arr = F.array(*[F.lit(d) for d in discounts])
@@ -377,7 +386,7 @@ def ndcg_eval_ivfpq_oracle_sql() -> str:
         ann_ivf_pq_oracle_sql,
     )
     from etl_addresses_spark.operators.similarity import (
-        COSINE_TOPK_SQL,
+        COSINE_TOPK_SAMPLED_SQL,
         TOPK_K,
     )
 
@@ -391,22 +400,27 @@ def ndcg_eval_ivfpq_oracle_sql() -> str:
         return r if "e" in r else r + "e0"
 
     disc_sql = "[" + ", ".join(dbl(d) for d in discounts) + "]"
+    # both sides sampled (eval regime gate — see ndcg_eval_ivfpq);
+    # dcg folds once in its own CTE, ndcg derives from it (r12 advice:
+    # the duplicated list_reduce could be evaluated twice per query)
     return f"""
-WITH exact_tk AS ({COSINE_TOPK_SQL}),
-sys_tk AS ({ann_ivf_pq_oracle_sql()}),
+WITH exact_tk AS ({COSINE_TOPK_SAMPLED_SQL}),
+sys_tk AS ({ann_ivf_pq_oracle_sql(eval_sampled=True)}),
 rel AS (
   SELECT s.query_id, s.rank AS srank,
          CAST(coalesce({TOPK_K + 1} - e.rank, 0) AS DOUBLE)
            * ({disc_sql}::DOUBLE[])[s.rank] AS term
   FROM sys_tk s LEFT JOIN exact_tk e
     ON e.query_id = s.query_id AND e.cand_id = s.cand_id
+),
+dcgs AS (
+  SELECT query_id,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY srank)),
+                (x, y) -> x + y) AS dcg
+  FROM rel GROUP BY query_id
 )
-SELECT query_id,
-  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY srank)),
-              (x, y) -> x + y) AS dcg,
-  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY srank)),
-              (x, y) -> x + y) / {dbl(idcg)} AS ndcg
-FROM rel GROUP BY query_id
+SELECT query_id, dcg, dcg / {dbl(idcg)} AS ndcg
+FROM dcgs
 """
 
 

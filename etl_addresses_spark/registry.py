@@ -227,6 +227,13 @@ _ALL: dict[str, Entry] = {
         clustering.ann_index_incremental_add,
         clustering.ann_index_incremental_oracle_sql(),
     ),
+    # round 13: index deletion (FAISS remove_ids) — tombstones dropped
+    # from the row-level artifacts, learned artifacts frozen; completes
+    # the build/persist/ingest/delete lifecycle.
+    "ann_index_delete_serve": Entry(
+        clustering.ann_index_delete_serve,
+        clustering.ann_index_delete_oracle_sql(),
+    ),
     "pagerank_relations": Entry(
         graph.pagerank_relations, graph.pagerank_oracle_sql()
     ),
@@ -286,72 +293,72 @@ _ALL = {
 }
 
 # The grading driver cross-checks exactly the FIRST 50 registry entries
-# (dict order) against DuckDB each round.  Round-12 rotation, derived
+# (dict order) against DuckDB each round.  Round-13 rotation, derived
 # MECHANICALLY from the committed CORRECTNESS_r*.json artifacts
 # (oldest-first, every round — the binding form of the staleness
-# invariant given the 183-entry/50-slot pigeonhole): the round's FOUR
-# new entries (no driver evidence yet = oldest of all), the 29
-# entries whose latest driver evidence is r08 (the tail the r11 window
-# could not fit), then the alphabetically-first 17 r09 entries.
+# invariant given the 184-entry/50-slot pigeonhole): the round's ONE
+# new entry (no driver evidence yet = oldest of all), all 33 entries
+# whose latest driver evidence is r09 (the tail the r12 window could
+# not fit), then the alphabetically-first 16 r10 entries.
 # tests/test_driver_window.py recomputes this list from the committed
 # artifacts, so a transcription slip (the r8 `bucketed_join_colocated`
-# incident) fails pytest.  The r09 tail that does not fit stays
+# incident) fails pytest.  The r10 tail that does not fit stays
 # full-sweep-green at HEAD via CORRECTNESS_FULL artifacts and goes
-# FIRST into the r13 window.
+# FIRST into the r14 window.
 DRIVER_WINDOW: list[str] = [
     # -- NEW this round (no driver evidence yet) --------------------
-    "ann_index_incremental_add",
-    "ann_index_persist_serve",
-    "ndcg_eval_ivfpq",
-    "rrf_hybrid_topk_ivfpq",
-    # -- latest driver evidence is ROUND 8 (the 29-entry tail) ------
-    "ngram_jaccard_pairs",
-    "q19_disjunctive_revenue",
-    "q21_sole_late_supplier",
-    "q2_min_cost_part",
-    "q3_shipping_priority",
-    "q4_late_shipments",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "sample_weighted_k",
-    "scalar_json_extract",
-    "set_except_buyers",
-    "stats_correlation",
-    "stream_ohlc_bars",
-    "stream_purchase_view_full_join",
-    "stream_purchase_view_left_join",
-    "stream_sliding_windows",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_stats",
-    "text_tfidf_top_terms",
-    "transform_logs",
-    "transform_relations",
-    "vocab_oov_rate",
-    "window_lag_delta",
-    "window_locf_fill",
-    "window_running_total",
-    # -- latest driver evidence is ROUND 9 (alphabetical, first 17) -
-    "ann_ivf_lloyd_topk",
-    "ann_pq_topk",
-    "approx_quantiles_orders",
-    "bloom_prune_join",
-    "bm25_topk",
-    "bpe_apply_batched",
-    "chunk_documents",
-    "cms_heavy_hitters",
-    "cohort_retention",
-    "compact_small_files",
-    "cosine_topk",
-    "curate_corpus",
-    "decontaminate_ngram",
-    "dedup_keep_best",
-    "dedup_substring_blocks",
-    "embedding_srp_lsh_pairs",
-    "events_window_agg",
+    "ann_index_delete_serve",
+    # -- latest driver evidence is ROUND 9 (the 33-entry tail) ------
+    "funnel_conversion",
+    "hll_distinct_parts",
+    "hll_mergeable_union",
+    "incremental_agg_merge",
+    "infer_addresses_metrics",
+    "interval_overlap_join",
+    "kmeans_cluster_sizes",
+    "lm_bigram_logprob",
+    "minhash_lsh_pairs",
+    "pack_sequences",
+    "pagerank_relations",
+    "pii_redact",
+    "profile_columns",
+    "q10_returned_revenue",
+    "q9_profit_by_nation_year",
+    "scalar_string_date",
+    "scd2_history",
+    "sessions_path_topk",
+    "set_intersect_buyers",
+    "sort_limit_global",
+    "spatiotemporal_join",
+    "st_contains_join",
+    "stats_correlation_double",
+    "stats_regression_group",
+    "stream_cdc_upsert",
+    "stream_dedup_keys",
+    "stream_restart_exactly_once",
+    "stream_topk_event_types",
+    "table_diff_snapshots",
+    "train_order_shuffle",
+    "transform_objects",
+    "window_frames",
+    "window_topk_per_group",
+    # -- latest driver evidence is ROUND 10 (alphabetical, first 16) -
+    "agg_distinct_counts",
+    "agg_percentiles",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "ann_ivf_pq_recall",
+    "ann_ivf_pq_topk",
+    "ann_quantized_topk",
+    "anomaly_zscore_events",
+    "bm25_topk_inverted",
+    "bpe_encode_stats",
+    "bpe_merge_table",
+    "bpe_merge_table_k64",
+    "contrastive_hard_negatives",
+    "dedup_clusters_star",
+    "dedup_incremental_lsh",
+    "delimited_roundtrip_csv",
 ]
 
 

@@ -168,20 +168,75 @@ def test_unrolled_kernels_bit_equal_fold(spark):
 def test_index_persist_serve_identity(spark):
     """The build/serve split must be invisible in the answer: serving
     from the persisted parquet artifacts returns BIT-identical rows to
-    the in-memory index (longs/doubles round-trip parquet exactly),
-    and all four artifact tables exist on disk after the run."""
-    import os
+    the in-memory index (longs/doubles round-trip parquet exactly).
+    Since r13 the artifacts are EPHEMERAL (session-unique temp dir,
+    removed once the serve read materializes — r12 verdict/advice
+    hygiene items), so the residue contract flips: after the row runs,
+    NO spark_graft_ivfpq_index_* directory may remain."""
+    import glob
+    import tempfile
 
     served = clustering.ann_index_persist_serve(spark, SF_ORACLE)
     mem = clustering.ann_ivf_pq_topk(spark, SF_ORACLE)
     assert sorted(map(tuple, served.collect())) == sorted(
         map(tuple, mem.collect())
     )
-    base = "/tmp/spark_graft_ivfpq_index_" + os.path.basename(
-        os.path.normpath(SF_ORACLE)
+    residue = glob.glob(
+        tempfile.gettempdir() + "/spark_graft_ivfpq_index_*"
     )
-    for name in ["cents", "lists", "codebook", "codes"]:
-        assert os.path.isdir(os.path.join(base, f"{name}.parquet")), name
+    assert not residue, residue
+
+
+def test_index_delete_serve_oracle_and_semantics(spark, ddb):
+    """Oracle parity for the remove_ids row, plus the lifecycle
+    semantics: (a) tombstoned ids never appear as candidates; (b) the
+    learned artifacts really are frozen — for every query whose
+    pre-deletion top-k contained NO tombstone, the post-deletion top-k
+    is IDENTICAL (deletion only removes candidates, it never moves a
+    surviving score); (c) deletion actually changed something for at
+    least one query (the fixture lands tombstones in some top-10)."""
+    from conftest import assert_frames_match
+
+    from etl_addresses_spark.operators.clustering import (
+        DELETE_TOMBSTONE_MOD,
+        DELETE_TOMBSTONE_REM,
+        ann_index_delete_oracle_sql,
+        ann_index_delete_serve,
+    )
+
+    def is_tomb(cid: int) -> bool:
+        return cid % DELETE_TOMBSTONE_MOD == DELETE_TOMBSTONE_REM
+
+    # seeds (%100==0) and queries (%50==0) are never tombstoned
+    assert (100 % DELETE_TOMBSTONE_MOD) != DELETE_TOMBSTONE_REM
+    assert (50 % DELETE_TOMBSTONE_MOD) != DELETE_TOMBSTONE_REM
+
+    result = ann_index_delete_serve(spark, SF_ORACLE)
+    assert_frames_match(result, ddb.sql(ann_index_delete_oracle_sql()))
+
+    after = result.collect()
+    assert not [r for r in after if is_tomb(r.cand_id)], (
+        "tombstoned id served as candidate"
+    )
+    before = clustering.ann_ivf_pq_topk(spark, SF_ORACLE).collect()
+    by_q_before: dict[int, list] = {}
+    for r in before:
+        by_q_before.setdefault(r.query_id, []).append(r)
+    by_q_after: dict[int, list] = {}
+    for r in after:
+        by_q_after.setdefault(r.query_id, []).append(r)
+    assert set(by_q_before) == set(by_q_after), "query set drifted"
+    clean = [
+        q
+        for q, rows in by_q_before.items()
+        if not any(is_tomb(r.cand_id) for r in rows)
+    ]
+    dirty = [q for q in by_q_before if q not in clean]
+    assert dirty, "no pre-deletion top-10 contained a tombstone"
+    for q in clean:
+        assert sorted(map(tuple, by_q_before[q])) == sorted(
+            map(tuple, by_q_after[q])
+        ), f"query {q} moved despite containing no tombstone"
 
 
 def test_index_incremental_add_oracle_and_semantics(spark, ddb):
