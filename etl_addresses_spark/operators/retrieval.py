@@ -348,11 +348,20 @@ def ndcg_eval_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     discounts, idcg = _ndcg_constants()
     e = load_table(spark, sf_dir, "embeddings")
     thresh = eval_query_sample_thresh(e.count())
-    exact = cosine_topk_fast_for(e, eval_thresh=thresh).select(
-        "query_id", F.col("rank").alias("erank"), "cand_id"
+    # both top-k frames are model-sized (|queries| x k); checkpointing
+    # them keeps the expensive pipelines out of the join's broadcast
+    # subtree (the recall_vs_exact lesson — a post-window frame has no
+    # stats, so either giant subtree could be picked as the build side
+    # and re-executed as a broadcast job)
+    exact = (
+        cosine_topk_fast_for(e, eval_thresh=thresh)
+        .select("query_id", F.col("rank").alias("erank"), "cand_id")
+        .localCheckpoint(eager=True)
     )
-    system = ann_ivf_pq_topk(spark, sf_dir, eval_thresh=thresh).select(
-        "query_id", F.col("rank").alias("srank"), "cand_id"
+    system = (
+        ann_ivf_pq_topk(spark, sf_dir, eval_thresh=thresh)
+        .select("query_id", F.col("rank").alias("srank"), "cand_id")
+        .localCheckpoint(eager=True)
     )
     disc_arr = F.array(*[F.lit(d) for d in discounts])
     rel = system.join(exact, ["query_id", "cand_id"], "left").select(

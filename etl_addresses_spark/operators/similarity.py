@@ -1299,7 +1299,16 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def recall_vs_exact(exact: DataFrame, approx: DataFrame) -> DataFrame:
     """Shared recall@k finisher: (query_id, n_hit, recall) given the
     exact and approximate (query_id, cand_id) top-k frames.  Used by
-    `ann_recall_eval` and clustering's `ann_ivf_pq_recall`."""
+    `ann_recall_eval` and clustering's `ann_ivf_pq_recall`.
+
+    `exact` feeds TWO consumers (the hit semi-join and the all-queries
+    spine), and each would re-execute the whole exact-cosine pipeline
+    as its own broadcast-subtree job — the r13 stage profile measured
+    that double execution as the dominant cost of the recall rows at
+    30x.  The post-top-k frame is model-sized (|queries| x k rows), so
+    localCheckpoint materializes it ONCE and both consumers read the
+    block-manager copy (the diversity/scalepatterns idiom)."""
+    exact = exact.localCheckpoint(eager=True)
     hits = (
         approx.join(exact, ["query_id", "cand_id"], "left_semi")
         .groupBy("query_id")
