@@ -754,6 +754,7 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_ivf_pq_topk(spark, sf_dir, eval_thresh=thresh).select(
             "query_id", "cand_id"
         ),
+        materialize=thresh is not None,
     )
 
 
@@ -963,6 +964,169 @@ def ann_index_delete_oracle_sql() -> str:
         keep_pred=(
             f"vec_id % {DELETE_TOMBSTONE_MOD} <> {DELETE_TOMBSTONE_REM}"
         )
+    )
+
+
+# The nprobe operating points every deployment sweeps: 1 (cheapest,
+# lowest recall), 2 (this repo's serving default), 4 (the next rung).
+NPROBE_CURVE = (1, 2, 4)
+
+
+def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-nprobe TUNING CURVE of the IVF-PQ index (the
+    FAISS-bench `nprobe` sweep): one row per operating point in
+    {NPROBE_CURVE} with corpus-wide recall@k vs the exact cosine
+    baseline — the artifact an index deployment publishes to pick its
+    latency/recall trade, completing the index story
+    (build / persist+serve / add / delete / TUNE).
+
+    Scale shape — ONE build, ONE candidate scan, THREE model-sized
+    rankings: the probe ranking keeps rank pr <= max(nprobe) once; a
+    vector lives in exactly one inverted list, so the ADC score of a
+    (query, candidate) pair is nprobe-independent and the curve points
+    are pure FILTERS (pr <= p) over one scored frame.  That frame
+    (|queries| x max_nprobe x n/k narrow rows — the eval query sample
+    is regime-gated like every eval row) is localCheckpoint'ed so the
+    three rankings never re-run the scan; a production sweep would
+    read the persisted artifacts (`ann_index_persist_serve`) instead.
+    Recall aggregates integer-exactly: (nprobe, n_queries, total_hits)
+    with recall = total_hits / (n_queries * k) the only float — one
+    int-derived double division, bit-portable, fully oracle-checked."""
+    from etl_addresses_spark.operators.similarity import (
+        TOPK_K,
+        cosine_topk_fast_for,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    thresh = eval_query_sample_thresh(n)
+    dense = use_unrolled_kernel(n)
+    cents, _ = kmeans_fit(e, n=n)
+    vecs = fan_out(e.select("vec_id", "embedding"), spark)
+    lists = _assign(
+        vecs, cents, attach_embedding=False, dense_kernel=dense
+    ).select("vec_id", F.col("cluster_id").alias("list_id"))
+    pq_cents = pq_codebook(e)
+    codes = pq_encode(e, pq_cents, n_hint=n)
+    luts = pq_query_luts(e, pq_cents, query_pred=eval_query_pred(thresh))
+    queries = vecs.filter(eval_query_pred(thresh)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    probe_scored = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "cent_id",
+        _sqdist(F.col("q_emb"), F.col("cent_emb")).alias("d2"),
+    )
+    wp = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cent_id"))
+    probes = (
+        probe_scored.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= max(NPROBE_CURVE))
+        .select("query_id", F.col("cent_id").alias("list_id"), "pr")
+    )
+    probe_luts = probes.join(luts, "query_id")
+    cand = (
+        fan_out(codes.join(lists, "vec_id"), spark)
+        .join(F.broadcast(probe_luts), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        "pr",
+        (
+            pq_adc_expr() / (F.col("q_norm") * F.sqrt(F.col("recon_norm2")))
+        ).alias("pq_cosine"),
+    ).localCheckpoint(eager=True)
+    exact = (
+        cosine_topk_fast_for(e, eval_thresh=thresh)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=True)
+    )
+    nq = exact.select("query_id").distinct().count()
+    parts = []
+    for p in NPROBE_CURVE:
+        topk = _rank_topk(
+            scored.filter(F.col("pr") <= p).drop("pr"), "pq_cosine"
+        ).select("query_id", "cand_id")
+        parts.append(
+            topk.join(exact, ["query_id", "cand_id"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("total_hits"))
+            .select(
+                F.lit(p).cast("long").alias("nprobe"),
+                F.lit(nq).cast("long").alias("n_queries"),
+                "total_hits",
+                (
+                    F.col("total_hits") / F.lit(float(nq * TOPK_K))
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def ann_nprobe_curve_oracle_sql(
+    k_mod: int = DEFAULT_K_MOD, iters: int = DEFAULT_ITERS
+) -> str:
+    from etl_addresses_spark.operators.similarity import (
+        COSINE_TOPK_SAMPLED_SQL,
+        PQ_ADC_SQL,
+        TOPK_K,
+        pq_sql_ctes,
+    )
+
+    final = iters + 1
+    qp = eval_query_pred_sql("vec_id", "SELECT n FROM nk")
+    probe_pred = eval_query_pred_sql("v.vec_id", "SELECT n FROM nk")
+    points = " UNION ALL ".join(
+        f"""
+  SELECT CAST({p} AS BIGINT) AS nprobe, count(*) AS total_hits FROM (
+    SELECT query_id, cand_id FROM (
+      SELECT query_id, cand_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY pq_cosine DESC, cand_id ASC) AS rank
+      FROM adc_scored WHERE pr <= {p})
+    WHERE rank <= {TOPK_K}) s
+  WHERE EXISTS (SELECT 1 FROM exact_tk e
+                WHERE e.query_id = s.query_id AND e.cand_id = s.cand_id)"""
+        for p in NPROBE_CURVE
+    )
+    return (
+        _kmeans_ctes(k_mod, iters)
+        + f""",
+{pq_sql_ctes(query_pred=qp)},
+ivf_lists AS MATERIALIZED (
+  SELECT vec_id, cluster_id AS list_id FROM a{final}
+),
+probes AS MATERIALIZED (
+  SELECT query_id, cluster_id AS list_id, r AS pr FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY d2 ASC, cluster_id ASC) AS r
+    FROM (
+      SELECT v.vec_id AS query_id, c.cent_id AS cluster_id,
+             {_duckdb_sqdist('v.embedding', 'c.cent_emb')} AS d2
+      FROM vecs v CROSS JOIN c{iters} c
+      WHERE {probe_pred}))
+  WHERE r <= {max(NPROBE_CURVE)}
+),
+adc_scored AS MATERIALIZED (
+  SELECT q.query_id, c.vec_id AS cand_id, p.pr,
+    {PQ_ADC_SQL}
+      / (q.q_norm * sqrt(c.recon_norm2)) AS pq_cosine
+  FROM codes c
+  JOIN ivf_lists l ON l.vec_id = c.vec_id
+  JOIN probes p ON p.list_id = l.list_id
+  JOIN luts q ON q.query_id = p.query_id
+  WHERE c.vec_id <> p.query_id
+),
+exact_tk AS MATERIALIZED ({COSINE_TOPK_SAMPLED_SQL}),
+nqc AS (SELECT count(DISTINCT query_id) AS nq FROM exact_tk),
+curve AS ({points})
+SELECT nprobe, (SELECT nq FROM nqc) AS n_queries, total_hits,
+       total_hits / CAST({TOPK_K} * (SELECT nq FROM nqc) AS DOUBLE) AS recall
+FROM curve
+"""
     )
 
 

@@ -352,17 +352,18 @@ def ndcg_eval_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them keeps the expensive pipelines out of the join's broadcast
     # subtree (the recall_vs_exact lesson — a post-window frame has no
     # stats, so either giant subtree could be picked as the build side
-    # and re-executed as a broadcast job)
-    exact = (
-        cosine_topk_fast_for(e, eval_thresh=thresh)
-        .select("query_id", F.col("rank").alias("erank"), "cand_id")
-        .localCheckpoint(eager=True)
+    # and re-executed as a broadcast job).  Only past the eval gate:
+    # under it both pipelines are sub-second and the eager barriers
+    # cost more than they save (the recall_vs_exact bench trade).
+    exact = cosine_topk_fast_for(e, eval_thresh=thresh).select(
+        "query_id", F.col("rank").alias("erank"), "cand_id"
     )
-    system = (
-        ann_ivf_pq_topk(spark, sf_dir, eval_thresh=thresh)
-        .select("query_id", F.col("rank").alias("srank"), "cand_id")
-        .localCheckpoint(eager=True)
+    system = ann_ivf_pq_topk(spark, sf_dir, eval_thresh=thresh).select(
+        "query_id", F.col("rank").alias("srank"), "cand_id"
     )
+    if thresh is not None:
+        exact = exact.localCheckpoint(eager=True)
+        system = system.localCheckpoint(eager=True)
     disc_arr = F.array(*[F.lit(d) for d in discounts])
     rel = system.join(exact, ["query_id", "cand_id"], "left").select(
         "query_id",

@@ -1293,10 +1293,13 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_ivf_topk_for(e, eval_thresh=thresh).select(
             "query_id", "cand_id"
         ),
+        materialize=thresh is not None,
     )
 
 
-def recall_vs_exact(exact: DataFrame, approx: DataFrame) -> DataFrame:
+def recall_vs_exact(
+    exact: DataFrame, approx: DataFrame, materialize: bool = False
+) -> DataFrame:
     """Shared recall@k finisher: (query_id, n_hit, recall) given the
     exact and approximate (query_id, cand_id) top-k frames.  Used by
     `ann_recall_eval` and clustering's `ann_ivf_pq_recall`.
@@ -1305,10 +1308,17 @@ def recall_vs_exact(exact: DataFrame, approx: DataFrame) -> DataFrame:
     spine), and each would re-execute the whole exact-cosine pipeline
     as its own broadcast-subtree job — the r13 stage profile measured
     that double execution as the dominant cost of the recall rows at
-    30x.  The post-top-k frame is model-sized (|queries| x k rows), so
-    localCheckpoint materializes it ONCE and both consumers read the
-    block-manager copy (the diversity/scalepatterns idiom)."""
-    exact = exact.localCheckpoint(eager=True)
+    30x.  With `materialize=True` the post-top-k frame (model-sized,
+    |queries| x k rows) is localCheckpoint'ed ONCE and both consumers
+    read the block-manager copy (the diversity/scalepatterns idiom).
+    Callers pass materialize = "the eval query gate is binding": past
+    the gate the exact side is the expensive half (16.8 -> 16.0 s at
+    30x with the checkpoint); under it the pipeline is sub-second and
+    the eager job barrier costs MORE than the double execution saves
+    (bench: ann_recall_eval 0.95 -> 1.37 s at sf0.1 when
+    unconditional).  Values identical either way."""
+    if materialize:
+        exact = exact.localCheckpoint(eager=True)
     hits = (
         approx.join(exact, ["query_id", "cand_id"], "left_semi")
         .groupBy("query_id")

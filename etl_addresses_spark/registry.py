@@ -234,6 +234,13 @@ _ALL: dict[str, Entry] = {
         clustering.ann_index_delete_serve,
         clustering.ann_index_delete_oracle_sql(),
     ),
+    # round 13: the recall-vs-nprobe tuning curve (FAISS-bench sweep) —
+    # one build, one max-nprobe candidate scan, three filter-defined
+    # operating points; integer-exact recall aggregates.
+    "ann_nprobe_recall_curve": Entry(
+        clustering.ann_nprobe_recall_curve,
+        clustering.ann_nprobe_curve_oracle_sql(),
+    ),
     "pagerank_relations": Entry(
         graph.pagerank_relations, graph.pagerank_oracle_sql()
     ),
@@ -296,10 +303,10 @@ _ALL = {
 # (dict order) against DuckDB each round.  Round-13 rotation, derived
 # MECHANICALLY from the committed CORRECTNESS_r*.json artifacts
 # (oldest-first, every round — the binding form of the staleness
-# invariant given the 184-entry/50-slot pigeonhole): the round's ONE
-# new entry (no driver evidence yet = oldest of all), all 33 entries
+# invariant given the 185-entry/50-slot pigeonhole): the round's TWO
+# new entries (no driver evidence yet = oldest of all), all 33 entries
 # whose latest driver evidence is r09 (the tail the r12 window could
-# not fit), then the alphabetically-first 16 r10 entries.
+# not fit), then the alphabetically-first 15 r10 entries.
 # tests/test_driver_window.py recomputes this list from the committed
 # artifacts, so a transcription slip (the r8 `bucketed_join_colocated`
 # incident) fails pytest.  The r10 tail that does not fit stays
@@ -308,6 +315,7 @@ _ALL = {
 DRIVER_WINDOW: list[str] = [
     # -- NEW this round (no driver evidence yet) --------------------
     "ann_index_delete_serve",
+    "ann_nprobe_recall_curve",
     # -- latest driver evidence is ROUND 9 (the 33-entry tail) ------
     "funnel_conversion",
     "hll_distinct_parts",
@@ -342,7 +350,7 @@ DRIVER_WINDOW: list[str] = [
     "transform_objects",
     "window_frames",
     "window_topk_per_group",
-    # -- latest driver evidence is ROUND 10 (alphabetical, first 16) -
+    # -- latest driver evidence is ROUND 10 (alphabetical, first 15) -
     "agg_distinct_counts",
     "agg_percentiles",
     "agg_pricing_summary",
@@ -358,7 +366,6 @@ DRIVER_WINDOW: list[str] = [
     "contrastive_hard_negatives",
     "dedup_clusters_star",
     "dedup_incremental_lsh",
-    "delimited_roundtrip_csv",
 ]
 
 

@@ -187,6 +187,38 @@ def test_index_persist_serve_identity(spark):
     assert not residue, residue
 
 
+def test_nprobe_recall_curve_oracle_and_invariants(spark, ddb):
+    """Oracle parity for the tuning-curve row, plus the structural
+    claims: (a) recall is NON-DECREASING in nprobe (more probed lists
+    can only add candidates, and the ADC score of a pair is
+    nprobe-independent); (b) the nprobe=2 point agrees exactly with
+    `ann_ivf_pq_recall`'s total hits (same index, same gated query
+    sample, same exact baseline — two independent pipelines, one
+    integer); (c) one row per curve point."""
+    from conftest import assert_frames_match
+
+    from etl_addresses_spark.operators.clustering import (
+        NPROBE_CURVE,
+        ann_ivf_pq_recall,
+        ann_nprobe_curve_oracle_sql,
+        ann_nprobe_recall_curve,
+    )
+
+    curve = ann_nprobe_recall_curve(spark, SF_ORACLE)
+    assert_frames_match(curve, ddb.sql(ann_nprobe_curve_oracle_sql()))
+    rows = {r.nprobe: r for r in curve.collect()}
+    assert sorted(rows) == sorted(NPROBE_CURVE)
+    hits = [rows[p].total_hits for p in sorted(rows)]
+    assert hits == sorted(hits), f"recall not monotone in nprobe: {hits}"
+    recall_total = sum(
+        r.n_hit for r in ann_ivf_pq_recall(spark, SF_ORACLE).collect()
+    )
+    assert rows[2].total_hits == recall_total, (
+        rows[2].total_hits,
+        recall_total,
+    )
+
+
 def test_index_delete_serve_oracle_and_semantics(spark, ddb):
     """Oracle parity for the remove_ids row, plus the lifecycle
     semantics: (a) tombstoned ids never appear as candidates; (b) the
