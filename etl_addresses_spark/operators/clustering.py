@@ -1130,6 +1130,130 @@ FROM curve
     )
 
 
+def ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF + SQ8 index (the FAISS IVF_SQ8 shape): coarse
+    Lloyd Voronoi lists prune candidates (queries probe their nprobe=2
+    nearest cells), and candidate scoring runs over int8
+    scalar-quantized codes — per-row scale 127/max|x|, EXACT integer
+    dot products — instead of float embeddings or PQ byte codes.  The
+    third member of the quantized-index family: IVF-PQ compresses to
+    8 B/vector with table-lookup scoring (`ann_ivf_pq_topk`), IVF-SQ8
+    to 64 B with exact integer arithmetic — the standard
+    recall-vs-memory rung between float and PQ, and because integer
+    dots are orderless-exact the whole composite stays bit-portable
+    and fully oracle-checked (unlike any float-accumulation variant).
+
+    Physical plan mirrors `_ivfpq_serve`: broadcast-argmin cell
+    assignment, one narrow codes-to-lists join on vec_id, then a
+    broadcast hash join of the (query, probed-list, query-codes) frame
+    onto the candidate scan — the corpus never meets the query set in
+    a cartesian; a query touches ~2n/k candidates at 64 B each.
+    Coarse probing measures FLOAT squared-L2 against the centroids
+    (the index quantizes STORAGE, not the coarse metric — the FAISS
+    contract), so probes reuse the flagship argmin/tie-break."""
+    from etl_addresses_spark.operators.similarity import (
+        sq8_codes,
+        sq8_int_dot,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    dense = use_unrolled_kernel(n)
+    cents, _ = kmeans_fit(e, n=n)
+    vecs = fan_out(e.select("vec_id", "embedding"), spark)
+    lists = _assign(
+        vecs, cents, attach_embedding=False, dense_kernel=dense
+    ).select("vec_id", F.col("cluster_id").alias("list_id"))
+    qv = sq8_codes(e)
+    # probes: nprobe=2 nearest coarse cells per query, float metric
+    queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    probe_scored = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "cent_id",
+        _sqdist(F.col("q_emb"), F.col("cent_emb")).alias("d2"),
+    )
+    wp = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cent_id"))
+    probes = (
+        probe_scored.withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= 2)
+        .select("query_id", F.col("cent_id").alias("list_id"))
+    )
+    q_codes = qv.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qe").alias("q_qe"),
+        F.col("qnorm2").alias("q_norm2"),
+    )
+    probe_codes = probes.join(q_codes, "query_id")
+    cand = (
+        fan_out(qv.join(lists, "vec_id"), spark)
+        .join(F.broadcast(probe_codes), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        (
+            sq8_int_dot(F.col("q_qe"), F.col("qe")).cast("double")
+            / (
+                F.sqrt(F.col("q_norm2").cast("double"))
+                * F.sqrt(F.col("qnorm2").cast("double"))
+            )
+        ).alias("qcosine"),
+    )
+    return _rank_topk(scored, "qcosine")
+
+
+def ann_ivf_sq8_oracle_sql(
+    k_mod: int = DEFAULT_K_MOD, iters: int = DEFAULT_ITERS
+) -> str:
+    from etl_addresses_spark.operators.similarity import (
+        SQ8_SQL_CTES,
+        TOPK_K,
+        sq8_int_dot_sql,
+    )
+
+    final = iters + 1
+    return (
+        _kmeans_ctes(k_mod, iters)
+        + f""",
+{SQ8_SQL_CTES},
+sq_lists AS MATERIALIZED (
+  SELECT vec_id, cluster_id AS list_id FROM a{final}
+),
+sq_probes AS MATERIALIZED (
+  SELECT query_id, cluster_id AS list_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY d2 ASC, cluster_id ASC) AS r
+    FROM (
+      SELECT v.vec_id AS query_id, c.cent_id AS cluster_id,
+             {_duckdb_sqdist('v.embedding', 'c.cent_emb')} AS d2
+      FROM vecs v CROSS JOIN c{iters} c
+      WHERE v.vec_id % {QUERY_MOD} = 0))
+  WHERE r <= 2
+),
+sq_scored AS (
+  SELECT p.query_id, c.vec_id AS cand_id,
+    CAST({sq8_int_dot_sql('q.qe', 'c.qe')} AS DOUBLE)
+      / (sqrt(CAST(q.qnorm2 AS DOUBLE)) * sqrt(CAST(c.qnorm2 AS DOUBLE)))
+      AS qcosine
+  FROM qn c
+  JOIN sq_lists l ON l.vec_id = c.vec_id
+  JOIN sq_probes p ON p.list_id = l.list_id
+  JOIN qn q ON q.vec_id = p.query_id
+  WHERE c.vec_id <> p.query_id
+)
+SELECT query_id, rank, cand_id, qcosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY qcosine DESC, cand_id ASC) AS rank
+  FROM sq_scored)
+WHERE rank <= {TOPK_K}
+"""
+    )
+
+
 def ann_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over Lloyd-refined centroid lists: corpus assigned to its
     Voronoi cell, queries probe the nprobe=2 nearest cells, candidates

@@ -672,14 +672,14 @@ WHERE rank <= {TOPK_K}
 ANN_IVF_TOPK_SQL = ann_ivf_topk_sql()
 
 
-def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Int8-quantized cosine top-k: each vector scaled per-row to
-    [-127, 127] ints (scale = 127/max|x|), scored with INTEGER dot
-    products.  The 100 TB memory/bandwidth play: 4x smaller vectors,
-    SIMD-friendly int math, and — because integer dots are exact — the
-    whole approximate pipeline is still bit-reproducible and
-    oracle-checked (unlike float-accumulation variants)."""
-    e = load_table(spark, sf_dir, "embeddings")
+def sq8_codes(e: DataFrame) -> DataFrame:
+    """SQ8 scalar quantization (the FAISS SQ8 storage format): each
+    vector scaled per-row to [-127, 127] ints (scale = 127/max|x|),
+    plus the integer squared norm.  Returns (vec_id, qe array<long>,
+    qnorm2 long) — 4x smaller than float32 storage, and integer dots
+    over it are EXACT, so every consumer stays bit-reproducible.
+    Zero vectors (max|x| == 0) are unquantizable and dropped — both
+    the brute row and the IVF composition apply the same rule."""
     maxabs = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
     q = F.transform(
         F.col("embedding"),
@@ -696,7 +696,28 @@ def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("qe"), lambda x: x * x), F.lit(0).cast("long"),
         lambda a, v: a + v,
     )
-    qv = qv.withColumn("qnorm2", sumsq)
+    return qv.withColumn("qnorm2", sumsq)
+
+
+def sq8_int_dot(a: F.Column, b: F.Column) -> F.Column:
+    """Exact integer dot of two SQ8 code arrays (order-free: integer
+    addition is associative, no float caveats)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-k: each vector scaled per-row to
+    [-127, 127] ints (scale = 127/max|x|), scored with INTEGER dot
+    products.  The 100 TB memory/bandwidth play: 4x smaller vectors,
+    SIMD-friendly int math, and — because integer dots are exact — the
+    whole approximate pipeline is still bit-reproducible and
+    oracle-checked (unlike float-accumulation variants)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = sq8_codes(e)
     queries = qv.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("qe").alias("q_qe"),
@@ -707,11 +728,7 @@ def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = fan_out(qv, e.sparkSession).crossJoin(
         F.broadcast(queries)
     ).filter(F.col("vec_id") != F.col("query_id"))
-    dot = F.aggregate(
-        F.zip_with(F.col("q_qe"), F.col("qe"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda a, v: a + v,
-    )
+    dot = sq8_int_dot(F.col("q_qe"), F.col("qe"))
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("cand_id"),
@@ -723,8 +740,11 @@ def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(scored, "qcosine")
 
 
-QUANTIZED_TOPK_SQL = f"""
-WITH qv AS (
+# SQ8 quantization CTE block (DuckDB twin of sq8_codes): shared by the
+# brute row (QUANTIZED_TOPK_SQL) and clustering's IVF-SQ8 composition.
+# CTE names qv/qn are disjoint from clustering._kmeans_ctes by
+# construction.
+SQ8_SQL_CTES = """qv AS (
   SELECT vec_id,
     list_transform(embedding,
       x -> CAST(round(CAST(x AS DOUBLE) * (127.0e0 / CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE))) AS BIGINT)
@@ -736,7 +756,19 @@ qn AS (
   SELECT vec_id, qe,
     (SELECT sum(qe[i] * qe[i]) FROM UNNEST(generate_series(1, len(qe))) AS u(i)) AS qnorm2
   FROM qv
-),
+)"""
+
+# DuckDB twin of sq8_int_dot for (query alias `q`.q_qe? no — caller
+# substitutes the two array expressions).
+def sq8_int_dot_sql(a: str, b: str) -> str:
+    return (
+        f"(SELECT sum({a}[i] * {b}[i]) "
+        f"FROM UNNEST(generate_series(1, len({b}))) AS u(i))"
+    )
+
+
+QUANTIZED_TOPK_SQL = f"""
+WITH {SQ8_SQL_CTES},
 queries AS (
   SELECT vec_id AS query_id, qe AS q_qe, qnorm2 AS q_norm2
   FROM qn WHERE vec_id % {QUERY_MOD} = 0

@@ -241,6 +241,13 @@ _ALL: dict[str, Entry] = {
         clustering.ann_nprobe_recall_curve,
         clustering.ann_nprobe_curve_oracle_sql(),
     ),
+    # round 13: the IVF + SQ8 composition (FAISS IVF_SQ8) — coarse
+    # prune + exact-integer int8 scoring; the memory rung between
+    # float IVF and IVF-PQ, bit-portable by integer arithmetic.
+    "ann_ivf_sq8_topk": Entry(
+        clustering.ann_ivf_sq8_topk,
+        clustering.ann_ivf_sq8_oracle_sql(),
+    ),
     "pagerank_relations": Entry(
         graph.pagerank_relations, graph.pagerank_oracle_sql()
     ),
@@ -303,10 +310,10 @@ _ALL = {
 # (dict order) against DuckDB each round.  Round-13 rotation, derived
 # MECHANICALLY from the committed CORRECTNESS_r*.json artifacts
 # (oldest-first, every round — the binding form of the staleness
-# invariant given the 185-entry/50-slot pigeonhole): the round's TWO
+# invariant given the 186-entry/50-slot pigeonhole): the round's THREE
 # new entries (no driver evidence yet = oldest of all), all 33 entries
 # whose latest driver evidence is r09 (the tail the r12 window could
-# not fit), then the alphabetically-first 15 r10 entries.
+# not fit), then the alphabetically-first 14 r10 entries.
 # tests/test_driver_window.py recomputes this list from the committed
 # artifacts, so a transcription slip (the r8 `bucketed_join_colocated`
 # incident) fails pytest.  The r10 tail that does not fit stays
@@ -315,6 +322,7 @@ _ALL = {
 DRIVER_WINDOW: list[str] = [
     # -- NEW this round (no driver evidence yet) --------------------
     "ann_index_delete_serve",
+    "ann_ivf_sq8_topk",
     "ann_nprobe_recall_curve",
     # -- latest driver evidence is ROUND 9 (the 33-entry tail) ------
     "funnel_conversion",
@@ -350,7 +358,7 @@ DRIVER_WINDOW: list[str] = [
     "transform_objects",
     "window_frames",
     "window_topk_per_group",
-    # -- latest driver evidence is ROUND 10 (alphabetical, first 15) -
+    # -- latest driver evidence is ROUND 10 (alphabetical, first 14) -
     "agg_distinct_counts",
     "agg_percentiles",
     "agg_pricing_summary",
@@ -365,7 +373,6 @@ DRIVER_WINDOW: list[str] = [
     "bpe_merge_table_k64",
     "contrastive_hard_negatives",
     "dedup_clusters_star",
-    "dedup_incremental_lsh",
 ]
 
 

@@ -219,6 +219,36 @@ def test_nprobe_recall_curve_oracle_and_invariants(spark, ddb):
     )
 
 
+def test_ivf_sq8_oracle_and_tier_overlap(spark, ddb):
+    """Oracle parity for the IVF+SQ8 composition, plus the tier
+    relationship: its answers are the BRUTE int8 row's answers minus
+    coarse-prune misses — per query, every (cand, score) it returns
+    must also appear in `quantized_topk`'s full candidate ranking
+    restricted to the probed lists, and the per-query overlap with the
+    brute top-k must be substantial (deterministic fixture, fixed
+    floor)."""
+    from conftest import assert_frames_match
+
+    from etl_addresses_spark.operators.clustering import (
+        ann_ivf_sq8_oracle_sql,
+        ann_ivf_sq8_topk,
+    )
+    from etl_addresses_spark.operators.similarity import quantized_topk
+
+    result = ann_ivf_sq8_topk(spark, SF_ORACLE)
+    assert_frames_match(result, ddb.sql(ann_ivf_sq8_oracle_sql()))
+
+    ivf = {(r.query_id, r.cand_id) for r in result.collect()}
+    brute = {
+        (r.query_id, r.cand_id)
+        for r in quantized_topk(spark, SF_ORACLE).collect()
+    }
+    queries = {q for q, _ in brute}
+    overlap = len(ivf & brute) / len(brute)
+    assert overlap >= 0.5, overlap  # deterministic at the fixture
+    assert {q for q, _ in ivf} == queries, "query set drifted"
+
+
 def test_index_delete_serve_oracle_and_semantics(spark, ddb):
     """Oracle parity for the remove_ids row, plus the lifecycle
     semantics: (a) tombstoned ids never appear as candidates; (b) the
