@@ -656,7 +656,12 @@ def ann_index_persist_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize the serve read (executor-side, model-sized top-k
         # result) BEFORE deleting the artifacts it scans — the frame
-        # this returns must not depend on the removed files
+        # this returns must not depend on the removed files.  NOTE:
+        # localCheckpoint blocks are non-replicated, so this cleanup
+        # order assumes local mode (fine for this certification row);
+        # a real cluster deployment would keep the artifacts durable
+        # and skip the delete — losing an executor after the rmtree
+        # would make the frame unrecomputable (r13 advice).
         return served.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -1044,6 +1049,14 @@ def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     nq = exact.select("query_id").distinct().count()
+    # precondition: recall is hits/(nq*k); a corpus with no % QUERY_MOD
+    # vectors would otherwise yield NaN recall rows instead of a clear
+    # failure (r13 advice — unreachable at committed fixtures)
+    if nq == 0:
+        raise ValueError(
+            "ann_nprobe_recall_curve: empty query set (no vec_id % "
+            f"{QUERY_MOD} == 0 rows in {sf_dir!r})"
+        )
     parts = []
     for p in NPROBE_CURVE:
         topk = _rank_topk(

@@ -758,8 +758,8 @@ qn AS (
   FROM qv
 )"""
 
-# DuckDB twin of sq8_int_dot for (query alias `q`.q_qe? no — caller
-# substitutes the two array expressions).
+# DuckDB twin of sq8_int_dot; the caller substitutes the two int-array
+# expressions (e.g. 'q.qe', 'c.qe').
 def sq8_int_dot_sql(a: str, b: str) -> str:
     return (
         f"(SELECT sum({a}[i] * {b}[i]) "

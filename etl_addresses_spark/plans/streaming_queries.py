@@ -503,35 +503,49 @@ def stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt_dir = os.path.join(base, "ckpt")
 
     events = load_table(spark, sf_dir, "events")
-    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
-    mid = lo + (hi - lo) / 2
-    events.filter(F.col("ts") <= F.lit(mid)).write.mode("overwrite").parquet(
-        src_dir
-    )
+    try:
+        lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+        mid = lo + (hi - lo) / 2
+        events.filter(F.col("ts") <= F.lit(mid)).write.mode(
+            "overwrite"
+        ).parquet(src_dir)
 
-    def restartable_query() -> DataFrame:
-        stream = (
-            spark.readStream.schema(events.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src_dir)
+        def restartable_query() -> DataFrame:
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src_dir)
+            )
+            deduped = event_stream.dedup_stream(stream, horizon="3650 days")
+            return deduped.select("user_id", "event_type")
+
+        # Both runs share one checkpoint, whose state layout is pinned
+        # at run 1 — so size from the FULL events table (the volume the
+        # query will eventually hold state for), identically on restart.
+        parts = event_stream.events_state_partitions(sf_dir)
+        # run 1: batch-1 files only, then a clean stop.
+        event_stream.run_with_checkpoint(
+            restartable_query(), out_dir, ckpt_dir, shuffle_partitions=parts
         )
-        deduped = event_stream.dedup_stream(stream, horizon="3650 days")
-        return deduped.select("user_id", "event_type")
-
-    # Both runs share one checkpoint, whose state layout is pinned at
-    # run 1 — so size from the FULL events table (the volume the query
-    # will eventually hold state for), identically on restart.
-    parts = event_stream.events_state_partitions(sf_dir)
-    # run 1: batch-1 files only, then a clean stop.
-    event_stream.run_with_checkpoint(
-        restartable_query(), out_dir, ckpt_dir, shuffle_partitions=parts
-    )
-    # batch 2 lands in the source dir; restart against the same checkpoint.
-    events.filter(F.col("ts") > F.lit(mid)).write.mode("append").parquet(src_dir)
-    event_stream.run_with_checkpoint(
-        restartable_query(), out_dir, ckpt_dir, shuffle_partitions=parts
-    )
-    return spark.read.parquet(out_dir).select("user_id", "event_type")
+        # batch 2 lands in the source dir; restart against the same
+        # checkpoint.
+        events.filter(F.col("ts") > F.lit(mid)).write.mode("append").parquet(
+            src_dir
+        )
+        event_stream.run_with_checkpoint(
+            restartable_query(), out_dir, ckpt_dir, shuffle_partitions=parts
+        )
+        # materialize the sink read (distinct-keys-sized) BEFORE the
+        # finally removes the files it scans — the r13 verdict hygiene
+        # item, same pattern as clustering.ann_index_persist_serve;
+        # start-of-run rmtree alone left every run's scratch in /tmp
+        return (
+            spark.read.parquet(out_dir)
+            .select("user_id", "event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 STREAM_RESTART_SQL = """
@@ -642,8 +656,6 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from etl_addresses_spark.sources.tables import load_table
-
     # pid-discriminated scratch (see stream_restart_exactly_once)
     base = os.path.join(
         "/tmp",
@@ -651,6 +663,22 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"_{os.getpid()}",
     )
     shutil.rmtree(base, ignore_errors=True)
+    try:
+        return _cdc_upsert_run(spark, sf_dir, base)
+    finally:
+        # scratch (source files, A/B state, checkpoint) must not
+        # outlive the row — r13 verdict hygiene item; the result is
+        # materialized before this runs
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _cdc_upsert_run(
+    spark: SparkSession, sf_dir: str, base: str
+) -> DataFrame:
+    import os
+
+    from etl_addresses_spark.sources.tables import load_table
+
     src = os.path.join(base, "in")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -728,8 +756,12 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     final = spark.read.parquet(state_paths[turn["i"] % 2])
-    return final.filter(F.col("op") != "D").select(
-        "o_orderkey", F.col("price").cast("double").alias("price")
+    # materialize (live-keys-sized, two narrow columns) before the
+    # caller's finally deletes the state files this scan reads
+    return (
+        final.filter(F.col("op") != "D")
+        .select("o_orderkey", F.col("price").cast("double").alias("price"))
+        .localCheckpoint(eager=True)
     )
 
 

@@ -221,12 +221,12 @@ def test_nprobe_recall_curve_oracle_and_invariants(spark, ddb):
 
 def test_ivf_sq8_oracle_and_tier_overlap(spark, ddb):
     """Oracle parity for the IVF+SQ8 composition, plus the tier
-    relationship: its answers are the BRUTE int8 row's answers minus
-    coarse-prune misses — per query, every (cand, score) it returns
-    must also appear in `quantized_topk`'s full candidate ranking
-    restricted to the probed lists, and the per-query overlap with the
-    brute top-k must be substantial (deterministic fixture, fixed
-    floor)."""
+    relationship: the coarse prune changes WHICH candidates are
+    scored, never their scores — for every (query, cand) pair both
+    tiers rank, the qcosine must be bit-identical (integer dots are
+    exact, so any drift would be a kernel divergence) — and the
+    per-query overlap with the brute top-k must be substantial
+    (deterministic fixture, fixed floor)."""
     from conftest import assert_frames_match
 
     from etl_addresses_spark.operators.clustering import (
@@ -238,15 +238,21 @@ def test_ivf_sq8_oracle_and_tier_overlap(spark, ddb):
     result = ann_ivf_sq8_topk(spark, SF_ORACLE)
     assert_frames_match(result, ddb.sql(ann_ivf_sq8_oracle_sql()))
 
-    ivf = {(r.query_id, r.cand_id) for r in result.collect()}
+    ivf = {
+        (r.query_id, r.cand_id): r.qcosine for r in result.collect()
+    }
     brute = {
-        (r.query_id, r.cand_id)
+        (r.query_id, r.cand_id): r.qcosine
         for r in quantized_topk(spark, SF_ORACLE).collect()
     }
     queries = {q for q, _ in brute}
-    overlap = len(ivf & brute) / len(brute)
+    shared = ivf.keys() & brute.keys()
+    overlap = len(shared) / len(brute)
     assert overlap >= 0.5, overlap  # deterministic at the fixture
     assert {q for q, _ in ivf} == queries, "query set drifted"
+    # prune-only contract: both tiers score shared pairs bit-equal
+    diverged = {p for p in shared if ivf[p] != brute[p]}
+    assert not diverged, sorted(diverged)[:5]
 
 
 def test_index_delete_serve_oracle_and_semantics(spark, ddb):

@@ -89,3 +89,28 @@ def test_stream_restart_exactly_once(spark):
     # would duplicate rows and break the multiset equality above.)
     assert k2 & k1, "batch 2 must re-arrive keys whose state run 1 holds"
     assert len(got) == len(k1 | k2)
+
+
+def test_scratch_dirs_do_not_outlive_the_rows(spark):
+    """/tmp hygiene pin (r13 verdict item 2): the two rows that stage
+    scratch under /tmp (CDC A/B state + restart source/checkpoint)
+    must remove their pid-keyed base dir before returning — the r12-r13
+    sweeps left one residue dir per run — AND the returned frame must
+    still be collectable after the delete (the eager localCheckpoint
+    materialized it first)."""
+    import glob
+    import os
+
+    from etl_addresses_spark.plans.streaming_queries import stream_cdc_upsert
+
+    out = stream_cdc_upsert(spark, SF_ORACLE)
+    assert out.count() > 0  # usable after the scratch was rmtree'd
+    pid = os.getpid()
+    residue = [
+        d
+        for pat in ("spark_graft_cdc_*", "spark_graft_restart_*")
+        for d in glob.glob(os.path.join("/tmp", pat))
+        if d.endswith(f"_{pid}")
+    ]
+    # covers the restart row too when the full file ran it above
+    assert not residue, residue
