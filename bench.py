@@ -209,7 +209,28 @@ def main() -> None:
             times.append(round(time.perf_counter() - t0, 3))
         return times
 
+    # Second probe, shuffle-sensitive (r13 verdict item 4): the
+    # arithmetic probe above is pure codegen and proved BLIND to the
+    # dimension the r13 host actually drifted in (untouched rows ran
+    # 1.1-1.4x slower while arithmetic calibration read identical).
+    # This one round-trips a real exchange — 2e7 longs hash-partitioned
+    # into 32 shuffle partitions — so task dispatch + shuffle
+    # write/fetch IO show up in the committed artifact too; ledger
+    # normalization can now cite whichever probe moved.
+    def _calibrate_shuffle() -> list[float]:
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 20_000_000, 1, 32).repartition(
+                32, "id"
+            ).selectExpr("sum(id % 1000003) AS s").write.format("noop").mode(
+                "overwrite"
+            ).save()
+            times.append(round(time.perf_counter() - t0, 3))
+        return times
+
     cal_before = _calibrate()
+    cal_shuffle_before = _calibrate_shuffle()
     timings: dict[str, float] = {}
     repeats: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -239,6 +260,7 @@ def main() -> None:
         repeats[name] = per_run
         timings[name] = min(per_run)
     cal_after = _calibrate()
+    cal_shuffle_after = _calibrate_shuffle()
 
     sf_token = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:
@@ -251,6 +273,12 @@ def main() -> None:
         "before": cal_before,
         "after": cal_after,
         "best": min(cal_before + cal_after),
+        "shuffle_workload": (
+            "range(2e7) repartition(32, id) sum(id%1000003), best-of-3"
+        ),
+        "shuffle_before": cal_shuffle_before,
+        "shuffle_after": cal_shuffle_after,
+        "shuffle_best": min(cal_shuffle_before + cal_shuffle_after),
     }
     detail = {
         "metric": "headline_detail",
@@ -288,6 +316,7 @@ def main() -> None:
                 "queries": slowest,
                 "n_queries": len(timings),
                 "calibration_best": calibration["best"],
+                "calibration_shuffle_best": calibration["shuffle_best"],
                 "detail": "tools/evidence/bench_detail_last_run.json",
                 "sf": sf,
             }
