@@ -537,6 +537,7 @@ def _ivfpq_serve(
     pq_cents: DataFrame,
     codes: DataFrame,
     eval_thresh: int | None = None,
+    topk: int | None = None,
 ) -> DataFrame:
     """The SERVE half of the IVF-PQ index: answer the standard query
     set from the four corpus-side index artifacts (coarse centroids,
@@ -545,7 +546,8 @@ def _ivfpq_serve(
     (`ann_index_persist_serve`), which is the identity claim between
     them.  `eval_thresh` (eval rows only) caps the query set via the
     Knuth sample predicate BEFORE LUT construction and probing — see
-    similarity.EVAL_QUERY_BUDGET."""
+    similarity.EVAL_QUERY_BUDGET.  `topk` widens the per-query cut
+    (default TOPK_K) for the refine rerank's candidate stage."""
     vecs = fan_out(e.select("vec_id", "embedding"), spark)
     luts = pq_query_luts(e, pq_cents, query_pred=eval_query_pred(eval_thresh))
     # query probes: nprobe=2 nearest coarse centroids, same
@@ -582,7 +584,9 @@ def _ivfpq_serve(
             pq_adc_expr() / (F.col("q_norm") * F.sqrt(F.col("recon_norm2")))
         ).alias("pq_cosine"),
     )
-    return _rank_topk(scored, "pq_cosine")
+    from etl_addresses_spark.operators.similarity import TOPK_K
+
+    return _rank_topk(scored, "pq_cosine", k=topk if topk else TOPK_K)
 
 
 def ann_index_persist_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1313,3 +1317,325 @@ def ann_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cosine"),
     )
     return _rank_topk(scored)
+
+
+# ---------------------------------------------------------------------------
+# Round 14: serving-side completions — refine rerank, shard-merge
+# build, metadata-filtered search.
+# ---------------------------------------------------------------------------
+
+# Refine keeps k_factor x TOPK_K quantized candidates per query before
+# exact re-scoring — FAISS IndexRefineFlat's k_factor knob, at its
+# customary small default.
+REFINE_K_FACTOR = 3
+
+
+def ann_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage serve with exact refine (the FAISS IndexRefineFlat
+    contract, Jegou et al.'s ADC + reranking): the IVF-PQ index
+    generates k_factor x k candidates per query from compressed codes,
+    then ONLY those candidates are re-scored with the exact float
+    cosine and the final top-k is cut on the refined score.  This is
+    the standard production answer to PQ quantization error: recall
+    approaches the exact scan's while the exact kernel runs on
+    k_factor x k vectors per query instead of the corpus (here 30 of
+    them vs the brute row's n — at 100 TB the refine stage reads
+    |queries| x 30 x 256 B of floats, a rounding error next to the
+    corpus scan it replaces, and the candidate stage still reads only
+    probed-list codes).
+
+    Physical plan: the candidate stage is `_ivfpq_serve` verbatim with
+    a widened rank cut (same probe/LUT broadcasts, no corpus
+    cartesian); the refine stage re-attaches float embeddings to the
+    (query_id, cand_id) pairs with ONE narrow shuffle join on cand_id
+    (the `_assign` re-attach pattern) and a broadcast of the
+    query-side embeddings, then re-ranks with the family tie-break.
+    Fully oracle-checked: the DuckDB twin widens the same scored CTE
+    and re-scores with the same sequential-fold dot product, so the
+    doubly-approximate candidate set AND the exact rerank both hash."""
+    from etl_addresses_spark.operators.similarity import TOPK_K, _norms
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    dense = use_unrolled_kernel(n)
+    cents, _ = kmeans_fit(e, n=n)
+    vecs = fan_out(e.select("vec_id", "embedding"), spark)
+    lists = _assign(
+        vecs, cents, attach_embedding=False, dense_kernel=dense
+    ).select("vec_id", F.col("cluster_id").alias("list_id"))
+    pq_cents = pq_codebook(e)
+    codes = pq_encode(e, pq_cents, n_hint=n)
+    cands = _ivfpq_serve(
+        spark,
+        e,
+        cents,
+        lists,
+        pq_cents,
+        codes,
+        topk=TOPK_K * REFINE_K_FACTOR,
+    ).select("query_id", "cand_id")
+    # exact refine: fetch candidate embeddings with one narrow n-row
+    # join (|queries| x k_factor*k pairs vs the corpus), broadcast the
+    # query-side vectors, re-score with the exact sequential-fold
+    # cosine the brute row uses
+    en = e.join(_norms(e), "vec_id")
+    cand_side = en.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cand_emb"),
+        F.col("norm").alias("cand_norm"),
+    )
+    q_side = en.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    refined = (
+        cands.join(cand_side, "cand_id")
+        .join(F.broadcast(q_side), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                _pair_dot_seq(F.col("q_emb"), F.col("cand_emb"))
+                / (F.col("q_norm") * F.col("cand_norm"))
+            ).alias("cosine"),
+        )
+    )
+    return _rank_topk(refined)
+
+
+def ann_ivfpq_refine_oracle_sql(
+    k_mod: int = DEFAULT_K_MOD, iters: int = DEFAULT_ITERS
+) -> str:
+    from etl_addresses_spark.operators.similarity import (
+        PQ_ADC_SQL,
+        TOPK_K,
+        _duckdb_dot,
+        pq_sql_ctes,
+    )
+
+    final = iters + 1
+    dot_qc = _duckdb_dot("eq.embedding", "ec.embedding")
+    norm_q = f"sqrt(CAST({_duckdb_dot('eq.embedding', 'eq.embedding')} AS DOUBLE))"
+    norm_c = f"sqrt(CAST({_duckdb_dot('ec.embedding', 'ec.embedding')} AS DOUBLE))"
+    return (
+        _kmeans_ctes(k_mod, iters)
+        + f""",
+{pq_sql_ctes()},
+ivf_lists AS MATERIALIZED (
+  SELECT vec_id, cluster_id AS list_id FROM a{final}
+),
+probes AS MATERIALIZED (
+  SELECT query_id, cluster_id AS list_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY d2 ASC, cluster_id ASC) AS r
+    FROM (
+      SELECT v.vec_id AS query_id, c.cent_id AS cluster_id,
+             {_duckdb_sqdist('v.embedding', 'c.cent_emb')} AS d2
+      FROM vecs v CROSS JOIN c{iters} c
+      WHERE v.vec_id % {QUERY_MOD} = 0))
+  WHERE r <= 2
+),
+pq_scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+    {PQ_ADC_SQL}
+      / (q.q_norm * sqrt(c.recon_norm2)) AS pq_cosine
+  FROM codes c
+  JOIN ivf_lists l ON l.vec_id = c.vec_id
+  JOIN probes p ON p.list_id = l.list_id
+  JOIN luts q ON q.query_id = p.query_id
+  WHERE c.vec_id <> p.query_id
+),
+cand_r AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY pq_cosine DESC, cand_id ASC) AS prank
+    FROM pq_scored)
+  WHERE prank <= {TOPK_K * REFINE_K_FACTOR}
+),
+refined AS (
+  SELECT cr.query_id, cr.cand_id,
+    CAST({dot_qc} AS DOUBLE) / ({norm_q} * {norm_c}) AS cosine
+  FROM cand_r cr
+  JOIN embeddings eq ON eq.vec_id = cr.query_id
+  JOIN embeddings ec ON ec.vec_id = cr.cand_id
+)
+SELECT query_id, rank, cand_id, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM refined)
+WHERE rank <= {TOPK_K}
+"""
+    )
+
+
+# Two hash shards — enough to certify the merge algebra (any shard
+# count composes the same unions).
+MERGE_SHARD_MOD = 2
+
+
+def ann_index_merge_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-built index MERGE (the FAISS `merge_from` contract, and
+    how a 1000-executor cluster actually builds a 100 TB index): the
+    learned artifacts — coarse centroids and PQ codebook — are trained
+    ONCE on the full corpus, then each shard of the corpus is assigned
+    and PQ-encoded INDEPENDENTLY against those shared quantizers, and
+    the per-shard row-level artifacts (inverted lists, codes) are
+    merged by plain union.  Because assignment and encoding are
+    row-local given frozen quantizers, the merged index is
+    VALUE-IDENTICAL to the monolithic build — the row's contract:
+    its result must hash-equal `ann_ivf_pq_topk`, and it shares that
+    row's oracle SQL verbatim (the persist/serve genre, applied to
+    distributed build instead of storage round-trip).
+
+    Scale story: this is the claim that makes index BUILD linear-time
+    at cluster scale — train once (model-sized), encode shards in
+    parallel with zero cross-shard communication, merge with a
+    metadata-only union; only the serve-side shuffle remains.  The
+    per-shard encode honors the n_hint contract (the count of the
+    frame being encoded), so each shard independently picks its
+    kernel regime — bit-identical either way, which is exactly why
+    the merge is safe."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    cents, _ = kmeans_fit(e, n=n)
+    pq_cents = pq_codebook(e)
+    lists_parts: list[DataFrame] = []
+    codes_parts: list[DataFrame] = []
+    for s in range(MERGE_SHARD_MOD):
+        shard = e.filter(F.col("vec_id") % MERGE_SHARD_MOD == s)
+        ns = shard.count()
+        dense_s = use_unrolled_kernel(ns)
+        lists_parts.append(
+            _assign(
+                fan_out(shard.select("vec_id", "embedding"), spark),
+                cents,
+                attach_embedding=False,
+                dense_kernel=dense_s,
+            ).select("vec_id", F.col("cluster_id").alias("list_id"))
+        )
+        codes_parts.append(pq_encode(shard, pq_cents, n_hint=ns))
+    lists = lists_parts[0]
+    codes = codes_parts[0]
+    for lp, cp in zip(lists_parts[1:], codes_parts[1:]):
+        lists = lists.unionByName(lp)
+        codes = codes.unionByName(cp)
+    return _ivfpq_serve(spark, e, cents, lists, pq_cents, codes)
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search (the "filtered ANN" every
+    production vector store ships — FAISS IDSelector / Milvus boolean
+    filter / multi-tenant partition keys): each query may only match
+    candidates sharing its `label` — the tenant/attribute constraint —
+    answered from the same IVF-PQ index as the unfiltered row.
+
+    The filter is applied as a PRE-filter fused into the candidate
+    hash join: the probe frame carries the query's label, the
+    candidate scan attaches each vector's label with one narrow n-row
+    join, and the broadcast hash join keys on (list_id, label) — so
+    non-matching candidates are dropped AT THE JOIN, before any ADC
+    scoring, rather than post-filtering a scored top-k (which is the
+    recall-losing shortcut this row exists to avoid).  With L roughly
+    balanced labels a query touches ~2n/(k*L) candidates; the join key
+    just gets more selective — no new shuffle, no plan change vs the
+    unfiltered serve.
+
+    Fully oracle-checked: the DuckDB twin adds the same label-equality
+    join to the scored CTE of the shared IVF-PQ oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    dense = use_unrolled_kernel(n)
+    cents, _ = kmeans_fit(e, n=n)
+    vecs = fan_out(e.select("vec_id", "embedding"), spark)
+    lists = _assign(
+        vecs, cents, attach_embedding=False, dense_kernel=dense
+    ).select("vec_id", F.col("cluster_id").alias("list_id"))
+    pq_cents = pq_codebook(e)
+    codes = pq_encode(e, pq_cents, n_hint=n)
+    labels = e.select("vec_id", "label")
+    luts = pq_query_luts(e, pq_cents)
+    queries = fan_out(
+        e.select("vec_id", "embedding", "label"), spark
+    ).filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "label",
+    )
+    probe_scored = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "label",
+        "cent_id",
+        _sqdist(F.col("q_emb"), F.col("cent_emb")).alias("d2"),
+    )
+    wp = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cent_id"))
+    probes = (
+        probe_scored.withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= 2)
+        .select("query_id", "label", F.col("cent_id").alias("list_id"))
+    )
+    probe_luts = probes.join(luts, "query_id")
+    # the label rides the broadcast side and joins as a KEY next to
+    # list_id: the tenant constraint is enforced inside the hash join
+    cand = (
+        fan_out(codes.join(lists, "vec_id").join(labels, "vec_id"), spark)
+        .join(F.broadcast(probe_luts), ["list_id", "label"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        (
+            pq_adc_expr() / (F.col("q_norm") * F.sqrt(F.col("recon_norm2")))
+        ).alias("pq_cosine"),
+    )
+    return _rank_topk(scored, "pq_cosine")
+
+
+def ann_filtered_oracle_sql(
+    k_mod: int = DEFAULT_K_MOD, iters: int = DEFAULT_ITERS
+) -> str:
+    from etl_addresses_spark.operators.similarity import (
+        PQ_ADC_SQL,
+        TOPK_K,
+        pq_sql_ctes,
+    )
+
+    final = iters + 1
+    return (
+        _kmeans_ctes(k_mod, iters)
+        + f""",
+{pq_sql_ctes()},
+ivf_lists AS MATERIALIZED (
+  SELECT vec_id, cluster_id AS list_id FROM a{final}
+),
+probes AS MATERIALIZED (
+  SELECT query_id, cluster_id AS list_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY d2 ASC, cluster_id ASC) AS r
+    FROM (
+      SELECT v.vec_id AS query_id, c.cent_id AS cluster_id,
+             {_duckdb_sqdist('v.embedding', 'c.cent_emb')} AS d2
+      FROM vecs v CROSS JOIN c{iters} c
+      WHERE v.vec_id % {QUERY_MOD} = 0))
+  WHERE r <= 2
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+    {PQ_ADC_SQL}
+      / (q.q_norm * sqrt(c.recon_norm2)) AS pq_cosine
+  FROM codes c
+  JOIN ivf_lists l ON l.vec_id = c.vec_id
+  JOIN probes p ON p.list_id = l.list_id
+  JOIN luts q ON q.query_id = p.query_id
+  JOIN embeddings ql ON ql.vec_id = p.query_id
+  JOIN embeddings cl ON cl.vec_id = c.vec_id AND cl.label = ql.label
+  WHERE c.vec_id <> p.query_id
+)
+SELECT query_id, rank, cand_id, pq_cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY pq_cosine DESC, cand_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {TOPK_K}
+"""
+    )

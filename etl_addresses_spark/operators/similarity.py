@@ -145,13 +145,17 @@ def _norm_col(c: F.Column) -> F.Column:
     return F.sqrt(_pair_dot_seq(c, c))
 
 
-def _rank_topk(scored: DataFrame, score_col: str = "cosine") -> DataFrame:
+def _rank_topk(
+    scored: DataFrame, score_col: str = "cosine", k: int = TOPK_K
+) -> DataFrame:
     """Shared top-k finisher: row_number over (score desc, cand_id asc)
-    — the tie-break every variant must share or they silently diverge."""
+    — the tie-break every variant must share or they silently diverge.
+    `k` widens the cut for two-stage consumers (the refine rerank keeps
+    k_factor x TOPK_K quantized candidates before exact re-scoring)."""
     w = W.partitionBy("query_id").orderBy(F.desc(score_col), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK_K)
+        .filter(F.col("rank") <= k)
         .select("query_id", "rank", "cand_id", score_col)
     )
 

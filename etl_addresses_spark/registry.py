@@ -248,6 +248,25 @@ _ALL: dict[str, Entry] = {
         clustering.ann_ivf_sq8_topk,
         clustering.ann_ivf_sq8_oracle_sql(),
     ),
+    # round 14: serving-side completions.  Refine = exact rerank of
+    # k_factor x k quantized candidates (FAISS IndexRefineFlat);
+    # merge = shard-parallel build against shared quantizers, unioned
+    # (FAISS merge_from) — value-identical to the monolithic build, so
+    # it shares ann_ivf_pq_topk's oracle verbatim; filtered = per-query
+    # label constraint fused into the candidate hash-join key
+    # (multi-tenant / attribute-filtered ANN).
+    "ann_ivfpq_refine_topk": Entry(
+        clustering.ann_ivfpq_refine_topk,
+        clustering.ann_ivfpq_refine_oracle_sql(),
+    ),
+    "ann_index_merge_serve": Entry(
+        clustering.ann_index_merge_serve,
+        clustering.ann_ivf_pq_oracle_sql(),
+    ),
+    "ann_filtered_topk": Entry(
+        clustering.ann_filtered_topk,
+        clustering.ann_filtered_oracle_sql(),
+    ),
     "pagerank_relations": Entry(
         graph.pagerank_relations, graph.pagerank_oracle_sql()
     ),
@@ -307,72 +326,72 @@ _ALL = {
 }
 
 # The grading driver cross-checks exactly the FIRST 50 registry entries
-# (dict order) against DuckDB each round.  Round-13 rotation, derived
+# (dict order) against DuckDB each round.  Round-14 rotation, derived
 # MECHANICALLY from the committed CORRECTNESS_r*.json artifacts
 # (oldest-first, every round — the binding form of the staleness
-# invariant given the 186-entry/50-slot pigeonhole): the round's THREE
-# new entries (no driver evidence yet = oldest of all), all 33 entries
-# whose latest driver evidence is r09 (the tail the r12 window could
-# not fit), then the alphabetically-first 14 r10 entries.
+# invariant given the 189-entry/50-slot pigeonhole): the round's THREE
+# new entries (no driver evidence yet = oldest of all), all 36 entries
+# whose latest driver evidence is r10 (the tail the r13 window could
+# not fit), then the alphabetically-first 11 r11 entries.
 # tests/test_driver_window.py recomputes this list from the committed
 # artifacts, so a transcription slip (the r8 `bucketed_join_colocated`
-# incident) fails pytest.  The r10 tail that does not fit stays
+# incident) fails pytest.  The r11 tail that does not fit stays
 # full-sweep-green at HEAD via CORRECTNESS_FULL artifacts and goes
-# FIRST into the r14 window.
+# FIRST into the r15 window.
 DRIVER_WINDOW: list[str] = [
     # -- NEW this round (no driver evidence yet) --------------------
-    "ann_index_delete_serve",
-    "ann_ivf_sq8_topk",
-    "ann_nprobe_recall_curve",
-    # -- latest driver evidence is ROUND 9 (the 33-entry tail) ------
-    "funnel_conversion",
-    "hll_distinct_parts",
-    "hll_mergeable_union",
-    "incremental_agg_merge",
-    "infer_addresses_metrics",
-    "interval_overlap_join",
-    "kmeans_cluster_sizes",
-    "lm_bigram_logprob",
-    "minhash_lsh_pairs",
-    "pack_sequences",
-    "pagerank_relations",
-    "pii_redact",
-    "profile_columns",
-    "q10_returned_revenue",
-    "q9_profit_by_nation_year",
-    "scalar_string_date",
-    "scd2_history",
-    "sessions_path_topk",
-    "set_intersect_buyers",
-    "sort_limit_global",
-    "spatiotemporal_join",
-    "st_contains_join",
-    "stats_correlation_double",
-    "stats_regression_group",
-    "stream_cdc_upsert",
-    "stream_dedup_keys",
-    "stream_restart_exactly_once",
-    "stream_topk_event_types",
-    "table_diff_snapshots",
-    "train_order_shuffle",
-    "transform_objects",
-    "window_frames",
-    "window_topk_per_group",
-    # -- latest driver evidence is ROUND 10 (alphabetical, first 14) -
-    "agg_distinct_counts",
-    "agg_percentiles",
-    "agg_pricing_summary",
-    "agg_rollup",
-    "ann_ivf_pq_recall",
-    "ann_ivf_pq_topk",
-    "ann_quantized_topk",
-    "anomaly_zscore_events",
-    "bm25_topk_inverted",
-    "bpe_encode_stats",
-    "bpe_merge_table",
-    "bpe_merge_table_k64",
-    "contrastive_hard_negatives",
-    "dedup_clusters_star",
+    "ann_filtered_topk",
+    "ann_index_merge_serve",
+    "ann_ivfpq_refine_topk",
+    # -- latest driver evidence is ROUND 10 (the 36-entry tail) -----
+    "dedup_incremental_lsh",
+    "delimited_roundtrip_csv",
+    "docs_with_embeddings",
+    "drift_ks_events",
+    "embedding_near_dup",
+    "events_ohlc_bars",
+    "fuzzy_name_match_blocked",
+    "interval_overlap_bucketed",
+    "join_anti_customers",
+    "join_outer_order_counts",
+    "join_region_volume",
+    "join_semi_orders",
+    "mixture_rebalance",
+    "multimodal_audio_features",
+    "multimodal_decode",
+    "q11_important_parts",
+    "q12_priority_by_status",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q20_dominant_suppliers",
+    "q22_idle_customers",
+    "quality_budget_select",
+    "quality_classifier_score",
+    "quality_gopher_flags",
+    "repetition_ngram_score",
+    "rrf_hybrid_topk",
+    "sample_fixed_k",
+    "sample_stratified",
+    "scalar_array_funcs",
+    "set_union_buyers",
+    "text_top_terms",
+    "unpivot_measures",
+    # -- latest driver evidence is ROUND 11 (alphabetical, first 11) -
+    "agg_cube",
+    "agg_pivot_case",
+    "ann_ivf_topk",
+    "ann_recall_eval",
+    "asof_join_events",
+    "bucketed_join_colocated",
+    "chi2_token_assoc",
+    "cosine_topk_fast",
+    "dedup_clusters",
+    "dedup_exact",
+    "drift_psi_events",
 ]
 
 

@@ -336,3 +336,113 @@ def test_index_incremental_add_oracle_and_semantics(spark, ddb):
         if r.cand_id % INCREMENTAL_BATCH_MOD == INCREMENTAL_BATCH_REM
     ]
     assert batch_hits, "no batch vector ever served — ingestion is a no-op"
+
+
+def test_refine_topk_oracle_and_recall_dominance(spark, ddb):
+    """Oracle parity for the refine rerank, plus the theorem that makes
+    refine worth shipping: every exact-top-k member present in the
+    widened candidate pool survives the exact rerank (fewer than its
+    true rank of candidates can outscore it), so refine's recall vs the
+    exact scan DOMINATES the pq-top-k's — assert per query, not just in
+    aggregate.  Scores must equal the exact row's cosine for shared
+    pairs (same sequential-fold kernel)."""
+    from conftest import assert_frames_match
+
+    from etl_addresses_spark.operators.clustering import (
+        ann_ivf_pq_topk,
+        ann_ivfpq_refine_oracle_sql,
+        ann_ivfpq_refine_topk,
+    )
+    from etl_addresses_spark.operators.similarity import cosine_topk
+
+    result = ann_ivfpq_refine_topk(spark, SF_ORACLE)
+    assert_frames_match(result, ddb.sql(ann_ivfpq_refine_oracle_sql()))
+
+    refined = {
+        (r.query_id, r.cand_id): r.cosine for r in result.collect()
+    }
+    exact = {
+        (r.query_id, r.cand_id): r.cosine
+        for r in cosine_topk(spark, SF_ORACLE).collect()
+    }
+    pq = {
+        (r.query_id, r.cand_id)
+        for r in ann_ivf_pq_topk(spark, SF_ORACLE).collect()
+    }
+    queries = {q for q, _ in exact}
+    assert {q for q, _ in refined} == queries
+    for q in queries:
+        hits_ref = {c for (qq, c) in refined if qq == q} & {
+            c for (qq, c) in exact if qq == q
+        }
+        hits_pq = {c for (qq, c) in pq if qq == q} & {
+            c for (qq, c) in exact if qq == q
+        }
+        assert len(hits_ref) >= len(hits_pq), (q, hits_ref, hits_pq)
+    # shared (query, cand) pairs carry the exact row's score bit-equal
+    diverged = {
+        p for p in refined.keys() & exact.keys()
+        if refined[p] != exact[p]
+    }
+    assert not diverged, sorted(diverged)[:5]
+
+
+def test_merge_serve_value_identity(spark):
+    """The merge row's whole contract: shard-parallel assign/encode
+    against shared quantizers, unioned, must serve BIT-IDENTICAL
+    results to the monolithic build (oracle parity is therefore shared
+    with ann_ivf_pq_topk and checked by the driver; here we pin the
+    Spark-side identity directly)."""
+    from etl_addresses_spark.operators.clustering import (
+        ann_index_merge_serve,
+        ann_ivf_pq_topk,
+    )
+
+    merged = {
+        (r.query_id, r.rank, r.cand_id, r.pq_cosine)
+        for r in ann_index_merge_serve(spark, SF_ORACLE).collect()
+    }
+    mono = {
+        (r.query_id, r.rank, r.cand_id, r.pq_cosine)
+        for r in ann_ivf_pq_topk(spark, SF_ORACLE).collect()
+    }
+    assert merged == mono
+
+
+def test_filtered_topk_oracle_and_tenant_constraint(spark, ddb):
+    """Oracle parity for the filtered search, plus the tenant
+    semantics: (a) every returned candidate shares its query's label;
+    (b) scores for pairs the unfiltered row also returns are
+    bit-equal (the filter prunes candidates, never rescores); (c) the
+    filter actually bound at the fixture — some query's top-k differs
+    from the unfiltered row's."""
+    from conftest import assert_frames_match
+
+    from etl_addresses_spark.operators.clustering import (
+        ann_filtered_oracle_sql,
+        ann_filtered_topk,
+        ann_ivf_pq_topk,
+    )
+
+    result = ann_filtered_topk(spark, SF_ORACLE)
+    assert_frames_match(result, ddb.sql(ann_filtered_oracle_sql()))
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, SF_ORACLE, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    filt = {(r.query_id, r.cand_id): r.pq_cosine for r in result.collect()}
+    assert filt, "filtered search returned nothing at the fixture"
+    for (q, c) in filt:
+        assert labels[q] == labels[c], (q, c)
+    unfilt = {
+        (r.query_id, r.cand_id): r.pq_cosine
+        for r in ann_ivf_pq_topk(spark, SF_ORACLE).collect()
+    }
+    diverged = {
+        p for p in filt.keys() & unfilt.keys() if filt[p] != unfilt[p]
+    }
+    assert not diverged, sorted(diverged)[:5]
+    assert filt.keys() != unfilt.keys(), "filter never bound at fixture"
