@@ -258,10 +258,8 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from etl_addresses_spark.sources.tables import load_table
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
     )
     # Per-order pair generation: ONE groupBy shuffle collects each
     # order's (small, k<=7) part set, and the k*(k-1)/2 pairs are
@@ -270,6 +268,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and built the same pairs through a join (measured 11.3 s -> see
     # SCALE.md; pair count is identical).  At 100 TB the per-key state
     # is one order's part set — bounded by order size, not corpus.
+    # No (ok, p) pre-distinct: collect_set dedupes per order already,
+    # and the r14 plan audit showed the distinct() cost a SECOND full
+    # exchange of the scan for zero row reduction at the groupBy
+    # (guide §2.4 — "a distinct on data that is already unique").
     # edges feeds the degree count twice (u side, v side) and the
     # orientation join once; cache so the build runs once.
     # NOTE (r11 width audit): an explicit repartition+dropDuplicates
@@ -460,7 +462,9 @@ def graph_communities_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_scan = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
     )
-    li = li_scan.distinct()
+    # No (ok, p) pre-distinct: collect_set dedupes per order already —
+    # see the triangle_count edge-build note (one exchange saved).
+    li = li_scan
     # pair dedup stays distinct() — see the triangle_count note (the
     # explicit repartition+dropDuplicates form lost its partial
     # aggregation and measured slower at 10x).  The cached neighbor
@@ -507,23 +511,32 @@ def graph_communities_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("v_", "lab")
                 .agg(F.count(F.lit(1)).alias("c"))
             )
-            # step() frees the previous round's label blocks (ckpt.py).
             # (count DESC, label ASC) argmax as min(struct(-c, lab)):
             # the negated field is the COUNT, which is >= 1 by
             # construction (F.count), so the encoding is sign-safe for
             # any label id scheme — the r6-advice hazard of negating
             # labels (silently wrong tie-breaks if ids ever go
             # negative) can't arise.
-            labels = chain.step(
+            labels = (
                 votes.groupBy(F.col("v_").alias("node"))
                 .agg(
                     F.min(
                         F.struct((-F.col("c")).alias("nc"), F.col("lab"))
                     ).alias("m")
                 )
-                .select("node", F.col("m.lab").alias("lab")),
-                "labels",
+                .select("node", F.col("m.lab").alias("lab"))
             )
+        # ONE materialization for the whole loop (r14 optimization):
+        # unlike pagerank (ranks read twice per round) or BFS (visited
+        # AND frontier re-read), each labels_{k-1} here feeds EXACTLY
+        # one consumer — round k's votes join — so the un-checkpointed
+        # lineage is LINEAR (4 join+agg rounds in one plan), not
+        # exponential, and the per-round eager checkpoint was pure
+        # per-round job-dispatch + block-write overhead.  The single
+        # step() inside the scope keeps the loop-derived shuffle width
+        # binding (widths resolve at action time) and bounds lineage
+        # for downstream consumers.
+        labels = chain.step(labels, "labels")
     return (
         labels.groupBy(F.col("lab").alias("community"))
         .agg(F.count(F.lit(1)).alias("size"))
@@ -600,7 +613,9 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_scan = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
     )
-    li = li_scan.distinct()
+    # No (ok, p) pre-distinct: collect_set dedupes per order already —
+    # see the triangle_count edge-build note (one exchange saved).
+    li = li_scan
     # pair dedup stays distinct() — see the triangle_count note (the
     # explicit repartition+dropDuplicates form lost its partial
     # aggregation and measured slower at 10x).  The cached neighbor
@@ -638,12 +653,20 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BFS_SEEDS)
     )
     chain = CheckpointChain()
-    # the hop-0 checkpoint doubles as visited_0 AND frontier_0; it goes
-    # in the "visited" slot so freeing a superseded frontier (below)
-    # never drops blocks the next visited-union still reads.
-    visited = seeds.select("node", F.lit(0).cast("long").alias("dist"))
-    frontier = chain.step(visited, "visited")
-    visited = frontier
+    # ONE checkpoint per hop (r14 optimization, guide §1.2/"don't
+    # compute things you throw away"): only the FRONTIER is ever
+    # materialized — per-hop slots keep every hop's checkpoint live —
+    # and the visited set is the union of those already-materialized
+    # blocks (frontiers are disjoint by construction, so the union IS
+    # the visited set; a union of LogicalRDD scans recomputes nothing).
+    # The previous form additionally checkpointed visited∪frontier
+    # every hop: a second action per hop that re-wrote the ENTIRE
+    # growing visited set into new blocks — O(hops · reached) copied
+    # rows for a set that the anti-join can read as-is.
+    frontier = chain.step(
+        seeds.select("node", F.lit(0).cast("long").alias("dist")), "f0"
+    )
+    frontiers = [frontier]
     # per-hop joins are O(neighbor rows); loop width from the cached
     # neighbor count (functions/sizing.py), integer-exact either way
     n_nbr = nbr.count()
@@ -654,16 +677,20 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.col("w").alias("node"))
                 .distinct()
             )
+            visited = frontiers[0].select("node")
+            for f in frontiers[1:]:
+                visited = visited.unionAll(f.select("node"))
             frontier = chain.step(
                 reached.join(visited, "node", "left_anti").select(
                     "node", F.lit(k).cast("long").alias("dist")
                 ),
-                "frontier",
+                f"f{k}",
             )
-            visited = chain.step(visited.unionAll(frontier), "visited")
-    # the result depends only on the final visited checkpoint
-    chain.release("frontier")
-    return visited
+            frontiers.append(frontier)
+    out = frontiers[0]
+    for f in frontiers[1:]:
+        out = out.unionAll(f)
+    return out
 
 
 def bfs_oracle_sql(seeds: int = BFS_SEEDS, hops: int = BFS_HOPS) -> str:

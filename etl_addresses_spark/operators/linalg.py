@@ -6,10 +6,10 @@ the d x d Gram matrix of an N x d embedding corpus never materializes
 N^2 anything — each row contributes its d^2 outer-product cells to a
 partial aggregate, so the shuffle carries at most d^2 keys per task
 regardless of N.  `embedding_top_pc` then extracts the top principal
-direction by FIXED-count power iteration on that d x d table — the
-same iterate-on-a-tiny-table template as pagerank (per-step 1-row
-broadcast for the normalization scalar), which makes it fully
-oracle-checkable by CTE unrolling.
+direction by FIXED-count power iteration over the COLLECTED
+(model-sized) d x d matrix on the driver — the kmeans_fit
+fold-locally template — which stays fully oracle-checkable by CTE
+unrolling.
 
 Reference parity note: the reference ETL (addresses.js) has no
 embedding concept; this module belongs to the mandated
@@ -22,7 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_addresses_spark.ckpt import CheckpointChain
 from etl_addresses_spark.sources.tables import fan_out, load_table
 
 EMB_DIM = 64
@@ -110,49 +109,51 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rayleigh quotient is non-decreasing, and the iteration machinery
     is count-agnostic (PI_ITERS is the only knob).
 
-    Everything is DataFrame ops on d-row / d^2-row tables: the
-    mat-vec is a join + groupBy-sum, the norm is a 1-row aggregate
-    crossJoined back (broadcast scalar, the pagerank dangling-mass
-    template), `localCheckpoint` per round keeps the 8-deep plan
-    flat.  The per-round checkpoint is NOT optional even at d-row
-    size: an r6 experiment ran the 8 rounds lazily (one plan, no
-    checkpoints) expecting to save 8 scheduling floors, and the
-    nested scalar-aggregate/crossJoin tree instead blew Catalyst's
-    optimization cost to 16.9 s vs 3.5 s checkpointed — lineage
-    bounding here pays for PLANNING time, not executor time (the
-    inverse of the pagerank rationale; both are pinned by this
-    number).  At 100 TB the expensive part is the ONE corpus pass in
-    `_gram`; the iteration itself touches only d^2 = {EMB_DIM ** 2}
-    rows and is scale-free.  Fixed iteration count -> unrolled-CTE
-    oracle (`top_pc_oracle_sql`), the pagerank/kmeans technique;
-    per-step normalization keeps the ulp-level sum-order drift
-    contracting, measured far below the 6-digit contract."""
-    chain = CheckpointChain()
-    g = chain.step(_gram(spark, sf_dir), "gram")
-    v = (
-        g.select(F.col("j").alias("vj"))
-        .distinct()
-        .select("vj", F.lit(1.0 / EMB_DIM ** 0.5).alias("val"))
-    )
+    The distributed part is the ONE corpus pass in `_gram`; the d x d
+    Gram result (d^2 = {EMB_DIM ** 2} cells) is MODEL-SIZED, so the
+    iteration runs on the driver over the collected matrix — the
+    kmeans_fit / embedding_pc_scores precedent (collect the
+    model-sized aggregate, fold it locally, ship the d-number result
+    back as a literal frame).  Until r14 the 8 rounds ran as
+    DataFrame ops (join + groupBy-sum + scalar-norm crossJoin, one
+    eager localCheckpoint per round): 8 extra Spark jobs + block
+    writes on a 64-row iterate, ~1 s of pure scheduling floor at any
+    corpus size — and an r6 experiment showed the lazy single-plan
+    alternative was WORSE (Catalyst planning blew up to 16.9 s vs
+    3.5 s on the nested scalar-aggregate tree), so driver-side folding
+    is the only shape that removes both costs.  The driver mat-vec
+    sums in FIXED ascending-j order (run-to-run deterministic, which
+    the partition-order-dependent groupBy sum never was); engine
+    drift vs the oracle's own sum order stays ~1e-12, five orders
+    below the 6-digit publication quantum — the same contract as
+    before.  Fixed iteration count -> unrolled-CTE oracle
+    (`top_pc_oracle_sql`), the pagerank/kmeans technique."""
+    cells = _gram(spark, sf_dir).collect()  # d^2 rows, model-sized
+    g: dict[tuple[int, int], float] = {(r["i"], r["j"]): r["g"] for r in cells}
+    dims = sorted({j for (_, j) in g})
+    v = {j: 1.0 / EMB_DIM ** 0.5 for j in dims}
     for _ in range(PI_ITERS):
-        w = (
-            g.join(v, g.j == v.vj)
-            .groupBy("i")
-            .agg(F.sum(F.col("g") * F.col("val")).alias("w"))
-        )
-        norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-        # step() frees round k-1's iterate blocks AFTER round k
-        # materializes (ckpt.py — the r5 repeat-growth fix)
-        v = chain.step(
-            w.crossJoin(norm).select(
-                F.col("i").alias("vj"), (F.col("w") / F.col("nrm")).alias("val")
-            ),
-            "iter",
-        )
-    # the returned frame depends only on the FINAL iterate; the d^2-row
-    # gram checkpoint is dead weight from here on.
-    chain.release("gram")
-    return v.select(F.col("vj").alias("i"), F.round("val", 6).alias("loading"))
+        w = {
+            i: sum(g[(i, j)] * v[j] for j in dims)  # ascending-j fold
+            for i in dims
+        }
+        nrm = sum(w[i] * w[i] for i in dims) ** 0.5
+        v = {i: w[i] / nrm for i in dims}
+    return spark.createDataFrame(
+        [(i, _round6(v[i])) for i in dims], "i bigint, loading double"
+    )
+
+
+def _round6(x: float) -> float:
+    """Spark's round(col, 6) on DOUBLE: HALF_UP on the shortest
+    round-trip decimal repr (java BigDecimal.valueOf + setScale) —
+    replicated exactly so the literal frame carries the same bits the
+    old in-plan F.round produced."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
 
 
 def top_pc_oracle_sql(iters: int = PI_ITERS, dim: int = EMB_DIM) -> str:

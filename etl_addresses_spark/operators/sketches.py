@@ -254,58 +254,106 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 10
 # --- exact-sum correlation matrix ---------------------------------------
 
 _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-_CORR_DEC = "decimal(38,12)"
+
+# Exact-integer moment machinery shared by stats_correlation and
+# stats_regression_group (plans/relational7.py).  The measures are
+# 2-fractional-digit decimals stored as DOUBLE (quantity is integral),
+# so round(x*100) recovers the exact integer cents in BOTH engines —
+# fixture-wide max |x*100 - round(x*100)| is 9.4e-10, so the two
+# engines' tie-breaking modes can never disagree.  Products of cents
+# stay < 2^47; their sums are accumulated as THREE int64 limb sums of
+# 21 bits each (guide §2.3, narrower types): each limb sum stays inside
+# int64 up to ~4e12 rows (100 TB-class lineitem), every partial is a
+# plain codegen long sum (map-side combinable), and the recombination
+# b2*2^42 + b1*2^21 + b0 is evaluated ONCE per query in double with a
+# fixed association — deterministic, identical text in both engines.
+# This replaced per-row double->DECIMAL(38,12) casts + BigDecimal sum
+# accumulation (the round-3 formulation): same single-scan shape, but
+# the decimal path ran the whole scan through Spark's non-codegen
+# BigDecimal aggregate (3.60 s at sf0.1 vs 0.21 s for the double twin).
+# The published corr values move by <= 9.1e-16 (the old per-row decimal
+# cast kept ~1e-13-relative double-product rounding noise that the
+# exact integer products do not have) — seven orders of magnitude
+# below the driver's round(·, 9) canonicalization; verified
+# round-9-equal on every row at sf0.001/0.01/0.1 in both engines.
+# PRECONDITION (was already the operator contract): nonnegative
+# measures with <= 2 fractional decimal digits; inputs outside that
+# envelope should pre-quantize (e.g. int cents) before this operator.
+_LIMB_BITS = 21
+_LIMB_MASK = (1 << _LIMB_BITS) - 1
+
+
+def limb_sum_aggs(prod, tag: str) -> list:
+    """Three int64 partial sums of a nonnegative integer-product column,
+    split into 21-bit limbs (see the module comment above)."""
+    return [
+        F.sum(prod.bitwiseAND(F.lit(_LIMB_MASK))).alias(f"{tag}_b0"),
+        F.sum(
+            F.shiftright(prod, _LIMB_BITS).bitwiseAND(F.lit(_LIMB_MASK))
+        ).alias(f"{tag}_b1"),
+        F.sum(F.shiftright(prod, 2 * _LIMB_BITS)).alias(f"{tag}_b2"),
+    ]
+
+
+def limb_sum_sql(expr: str, tag: str) -> list[str]:
+    """DuckDB twin of `limb_sum_aggs` (same limbs, same aliases)."""
+    return [
+        f"sum(({expr}) & {_LIMB_MASK}) AS {tag}_b0",
+        f"sum((({expr}) >> {_LIMB_BITS}) & {_LIMB_MASK}) AS {tag}_b1",
+        f"sum(({expr}) >> {2 * _LIMB_BITS}) AS {tag}_b2",
+    ]
+
+
+def limb_recomb(tag: str) -> str:
+    """Exact recombination of the three limb sums as a double, fixed
+    association — identical text in both engines (e0 literals are
+    DOUBLE in Spark SQL and DuckDB alike)."""
+    return (
+        f"(cast({tag}_b2 as double) * {float(1 << (2 * _LIMB_BITS)):.0f}e0"
+        f" + cast({tag}_b1 as double) * {float(1 << _LIMB_BITS):.0f}e0"
+        f" + cast({tag}_b0 as double))"
+    )
 
 
 def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation matrix over the lineitem measures, computed
-    from EXACT decimal moment sums instead of Spark's corr() aggregate:
-    sum(x), sum(x*x), sum(x*y) accumulate as DECIMAL(38,12) — associative
-    and order-independent, so the result is bit-stable run-to-run and
-    engine-to-engine (a double Welford accumulation is neither).  The
-    whole matrix rides ONE aggregation (15 map-side-combinable sums,
-    one 1-row reduce); the 6 pair rows then unpivot from that single
-    row with stack() — at 100 TB this is a single scan + a scalar.
+    from EXACT integer moment sums instead of Spark's corr() aggregate:
+    each measure is quantized to integer cents (exact — see the limb
+    machinery comment above), and sum(x), sum(x*x), sum(x*y) accumulate
+    as int64 limb sums — associative and order-independent, so the
+    result is bit-stable run-to-run and engine-to-engine (a double
+    Welford accumulation is neither).  The whole matrix rides ONE
+    aggregation (35 map-side-combinable long sums, one 1-row reduce);
+    the 6 pair rows then unpivot from that single row with stack() —
+    at 100 TB this is a single scan + a scalar.
 
     corr(x,y) = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²)),
     evaluated in double from the exact sums — identical inputs, identical
-    association, identical output in both engines.
-
-    CAST-PARITY ASSUMPTION (round-3 ADVICE.md): the measures are
-    stored as DOUBLE, so each row first does a double->DECIMAL(38,12)
-    cast, and Spark (HALF_UP on the shortest-round-trip decimal repr)
-    vs DuckDB (scaled-multiply rounding) can in principle disagree at
-    the 12th fractional digit on adversarial doubles.  The exactness
-    claim is therefore conditional on per-row cast agreement, which
-    holds for any input whose values carry <= 12 significant
-    fractional decimal digits — true of the fixtures (<= 4) and of
-    typical currency/quantity measures.  Inputs outside that envelope
-    should pre-quantize (e.g. int cents) before this operator.
+    association, identical output in both engines.  corr is
+    scale-invariant, so the ×100 quantization cancels without any
+    rescaling term.
     """
     from itertools import combinations
 
     from etl_addresses_spark.sources.tables import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
+    cents = {c: F.round(F.col(c) * 100).cast("long") for c in _CORR_COLS}
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     for c in _CORR_COLS:
-        aggs.append(F.sum(F.col(c).cast(_CORR_DEC)).alias(f"s_{c}"))
-        aggs.append(
-            F.sum((F.col(c) * F.col(c)).cast(_CORR_DEC)).alias(f"q_{c}")
-        )
+        aggs.append(F.sum(cents[c]).alias(f"s_{c}"))
+        aggs.extend(limb_sum_aggs(cents[c] * cents[c], f"q_{c}"))
     for a, b in combinations(_CORR_COLS, 2):
-        aggs.append(
-            F.sum((F.col(a) * F.col(b)).cast(_CORR_DEC)).alias(f"p_{a}_{b}")
-        )
+        aggs.extend(limb_sum_aggs(cents[a] * cents[b], f"p_{a}_{b}"))
     m = li.agg(*aggs)
 
     def corr_expr(a: str, b: str) -> str:
         return (
-            f"(cast(n as double) * cast(p_{a}_{b} as double)"
+            f"(cast(n as double) * {limb_recomb(f'p_{a}_{b}')}"
             f" - cast(s_{a} as double) * cast(s_{b} as double))"
-            f" / sqrt((cast(n as double) * cast(q_{a} as double)"
+            f" / sqrt((cast(n as double) * {limb_recomb(f'q_{a}')}"
             f" - cast(s_{a} as double) * cast(s_{a} as double))"
-            f" * (cast(n as double) * cast(q_{b} as double)"
+            f" * (cast(n as double) * {limb_recomb(f'q_{b}')}"
             f" - cast(s_{b} as double) * cast(s_{b} as double)))"
         )
 
@@ -320,24 +368,25 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _corr_duck(a: str, b: str) -> str:
     return (
-        f"(CAST(n AS DOUBLE) * CAST(p_{a}_{b} AS DOUBLE)"
-        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
-        f" / sqrt((CAST(n AS DOUBLE) * CAST(q_{a} AS DOUBLE)"
-        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
-        f" * (CAST(n AS DOUBLE) * CAST(q_{b} AS DOUBLE)"
-        f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        f"(cast(n as double) * {limb_recomb(f'p_{a}_{b}')}"
+        f" - cast(s_{a} as double) * cast(s_{b} as double))"
+        f" / sqrt((cast(n as double) * {limb_recomb(f'q_{a}')}"
+        f" - cast(s_{a} as double) * cast(s_{a} as double))"
+        f" * (cast(n as double) * {limb_recomb(f'q_{b}')}"
+        f" - cast(s_{b} as double) * cast(s_{b} as double)))"
     )
 
 
 def _stats_correlation_sql() -> str:
     from itertools import combinations
 
+    cents = {c: f"CAST(round({c}*100) AS BIGINT)" for c in _CORR_COLS}
     sums = ["count(*) AS n"]
     for c in _CORR_COLS:
-        sums.append(f"sum(CAST({c} AS DECIMAL(38,12))) AS s_{c}")
-        sums.append(f"sum(CAST({c} * {c} AS DECIMAL(38,12))) AS q_{c}")
+        sums.append(f"sum({cents[c]}) AS s_{c}")
+        sums.extend(limb_sum_sql(f"{cents[c]} * {cents[c]}", f"q_{c}"))
     for a, b in combinations(_CORR_COLS, 2):
-        sums.append(f"sum(CAST({a} * {b} AS DECIMAL(38,12))) AS p_{a}_{b}")
+        sums.extend(limb_sum_sql(f"{cents[a]} * {cents[b]}", f"p_{a}_{b}"))
     rows = "\nUNION ALL\n".join(
         f"SELECT '{a}' AS col_x, '{b}' AS col_y, {_corr_duck(a, b)} AS corr FROM m"
         for a, b in combinations(_CORR_COLS, 2)
@@ -351,22 +400,24 @@ STATS_CORRELATION_SQL = _stats_correlation_sql()
 def stats_correlation_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documented escape-hatch twin of :func:`stats_correlation`
     (SCALE.md round-4 acceptance): the same 15-moment single-scan
-    correlation matrix with plain DOUBLE sums instead of
-    DECIMAL(38,12), published at 6 decimal digits.
+    correlation matrix with plain DOUBLE sums instead of the exact
+    tier's accumulation, published at 6 decimal digits.
 
     Trade and contract, explicitly: double accumulation is
     order-dependent, so run-to-run and engine-to-engine the raw sums
     drift at ~1e-12 relative (measured across repartitionings in
     tests/test_sketches.py).  After the cancellation in
     n*Sxy - Sx*Sy (~1 decimal digit on these measures) the corr values
-    agree with the exact-decimal path to ~1e-11 absolute — five orders
+    agree with the exact path to ~1e-11 absolute — five orders
     of magnitude below the 6-digit publication precision and two below
     the driver's 1e-9 canonicalization, so the hash-checked output is
     stable anyway.  What is given up is BIT-reproducibility of the
-    intermediate sums; what is gained is the long-vectorized codegen
-    sum path (~40x: 0.11 s vs 4.4 s at sf0.1, SCALE.md).  Use this
-    tier when corr feeds thresholds/reports; keep the decimal tier
-    when moment sums themselves are published artifacts.
+    intermediate sums; what is gained is unconditional input coverage:
+    this tier needs no quantization precondition, while the exact tier
+    requires <= 2-fractional-digit nonnegative measures.  (Historical
+    note: against the r3-r13 DECIMAL(38,12) exact tier this twin was
+    the ~40x fast path — 0.11 s vs 4.4 s at sf0.1, SCALE.md; the r14
+    int64-limb exact tier closed that gap to ~2x.)
     """
     from itertools import combinations
 

@@ -9,7 +9,7 @@ Three query families the registry did not yet cover:
   this is part of the mandated large-scale-pipeline extension surface,
   like funnel_conversion / cohort_retention before it.
 * grouped closed-form OLS (`stats_regression_group`) — per-group
-  slope/intercept from exact decimal moment sums, the regression twin
+  slope/intercept from exact integer moment sums, the regression twin
   of stats_correlation's bit-reproducibility contract.
 * the IN-REGIME PassJoin row (`fuzzy_title_match_passjoin`) — the
   segment-pigeonhole fuzzy join exercised on a string column whose
@@ -122,47 +122,55 @@ ORDER BY n_sessions DESC, path ASC LIMIT {PATH_TOPK}
 
 # --- grouped closed-form OLS --------------------------------------------
 
-_REG_DEC = "decimal(38,12)"
-
 
 def stats_regression_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group ordinary least squares (y = l_extendedprice on
     x = l_quantity, grouped by return flag x line status) from EXACT
-    decimal moment sums — the regression member of the
+    integer moment sums — the regression member of the
     stats_correlation family, same bit-reproducibility contract:
 
       slope     = (n.Sxy - Sx.Sy) / (n.Sxx - Sx.Sx)
       intercept = (Sy - slope * Sx) / n
 
-    The five sums accumulate as DECIMAL(38,12) (associative, order-
-    independent, so RUN-TO-RUN bit-stable regardless of partitioning);
-    the closed form is then evaluated in double with the same
-    association in both engines.  Engine-to-engine the per-row
-    double->decimal cast of the products rounds differently at the
-    12th decimal in a handful of rows, and the n.Sxy - Sx.Sy
-    cancellation (~13 of 16 digits on these measures) amplifies that
-    to ~4e-13 RELATIVE on the slope (measured: <=1.7e3 ulps at
-    sf0.01) — so like stats_correlation_double the published values
-    carry a 6-digit precision contract, rounded identically on both
-    sides, which the drift sits five orders of magnitude below.  One
+    Both measures are quantized to exact integer cents and the moment
+    sums accumulate as int64 limb sums (the machinery and its
+    preconditions live next to stats_correlation in
+    operators/sketches.py — associative, order-independent, RUN-TO-RUN
+    bit-stable regardless of partitioning, and pure codegen long sums
+    instead of the earlier per-row double->DECIMAL(38,12) casts +
+    BigDecimal accumulation).  The closed form is then evaluated in
+    double with the same association in both engines; slope is
+    invariant under the common ×100 scaling of x and y, intercept
+    scales by 100 and is divided back identically on both sides.  The
+    published values (6-digit rounding contract) are UNCHANGED row for
+    row vs the decimal formulation at sf0.001/0.01/0.1 — the exact
+    sums differ from the decimal ones only by the ~1e-13-relative
+    double-product rounding noise the decimal casts used to keep,
+    five orders of magnitude below the publication precision.  One
     scan, map-side-combinable sums, a 4-row reduce — at 100 TB this
     costs one pass like any groupBy-sum.  (Spark's
     regr_slope/regr_intercept aggregates would accumulate in double
     and lose even run-to-run bit-stability; deliberately not used.)
     """
+    from etl_addresses_spark.operators.sketches import (
+        limb_recomb,
+        limb_sum_aggs,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    u = F.round(F.col("l_quantity") * 100).cast("long")
+    v = F.round(F.col("l_extendedprice") * 100).cast("long")
     m = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(x.cast(_REG_DEC)).alias("sx"),
-        F.sum(y.cast(_REG_DEC)).alias("sy"),
-        F.sum((x * x).cast(_REG_DEC)).alias("sxx"),
-        F.sum((x * y).cast(_REG_DEC)).alias("sxy"),
+        F.sum(u).alias("sx"),
+        F.sum(v).alias("sy"),
+        *limb_sum_aggs(u * u, "sxx"),
+        *limb_sum_aggs(u * v, "sxy"),
     )
     slope = (
-        "(cast(n as double) * cast(sxy as double)"
+        f"(cast(n as double) * {limb_recomb('sxy')}"
         " - cast(sx as double) * cast(sy as double))"
-        " / (cast(n as double) * cast(sxx as double)"
+        f" / (cast(n as double) * {limb_recomb('sxx')}"
         " - cast(sx as double) * cast(sx as double))"
     )
     return m.selectExpr(
@@ -171,32 +179,44 @@ def stats_regression_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         f"round({slope}, 6) as slope",
         f"round((cast(sy as double) - ({slope}) * cast(sx as double))"
-        " / cast(n as double), 6) as intercept",
+        " / cast(n as double) / 100e0, 6) as intercept",
     )
 
 
-_REG_SLOPE_DUCK = (
-    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
-    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-)
+def _stats_regression_group_sql() -> str:
+    from etl_addresses_spark.operators.sketches import (
+        limb_recomb,
+        limb_sum_sql,
+    )
 
-STATS_REGRESSION_GROUP_SQL = f"""
+    u = "CAST(round(l_quantity*100) AS BIGINT)"
+    v = "CAST(round(l_extendedprice*100) AS BIGINT)"
+    sums = ", ".join(
+        [f"sum({u}) AS sx", f"sum({v}) AS sy"]
+        + limb_sum_sql(f"{u} * {u}", "sxx")
+        + limb_sum_sql(f"{u} * {v}", "sxy")
+    )
+    slope = (
+        f"(cast(n as double) * {limb_recomb('sxy')}"
+        " - cast(sx as double) * cast(sy as double))"
+        f" / (cast(n as double) * {limb_recomb('sxx')}"
+        " - cast(sx as double) * cast(sx as double))"
+    )
+    return f"""
 WITH m AS (
   SELECT l_returnflag, l_linestatus, count(*) AS n,
-    sum(CAST(l_quantity AS DECIMAL(38,12))) AS sx,
-    sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS sy,
-    sum(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS sxx,
-    sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS sxy
+    {sums}
   FROM lineitem GROUP BY l_returnflag, l_linestatus
 )
 SELECT l_returnflag, l_linestatus, n,
-  round({_REG_SLOPE_DUCK}, 6) AS slope,
-  round((CAST(sy AS DOUBLE) - ({_REG_SLOPE_DUCK}) * CAST(sx AS DOUBLE))
-    / CAST(n AS DOUBLE), 6) AS intercept
+  round({slope}, 6) AS slope,
+  round((cast(sy as double) - ({slope}) * cast(sx as double))
+    / cast(n as double) / 100e0, 6) AS intercept
 FROM m
 """
+
+
+STATS_REGRESSION_GROUP_SQL = _stats_regression_group_sql()
 
 
 # --- the in-regime PassJoin row -----------------------------------------
