@@ -303,6 +303,12 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             (F.col("deg") * _ORD_BASE + F.col("node")).alias("ord"),
         )
+        # node-dimension frame read THREE times (the count gate below,
+        # then the du and dv branches — Spark never CSEs across
+        # DataFrame branches): cache so the union+agg over the edge
+        # set runs once (r14; the same hygiene as the oriented/adj
+        # caches below)
+        .cache()
     )
     # The degree and adjacency tables are NODE-dimensioned (one row per
     # part), orders of magnitude smaller than the edge set.  AQE cannot

@@ -34,6 +34,17 @@ def get_spark(app_name: str = "etl_addresses_spark") -> SparkSession:
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
             os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
         )
+        # Join-strategy envelope (guide §3.1/§9): preferSortMergeJoin
+        # stays at Spark's default unless overridden — the r14 A/B on
+        # the 14 join-bearing headline rows measured the
+        # shuffled-hash-join planner preference within noise on this
+        # fixture set (equi-joins here either broadcast or carry
+        # sorted-side reuse), so the default is kept and the knob
+        # exists for cluster-side tuning evidence.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
