@@ -34,7 +34,7 @@ a Python UDF — every expression is JVM-side codegen.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F, Window as W
+from pyspark.sql import functions as F
 
 from etl_addresses_spark.operators.similarity import (
     _duckdb_dot,
@@ -370,21 +370,46 @@ def semantic_dedup_for(
     vecs = fan_out(e, e.sparkSession).select(
         "vec_id", "embedding", _norm_col(F.col("embedding")).alias("vnorm")
     )
+    # Narrow argmax (r14, guide §2.3 "project before the exchange"):
+    # the scoring projection emits ONLY (vec_id, cent_id, c_cos) — the
+    # former row_number window dragged every candidate row's full
+    # embedding + vnorm through an n·k-row shuffle AND sort just to
+    # pick one row per vec.  The max(struct) aggregate collapses to
+    # one row per vec_id map-side (the broadcast join keeps a vec's k
+    # candidate rows co-located), and the embedding re-attaches with
+    # one narrow n-row join — the kmeans `_assign` pattern.  The
+    # (c_cos DESC, cent_id ASC) tie-break is max(struct(c_cos,
+    # -cent_id)) — cent_id is a nonnegative vec_id, so the negation is
+    # sign-safe, and Spark orders NaN largest in BOTH the window-desc
+    # and struct-max forms, so the winner cannot differ on any input.
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id",
-        "embedding",
-        "vnorm",
         "cent_id",
         (
             _pair_dot_seq(F.col("embedding"), F.col("cent_emb"))
             / (F.col("vnorm") * F.col("cent_norm"))
         ).alias("c_cos"),
     )
-    wa = W.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cent_id"))
+    best = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("c_cos").alias("c"), (-F.col("cent_id")).alias("nc")
+                )
+            ).alias("m")
+        )
+        .select("vec_id", (-F.col("m.nc")).alias("list_id"))
+    )
+    # assigned feeds THREE consumers (pair-join sides a and b, the
+    # final survivor join) and Spark never CSEs across DataFrame
+    # branches — without the cache the whole scoring pipeline ran
+    # three times per query (r14 measurement; same hygiene as
+    # triangle_count's deg cache).
     assigned = (
-        scored.withColumn("r", F.row_number().over(wa))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "embedding", "vnorm", F.col("cent_id").alias("list_id"))
+        vecs.join(best, "vec_id")
+        .select("vec_id", "embedding", "vnorm", "list_id")
+        .cache()
     )
     a = assigned.select(
         F.col("list_id"),
