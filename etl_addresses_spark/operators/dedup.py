@@ -161,35 +161,33 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_jaccard_pairs_for(corpus: DataFrame) -> DataFrame:
     """All doc pairs with word-3-shingle Jaccard >= 0.5, computed
-    exactly via the inverted index (pairs only materialize for docs
-    sharing at least one shingle).
+    exactly via the inverted-index self-join (pairs only materialize
+    for docs sharing at least one shingle).
 
-    r14 shape: the posting-list pair expansion replaced the shingle
-    self-join — ONE groupBy(shingle) exchange collects each shingle's
-    (sorted, deduped) doc list and the ordered pairs explode LOCALLY
-    with higher-order functions, where the self-join shuffled the
-    cached shingle set TWICE (both aliases) and joined, for the exact
-    same k*(k-1)/2 pair stream per shingle (the triangle_count
-    per-order edge-build pattern; fixture stats at sf0.1: 29k
-    shingles, max 42 docs/shingle, 3.4M expanded pairs either way).
-    Per-key state is O(k) while the pair OUTPUT is O(k^2) — the
-    posting array is dominated by what both formulations must emit
-    anyway, so the state bound adds no new scale hazard; real corpora
-    cap hot shingles upstream either way."""
+    r14 note: a posting-list pair-explode restructure (ONE
+    groupBy(shingle) exchange + local higher-order-function pair
+    expansion instead of the two-sided self-join) was landed, measured
+    wall-NEUTRAL at sf0.1, and then REVERTED: the posting-aggregation
+    subtree's constraints survive `localCheckpoint` (LogicalRDD keeps
+    origin constraints) and trip a Catalyst constraint-rewrite bug
+    (`NoSuchElementException: key not found` in
+    UnionBase.rewriteConstraints, Spark 4.1.2) inside
+    connected_components_star's self-union loop — dedup_clusters_star
+    crashed deterministically.  A posexplode two-step variant fails
+    identically, so the hazard is the aggregation shape, not the
+    struct lambda.  The self-join shape below is the proven-green
+    layout; both formulations emit the identical O(k^2)-per-shingle
+    pair stream, so nothing at-scale is lost."""
     sh = _shingles(corpus).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    posting = sh.groupBy("shingle").agg(
-        F.sort_array(F.collect_set("doc_id")).alias("ds")
-    )
-    pair_expr = F.expr(
-        "explode(flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds) - i - 1), "
-        "y -> struct(x AS doc_a, y AS doc_b)))))"
-    )
+    a = sh.alias("a")
+    b = sh.alias("b")
     common = (
-        posting.select(pair_expr.alias("e"))
-        .select(F.col("e.doc_a").alias("doc_a"), F.col("e.doc_b").alias("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
         .agg(F.count(F.lit(1)).alias("common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
