@@ -517,32 +517,38 @@ def graph_communities_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("v_", "lab")
                 .agg(F.count(F.lit(1)).alias("c"))
             )
+            # step() frees the previous round's label blocks (ckpt.py).
             # (count DESC, label ASC) argmax as min(struct(-c, lab)):
             # the negated field is the COUNT, which is >= 1 by
             # construction (F.count), so the encoding is sign-safe for
             # any label id scheme — the r6-advice hazard of negating
             # labels (silently wrong tie-breaks if ids ever go
             # negative) can't arise.
-            labels = (
+            #
+            # PER-ROUND checkpoint, kept deliberately (r14 measured the
+            # alternative and reverted it): each labels_{k-1} feeds
+            # exactly one consumer, so a single end-of-loop step() is
+            # legal (linear lineage) and won a quiet-host sf0.1 A/B
+            # (8.33 -> 4.84 s) — but the 10x scale-ladder A/B, alone
+            # and back-to-back on the same replica, read x10 wall
+            # 62.68 -> 74.17 s and shuffle_write 1.745 -> 2.391 GB
+            # (12.24x -> 16.84x): without the materialization, each
+            # round's join loses the checkpointed labels' exact size
+            # and hash partitioning, and the chained plan shuffles ~37%
+            # more bytes.  The per-round job dispatch it saves is a
+            # fixed local cost; the extra shuffle grows with data —
+            # wrong trade at the 100 TB goal
+            # (tools/evidence/r14_opt_lpa_ladder_ab.json).
+            labels = chain.step(
                 votes.groupBy(F.col("v_").alias("node"))
                 .agg(
                     F.min(
                         F.struct((-F.col("c")).alias("nc"), F.col("lab"))
                     ).alias("m")
                 )
-                .select("node", F.col("m.lab").alias("lab"))
+                .select("node", F.col("m.lab").alias("lab")),
+                "labels",
             )
-        # ONE materialization for the whole loop (r14 optimization):
-        # unlike pagerank (ranks read twice per round) or BFS (visited
-        # AND frontier re-read), each labels_{k-1} here feeds EXACTLY
-        # one consumer — round k's votes join — so the un-checkpointed
-        # lineage is LINEAR (4 join+agg rounds in one plan), not
-        # exponential, and the per-round eager checkpoint was pure
-        # per-round job-dispatch + block-write overhead.  The single
-        # step() inside the scope keeps the loop-derived shuffle width
-        # binding (widths resolve at action time) and bounds lineage
-        # for downstream consumers.
-        labels = chain.step(labels, "labels")
     return (
         labels.groupBy(F.col("lab").alias("community"))
         .agg(F.count(F.lit(1)).alias("size"))
