@@ -469,7 +469,10 @@ def graph_communities_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
     )
     # No (ok, p) pre-distinct: collect_set dedupes per order already —
-    # see the triangle_count edge-build note (one exchange saved).
+    # see the triangle_count edge-build note (a plan NO-OP — Catalyst's
+    # RemoveRedundantAggregates already elided the lower aggregate;
+    # the r14 plan audit showed before == after, so this is a clarity
+    # fix, not a saved exchange).
     li = li_scan
     # pair dedup stays distinct() — see the triangle_count note (the
     # explicit repartition+dropDuplicates form lost its partial
@@ -626,7 +629,10 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
     )
     # No (ok, p) pre-distinct: collect_set dedupes per order already —
-    # see the triangle_count edge-build note (one exchange saved).
+    # see the triangle_count edge-build note (a plan NO-OP — Catalyst's
+    # RemoveRedundantAggregates already elided the lower aggregate;
+    # the r14 plan audit showed before == after, so this is a clarity
+    # fix, not a saved exchange).
     li = li_scan
     # pair dedup stays distinct() — see the triangle_count note (the
     # explicit repartition+dropDuplicates form lost its partial
@@ -675,6 +681,11 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every hop: a second action per hop that re-wrote the ENTIRE
     # growing visited set into new blocks — O(hops · reached) copied
     # rows for a set that the anti-join can read as-is.
+    # Block-manager residue (r14 advice): because the result reads
+    # EVERY frontier, none of the BFS_HOPS+1 per-hop checkpoints can
+    # be released inside the operator — they are reclaimed only by
+    # free_all_persistent_rdds / driver GC, so harnesses must keep
+    # running the between-query sweep (bench.py does; see ckpt.py).
     frontier = chain.step(
         seeds.select("node", F.lit(0).cast("long").alias("dist")), "f0"
     )

@@ -148,7 +148,15 @@ def _round6(x: float) -> float:
     """Spark's round(col, 6) on DOUBLE: HALF_UP on the shortest
     round-trip decimal repr (java BigDecimal.valueOf + setScale) —
     replicated exactly so the literal frame carries the same bits the
-    old in-plan F.round produced."""
+    old in-plan F.round produced.
+
+    JVM-version assumption (r14 advice): Python repr() matches Java
+    Double.toString only where Double.toString emits the SHORTEST
+    round-trip decimal, which the JDK guarantees from JDK 19
+    (JDK-4511638).  Spark 4 runs on Java 17+/21 and this repo's
+    runtime is Java 21, satisfying it; a Java 17 deployment could
+    void the bit-for-bit parity claim (test_round6 pins only the
+    current JVM)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     return float(

@@ -262,11 +262,20 @@ _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 # fixture-wide max |x*100 - round(x*100)| is 9.4e-10, so the two
 # engines' tie-breaking modes can never disagree.  Products of cents
 # stay < 2^47; their sums are accumulated as THREE int64 limb sums of
-# 21 bits each (guide §2.3, narrower types): each limb sum stays inside
-# int64 up to ~4e12 rows (100 TB-class lineitem), every partial is a
-# plain codegen long sum (map-side combinable), and the recombination
+# 21 bits each (guide §2.3, narrower types), every partial a plain
+# codegen long sum (map-side combinable), and the recombination
 # b2*2^42 + b1*2^21 + b0 is evaluated ONCE per query in double with a
 # fixed association — deterministic, identical text in both engines.
+# FIRST moments (Σx) ride the same limb machinery since r15: a plain
+# long sum of extendedprice cents (~2^24/row) wraps int64 at ~9e11
+# worst-case rows — INSIDE the 100 TB envelope (r14 verdict item 2) —
+# while the limb path is uniform across all moments.  Envelope, stated
+# once for every limb sum here: the b0 partial is < 2^21 per row, so
+# the machinery is exact to floor(2^63 / (2^21-1)) ≈ 4.39e12 rows
+# (~700 TB-class lineitem); a runtime assert_true guard on n in each
+# consumer raises loudly instead of wrapping silently past it.  DuckDB
+# needs no guard (sum(BIGINT) promotes to HUGEINT), which is exactly
+# the engine divergence the guard closes on the Spark side.
 # This replaced per-row double->DECIMAL(38,12) casts + BigDecimal sum
 # accumulation (the round-3 formulation): same single-scan shape, but
 # the decimal path ran the whole scan through Spark's non-codegen
@@ -282,48 +291,82 @@ _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 _LIMB_BITS = 21
 _LIMB_MASK = (1 << _LIMB_BITS) - 1
 
-
-def limb_sum_aggs(prod, tag: str) -> list:
-    """Three int64 partial sums of a nonnegative integer-product column,
-    split into 21-bit limbs (see the module comment above)."""
-    return [
-        F.sum(prod.bitwiseAND(F.lit(_LIMB_MASK))).alias(f"{tag}_b0"),
-        F.sum(
-            F.shiftright(prod, _LIMB_BITS).bitwiseAND(F.lit(_LIMB_MASK))
-        ).alias(f"{tag}_b1"),
-        F.sum(F.shiftright(prod, 2 * _LIMB_BITS)).alias(f"{tag}_b2"),
-    ]
+# Exactness bound for ANY single limb sum (see the module comment):
+# each per-row limb value is <= _LIMB_MASK, so int64 holds the sum for
+# up to this many rows.  Consumers guard their row count against it
+# with assert_true — a loud failure instead of a silent wrap.
+LIMB_SUM_MAX_ROWS = (1 << 63) // _LIMB_MASK  # ≈ 4.39e12
 
 
-def limb_sum_sql(expr: str, tag: str) -> list[str]:
-    """DuckDB twin of `limb_sum_aggs` (same limbs, same aliases)."""
-    return [
-        f"sum(({expr}) & {_LIMB_MASK}) AS {tag}_b0",
-        f"sum((({expr}) >> {_LIMB_BITS}) & {_LIMB_MASK}) AS {tag}_b1",
-        f"sum(({expr}) >> {2 * _LIMB_BITS}) AS {tag}_b2",
-    ]
-
-
-def limb_recomb(tag: str) -> str:
-    """Exact recombination of the three limb sums as a double, fixed
-    association — identical text in both engines (e0 literals are
-    DOUBLE in Spark SQL and DuckDB alike)."""
+def limb_guard(expr: str) -> str:
+    """Wrap a published scalar expression with the row-count overflow
+    guard: assert_true(n <= LIMB_SUM_MAX_ROWS) returns NULL on success,
+    so the coalesce publishes `expr` unchanged; past the envelope the
+    query RAISES instead of silently wrapping a limb sum (Spark only —
+    DuckDB's sum(BIGINT) promotes to HUGEINT and needs no guard)."""
     return (
-        f"(cast({tag}_b2 as double) * {float(1 << (2 * _LIMB_BITS)):.0f}e0"
-        f" + cast({tag}_b1 as double) * {float(1 << _LIMB_BITS):.0f}e0"
-        f" + cast({tag}_b0 as double))"
+        f"coalesce(assert_true(n <= {LIMB_SUM_MAX_ROWS}d, "
+        f"'limb sums exact only to {LIMB_SUM_MAX_ROWS} rows'), {expr})"
     )
+
+
+def limb_sum_aggs(prod, tag: str, limbs: int = 3) -> list:
+    """int64 partial sums of a nonnegative integer column, split into
+    `limbs` x 21-bit limbs (see the module comment above).  3 limbs
+    cover the < 2^47 second-moment products; the < 2^24 first-moment
+    cents need only 2 (r15 — the third limb sum measured a real
+    per-row aggregation cost for a column that is provably zero)."""
+    out = [F.sum(prod.bitwiseAND(F.lit(_LIMB_MASK))).alias(f"{tag}_b0")]
+    for k in range(1, limbs - 1):
+        out.append(
+            F.sum(
+                F.shiftright(prod, k * _LIMB_BITS).bitwiseAND(F.lit(_LIMB_MASK))
+            ).alias(f"{tag}_b{k}")
+        )
+    out.append(
+        F.sum(F.shiftright(prod, (limbs - 1) * _LIMB_BITS)).alias(
+            f"{tag}_b{limbs - 1}"
+        )
+    )
+    return out
+
+
+def limb_sum_sql(expr: str, tag: str, limbs: int = 3) -> list[str]:
+    """DuckDB twin of `limb_sum_aggs` (same limbs, same aliases)."""
+    out = [f"sum(({expr}) & {_LIMB_MASK}) AS {tag}_b0"]
+    for k in range(1, limbs - 1):
+        out.append(
+            f"sum((({expr}) >> {k * _LIMB_BITS}) & {_LIMB_MASK}) AS {tag}_b{k}"
+        )
+    out.append(f"sum(({expr}) >> {(limbs - 1) * _LIMB_BITS}) AS {tag}_b{limbs - 1}")
+    return out
+
+
+def limb_recomb(tag: str, limbs: int = 3) -> str:
+    """Exact recombination of the limb sums as a double, fixed
+    association — identical text in both engines (e0 literals are
+    DOUBLE in Spark SQL and DuckDB alike).  For limbs=3 this emits the
+    exact r14 expression text, so the committed plan pins and the
+    published values are unchanged."""
+    terms = [
+        f"cast({tag}_b{k} as double) * {float(1 << (k * _LIMB_BITS)):.0f}e0"
+        for k in range(limbs - 1, 0, -1)
+    ] + [f"cast({tag}_b0 as double)"]
+    return "(" + " + ".join(terms) + ")"
 
 
 def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation matrix over the lineitem measures, computed
     from EXACT integer moment sums instead of Spark's corr() aggregate:
     each measure is quantized to integer cents (exact — see the limb
-    machinery comment above), and sum(x), sum(x*x), sum(x*y) accumulate
-    as int64 limb sums — associative and order-independent, so the
-    result is bit-stable run-to-run and engine-to-engine (a double
-    Welford accumulation is neither).  The whole matrix rides ONE
-    aggregation (35 map-side-combinable long sums, one 1-row reduce);
+    machinery comment above), and sum(x), sum(x*x), sum(x*y) ALL
+    accumulate as int64 limb sums — associative and order-independent,
+    so the result is bit-stable run-to-run and engine-to-engine (a
+    double Welford accumulation is neither), and exact to ~4.39e12
+    rows with a loud assert past that (r15: the first moments were
+    plain long sums before, which wrap at ~9e11 worst-case rows —
+    inside the 100 TB envelope).  The whole matrix rides ONE
+    aggregation (39 map-side-combinable long sums, one 1-row reduce);
     the 6 pair rows then unpivot from that single row with stack() —
     at 100 TB this is a single scan + a scalar.
 
@@ -341,24 +384,27 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = {c: F.round(F.col(c) * 100).cast("long") for c in _CORR_COLS}
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     for c in _CORR_COLS:
-        aggs.append(F.sum(cents[c]).alias(f"s_{c}"))
+        # first moments: cents < 2^24, so 2 limbs suffice (r14 advice)
+        aggs.extend(limb_sum_aggs(cents[c], f"s_{c}", limbs=2))
         aggs.extend(limb_sum_aggs(cents[c] * cents[c], f"q_{c}"))
     for a, b in combinations(_CORR_COLS, 2):
         aggs.extend(limb_sum_aggs(cents[a] * cents[b], f"p_{a}_{b}"))
     m = li.agg(*aggs)
 
     def corr_expr(a: str, b: str) -> str:
+        s_a = limb_recomb(f"s_{a}", limbs=2)
+        s_b = limb_recomb(f"s_{b}", limbs=2)
         return (
             f"(cast(n as double) * {limb_recomb(f'p_{a}_{b}')}"
-            f" - cast(s_{a} as double) * cast(s_{b} as double))"
+            f" - {s_a} * {s_b})"
             f" / sqrt((cast(n as double) * {limb_recomb(f'q_{a}')}"
-            f" - cast(s_{a} as double) * cast(s_{a} as double))"
+            f" - {s_a} * {s_a})"
             f" * (cast(n as double) * {limb_recomb(f'q_{b}')}"
-            f" - cast(s_{b} as double) * cast(s_{b} as double)))"
+            f" - {s_b} * {s_b}))"
         )
 
     stack_args = ", ".join(
-        f"'{a}', '{b}', {corr_expr(a, b)}"
+        f"'{a}', '{b}', {limb_guard(corr_expr(a, b))}"
         for a, b in combinations(_CORR_COLS, 2)
     )
     return m.selectExpr(
@@ -367,13 +413,17 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corr_duck(a: str, b: str) -> str:
+    # identical expression text to corr_expr minus the Spark-side
+    # overflow guard (DuckDB sum(BIGINT) promotes to HUGEINT)
+    s_a = limb_recomb(f"s_{a}", limbs=2)
+    s_b = limb_recomb(f"s_{b}", limbs=2)
     return (
         f"(cast(n as double) * {limb_recomb(f'p_{a}_{b}')}"
-        f" - cast(s_{a} as double) * cast(s_{b} as double))"
+        f" - {s_a} * {s_b})"
         f" / sqrt((cast(n as double) * {limb_recomb(f'q_{a}')}"
-        f" - cast(s_{a} as double) * cast(s_{a} as double))"
+        f" - {s_a} * {s_a})"
         f" * (cast(n as double) * {limb_recomb(f'q_{b}')}"
-        f" - cast(s_{b} as double) * cast(s_{b} as double)))"
+        f" - {s_b} * {s_b}))"
     )
 
 
@@ -383,7 +433,7 @@ def _stats_correlation_sql() -> str:
     cents = {c: f"CAST(round({c}*100) AS BIGINT)" for c in _CORR_COLS}
     sums = ["count(*) AS n"]
     for c in _CORR_COLS:
-        sums.append(f"sum({cents[c]}) AS s_{c}")
+        sums.extend(limb_sum_sql(cents[c], f"s_{c}", limbs=2))
         sums.extend(limb_sum_sql(f"{cents[c]} * {cents[c]}", f"q_{c}"))
     for a, b in combinations(_CORR_COLS, 2):
         sums.extend(limb_sum_sql(f"{cents[a]} * {cents[b]}", f"p_{a}_{b}"))

@@ -153,6 +153,7 @@ def stats_regression_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     and lose even run-to-run bit-stability; deliberately not used.)
     """
     from etl_addresses_spark.operators.sketches import (
+        limb_guard,
         limb_recomb,
         limb_sum_aggs,
     )
@@ -160,26 +161,35 @@ def stats_regression_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     u = F.round(F.col("l_quantity") * 100).cast("long")
     v = F.round(F.col("l_extendedprice") * 100).cast("long")
+    # r15: the FIRST moments (sx, sy) ride the limb machinery too — a
+    # plain long sum of extendedprice cents wraps int64 at ~9e11
+    # worst-case rows, inside the 100 TB envelope; the limb path is
+    # exact to ~4.39e12 rows and limb_guard raises loudly past that
+    # (r14 verdict item 2; envelope stated at the machinery comment in
+    # operators/sketches.py).
     m = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(u).alias("sx"),
-        F.sum(v).alias("sy"),
+        *limb_sum_aggs(u, "sx", limbs=2),
+        *limb_sum_aggs(v, "sy", limbs=2),
         *limb_sum_aggs(u * u, "sxx"),
         *limb_sum_aggs(u * v, "sxy"),
     )
     slope = (
         f"(cast(n as double) * {limb_recomb('sxy')}"
-        " - cast(sx as double) * cast(sy as double))"
+        f" - {limb_recomb('sx', limbs=2)} * {limb_recomb('sy', limbs=2)})"
         f" / (cast(n as double) * {limb_recomb('sxx')}"
-        " - cast(sx as double) * cast(sx as double))"
+        f" - {limb_recomb('sx', limbs=2)} * {limb_recomb('sx', limbs=2)})"
     )
     return m.selectExpr(
         "l_returnflag",
         "l_linestatus",
         "n",
-        f"round({slope}, 6) as slope",
-        f"round((cast(sy as double) - ({slope}) * cast(sx as double))"
-        " / cast(n as double) / 100e0, 6) as intercept",
+        limb_guard(f"round({slope}, 6)") + " as slope",
+        limb_guard(
+            f"round(({limb_recomb('sy', limbs=2)} - ({slope}) * {limb_recomb('sx', limbs=2)})"
+            " / cast(n as double) / 100e0, 6)"
+        )
+        + " as intercept",
     )
 
 
@@ -192,15 +202,18 @@ def _stats_regression_group_sql() -> str:
     u = "CAST(round(l_quantity*100) AS BIGINT)"
     v = "CAST(round(l_extendedprice*100) AS BIGINT)"
     sums = ", ".join(
-        [f"sum({u}) AS sx", f"sum({v}) AS sy"]
+        limb_sum_sql(u, "sx", limbs=2)
+        + limb_sum_sql(v, "sy", limbs=2)
         + limb_sum_sql(f"{u} * {u}", "sxx")
         + limb_sum_sql(f"{u} * {v}", "sxy")
     )
+    # identical expression text to the Spark side minus the overflow
+    # guard (DuckDB sum(BIGINT) promotes to HUGEINT)
     slope = (
         f"(cast(n as double) * {limb_recomb('sxy')}"
-        " - cast(sx as double) * cast(sy as double))"
+        f" - {limb_recomb('sx', limbs=2)} * {limb_recomb('sy', limbs=2)})"
         f" / (cast(n as double) * {limb_recomb('sxx')}"
-        " - cast(sx as double) * cast(sx as double))"
+        f" - {limb_recomb('sx', limbs=2)} * {limb_recomb('sx', limbs=2)})"
     )
     return f"""
 WITH m AS (
@@ -210,7 +223,7 @@ WITH m AS (
 )
 SELECT l_returnflag, l_linestatus, n,
   round({slope}, 6) AS slope,
-  round((cast(sy as double) - ({slope}) * cast(sx as double))
+  round(({limb_recomb('sy', limbs=2)} - ({slope}) * {limb_recomb('sx', limbs=2)})
     / cast(n as double) / 100e0, 6) AS intercept
 FROM m
 """

@@ -1,7 +1,7 @@
 """Dump .explain("formatted") for named registry queries to files.
 
 Usage:
-  python tools/dump_plans.py <out_dir> <suffix> <query1,query2,...> [sf_dir]
+  python tools/plan_snapshot.py <out_dir> <suffix> <query1,query2,...> [sf_dir]
 
 Writes <out_dir>/<query>_<suffix>.txt for each query (the r14
 optimization-round deliverable: plans/r14/<query>_{before,after}.txt).
