@@ -131,10 +131,26 @@ def _shingles(c: DataFrame) -> DataFrame:
     partitioning (64-permutation MinHash, md5 banding, the inverted
     self-join), and AQE's byte-based coalescing serialized exactly
     that work onto one partition in the r11 parallelismFirst A/B
-    (minhash_lsh_pairs 3.66x).  repartition on the dedup keys
-    satisfies dropDuplicates' clustering requirement, so the explicit
-    exchange REPLACES the distinct's own shuffle rather than adding
-    one."""
+    (minhash_lsh_pairs 3.66x).
+
+    The exchange keys by doc_id ALONE (r15, guide §2.4 "two operations
+    keyed the same way can share one exchange"): hash(doc_id) is a
+    KEY-SUBSET clustering of (doc_id, shingle), so it still satisfies
+    dropDuplicates' requirement (all rows of a doc land together) and
+    the explicit exchange still REPLACES the distinct's own shuffle —
+    but now every DOC-KEYED consumer downstream reuses the cached
+    partitioning with NO further exchange: the MinHash seed aggregation
+    (formerly a second full repartition("doc_id") of the hashed
+    shingle set), the banding pivot, the per-doc size counts, and the
+    candidate-verification joins on doc ids.  Probe-verified on this
+    Spark (4.1.2, canChangeCachedPlanOutputPartitioning=false): the
+    cached subplan's hashpartitioning IS visible through the
+    InMemoryRelation + the dropDuplicates aggregate, so consumers plan
+    partial+final aggregates with zero Exchange — the r14 attempt's
+    "AQE hides cached partitioning" diagnosis does not reproduce; its
+    pathological minhash A/B (growing repeats 14.8→98.6 s) carries the
+    contended-host signature this round reproduced on UNCHANGED code
+    (triangle_count 9.8→29.9→67.8 s in one contaminated run)."""
     from etl_addresses_spark.functions.sizing import cpu_partitions
 
     words = c.select("doc_id", F.split(F.col("text"), " ").alias("w"))
@@ -150,7 +166,7 @@ def _shingles(c: DataFrame) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     return (
         words.select("doc_id", F.explode(sh).alias("shingle"))
-        .repartition(cpu_partitions(c), "doc_id", "shingle")
+        .repartition(cpu_partitions(c), "doc_id")
         .dropDuplicates()
     )
 
@@ -304,11 +320,18 @@ def _minhash_long(sh: DataFrame) -> DataFrame:
     literal 2-universal coefficients (see MINHASH_PRIME above for why
     independence matters here).
 
-    The pre-repartition by doc_id makes the partial aggregation
-    collapse the 64x-exploded rows to exactly 64 per doc per partition
-    before the shuffle — without it every partition carries partials
-    for nearly every doc and the combine saves nothing (measured 17M
-    shuffled rows vs <1M)."""
+    INPUT CONTRACT (r15): callers feed a doc_id-CLUSTERED shingle frame
+    (every caller goes through `_shingles`, whose explicit exchange now
+    keys by doc_id) — so the seed aggregation below needs NO exchange
+    at all: hash(doc_id) satisfies the (doc_id, seed) clustering by the
+    key-subset rule and the partial+final aggregate pair runs in place.
+    This deletes what used to be a SECOND full repartition("doc_id") of
+    the hashed shingle set (the pre-r15 shape: _shingles keyed its
+    exchange by (doc_id, shingle) for the dedup, then this function
+    re-shuffled everything by doc_id so the partial aggregation could
+    collapse the 64x-exploded rows before the reduce — measured then:
+    17M shuffled rows without the pre-repartition vs <1M with it; now
+    ZERO shuffled rows, the collapse happens in place)."""
     ca, cb = _minhash_coeffs()
     arr_a = F.array(*[F.lit(v) for v in ca])
     arr_b = F.array(*[F.lit(v) for v in cb])
@@ -317,7 +340,7 @@ def _minhash_long(sh: DataFrame) -> DataFrame:
         .cast("long")
         % F.lit(MINHASH_PRIME)
     )
-    hashed = sh.repartition("doc_id").select("doc_id", x.alias("x"))
+    hashed = sh.select("doc_id", x.alias("x"))
     return (
         hashed.select(
             "doc_id",
